@@ -1,0 +1,172 @@
+package graft
+
+import graft.pipeline.{Dedup, Events, Relational, TextAnalysis}
+import graft.query.SimilaritySearch
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Declared-query glue (SURVEY §5.3): every entry is a named operator
+  * exercised end-to-end, with a DuckDB oracle in [[SparkEntry.oracleSql]]
+  * where ANSI SQL can express it.
+  */
+object Queries {
+
+  /** Q9: batch exact cosine top-k (A-14 semantics — threshold 0.0, k=5,
+    * 10 query vectors drawn from the embeddings fixture).
+    */
+  def q9CosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    SimilaritySearch.topKBatch(e, "embedding", "vec_id", q, "query_id", "qvec", k = 5, threshold = 0.0)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_filter" -> (Relational.q1Filter _),
+    "q2_join" -> (Relational.q2Join _),
+    "q3_join_agg" -> (Relational.q3JoinAgg _),
+    "q4_semi_anti" -> (Relational.q4SemiAnti _),
+    "q5_window_topn" -> (Relational.q5WindowTopN _),
+    "q6_topk" -> (Relational.q6TopK _),
+    "q7_union_distinct" -> (Relational.q7UnionDistinct _),
+    "q8_events_hourly" -> (Events.hourlyByType _),
+    "q8b_sessionize" -> ((s: SparkSession, d: String) => Events.sessionize(s, d)),
+    "q9_cosine_topk" -> (q9CosineTopK _),
+    "q10_dedup_exact" -> (Dedup.exact _),
+    "q11_text_stats" -> (TextAnalysis.statsByLang _),
+    "q13_rollup" -> (Relational.q13Rollup _),
+    "q14_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
+    "q15_minhash_neardup" -> ((s: SparkSession, d: String) => Dedup.minhashNearDup(s, d)),
+    "q16_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
+    "q17_langid" -> (TextAnalysis.langId _),
+    "q18_token_stats" -> (TextAnalysis.tokenStatsBySource _),
+    "q19_quality" -> (TextAnalysis.qualityPerDoc _),
+    "q20_cosine_neardup" -> ((s: SparkSession, d: String) => Dedup.cosineNearDup(s, d)),
+    "q21_fingerprints" -> (TextAnalysis.fingerprints _))
+
+  /** DuckDB-runnable oracles. Omitted keys (q15 shares q14's oracle
+    * because LSH recall is exact-verified; q16/q17/q21 use graft-native
+    * hashes/heuristics DuckDB cannot express) fall back to the driver's
+    * rows-only check.
+    */
+  val oracles: Map[String, String] = Map(
+    "q1_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1996-01-01' ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q2_join" ->
+      """SELECT o_orderkey, c_name, o_totalprice FROM orders
+        |JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin,
+    "q3_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_rows,
+        |round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |round(avg(l_quantity), 4) AS avg_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q4_semi_anti" ->
+      """SELECT c_custkey, 1 AS has_orders FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT c_custkey, 0 AS has_orders FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+    "q5_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q6_topk" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q7_union_distinct" ->
+      """SELECT DISTINCT key FROM (
+        |  SELECT n_regionkey AS key FROM nation
+        |  UNION ALL SELECT r_regionkey AS key FROM region) t
+        |ORDER BY key""".stripMargin,
+    "q8_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q8b_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g)
+        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin,
+    "q9_cosine_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+        |  FROM embeddings e CROSS JOIN q),
+        |r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        |  FROM s WHERE sim > 0.0)
+        |SELECT query_id, vec_id, round(sim, 6) AS sim, rn
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "q10_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q11_text_stats" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+        |min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q13_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |coalesce(l_linestatus, 'ALL') AS lstatus,
+        |round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+    "q14_ngram_jaccard" -> ngramJaccardOracle,
+    "q15_minhash_neardup" -> ngramJaccardOracle,
+    "q18_token_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+        |round(avg(len(string_split_regex(trim(text), '\s+'))), 4) AS avg_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q19_quality" ->
+      """SELECT doc_id,
+        |len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+        |len(list_distinct(string_split_regex(trim(text), '\s+'))) AS n_distinct,
+        |round(len(list_distinct(string_split_regex(trim(text), '\s+'))) * 1.0
+        |      / len(string_split_regex(trim(text), '\s+')), 6) AS ttr,
+        |round((length(text) - len(string_split_regex(trim(text), '\s+')) + 1) * 1.0
+        |      / len(string_split_regex(trim(text), '\s+')), 6) AS avg_tok_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q20_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS v1, b.vec_id AS v2,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+        |ORDER BY v1, v2""".stripMargin)
+
+  private lazy val ngramJaccardOracle: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, length(text) - 4),
+      |      i -> substr(text, CAST(i AS INT), 6)))) AS gram
+      |  FROM documents WHERE length(text) >= 6),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT d1, d2, round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jac
+      |FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      |WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.5
+      |ORDER BY d1, d2""".stripMargin
+}

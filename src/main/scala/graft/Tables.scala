@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Fixture-table loaders (TESTDATA.md). One place normalizes the quirks:
+  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot represent —
+  * with `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as LongType
+  * nanoseconds and is converted here to a microsecond TimestampType column
+  * (the DuckDB oracle only ever compares second-resolution derivations, so
+  * the ns->us truncation is oracle-safe).
+  */
+object Tables {
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    name match {
+      case "events" => events(spark, dir)
+      case _ => spark.read.parquet(s"$dir/$name.parquet")
+    }
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/events.parquet")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => df
+    }
+  }
+
+  /** Session config every graft entry point should apply. */
+  def configure(builder: SparkSession.Builder): SparkSession.Builder =
+    builder
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+}

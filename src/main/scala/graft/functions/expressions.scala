@@ -1,0 +1,126 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the vector/text kernels. Native (vs a
+  * Scala UDF) so Catalyst sees through them: null-intolerance, codegen via
+  * static calls into [[VectorOps]], no Row boxing on the float arrays.
+  *
+  * Re-expresses, Spark-side, what the reference delegates to pgvector
+  * (similarity: reference src/clients/vector-client.ts:396-415) and to
+  * OpenAI (embedding: vector-client.ts:375-388).
+  */
+abstract class BinaryFloatArrayExpression extends BinaryExpression
+    with Serializable {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  protected def kernel: String // static method name on VectorOps
+  protected def compute(x: Array[Float], y: Array[Float]): Double
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(
+      a.asInstanceOf[ArrayData].toFloatArray(),
+      b.asInstanceOf[ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorOps.$kernel($a.toFloatArray(), $b.toFloatArray());")
+}
+
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryFloatArrayExpression {
+  override def prettyName: String = "cosine_sim"
+  protected def kernel = "cosine"
+  protected def compute(x: Array[Float], y: Array[Float]): Double = VectorOps.cosine(x, y)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryFloatArrayExpression {
+  override def prettyName: String = "dot_product"
+  protected def kernel = "dot"
+  protected def compute(x: Array[Float], y: Array[Float]): Double = VectorOps.dot(x, y)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryFloatArrayExpression {
+  override def prettyName: String = "l2_dist_sq"
+  protected def kernel = "l2Sq"
+  protected def compute(x: Array[Float], y: Array[Float]): Double = VectorOps.l2Sq(x, y)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class L2Norm(child: Expression) extends UnaryExpression
+    with Serializable {
+  override def prettyName: String = "l2_norm"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.l2Norm(a.asInstanceOf[ArrayData].toFloatArray())
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorOps.l2Norm($a.toFloatArray());")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Deterministic hashing embedder: text -> array<float> of dimension `dim`
+  * (a foldable int). Engine-local stand-in for the reference's network
+  * embedding call (vector-client.ts:375-388).
+  */
+case class HashEmbed(child: Expression, dimExpr: Expression)
+    extends BinaryExpression with Serializable {
+  override def prettyName: String = "hash_embed"
+  override def left: Expression = child
+  override def right: Expression = dimExpr
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(t: Any, d: Any): Any =
+    new GenericArrayData(
+      VectorOps.hashEmbed(t.asInstanceOf[UTF8String].toString, d.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, d) =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.VectorOps.hashEmbed($t.toString(), $d));""".stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, dimExpr = r)
+}
+
+/** 64-bit SimHash fingerprint of a string (near-dup detection). */
+case class SimHash64(child: Expression) extends UnaryExpression
+    with Serializable {
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.simhash64(a.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorOps.simhash64($a.toString());")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Polynomial rolling-hash content fingerprint. */
+case class RollingHash(child: Expression) extends UnaryExpression
+    with Serializable {
+  override def prettyName: String = "rolling_hash"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullSafeEval(a: Any): Any =
+    VectorOps.rollingHash(a.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorOps.rollingHash($a.toString());")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftx.Bridge
+
+/** Column-level API over the native expressions, plus SQL registration. */
+package object functions {
+
+  private def b(c: Column) = Bridge.expression(c)
+  // Defensive casts replace ImplicitCastInputTypes (private[sql] in Spark 4):
+  private def fa(c: Column) = b(c.cast("array<float>"))
+  private def st(c: Column) = b(c.cast("string"))
+
+  def cosine_sim(a: Column, bb: Column): Column = Bridge.column(CosineSimilarity(fa(a), fa(bb)))
+  def dot_product(a: Column, bb: Column): Column = Bridge.column(DotProduct(fa(a), fa(bb)))
+  def l2_dist_sq(a: Column, bb: Column): Column = Bridge.column(L2Distance(fa(a), fa(bb)))
+  def l2_norm(a: Column): Column = Bridge.column(L2Norm(fa(a)))
+  def hash_embed(text: Column, dim: Column): Column =
+    Bridge.column(HashEmbed(st(text), b(dim.cast("int"))))
+  def simhash64(text: Column): Column = Bridge.column(SimHash64(st(text)))
+  def rolling_hash(text: Column): Column = Bridge.column(RollingHash(st(text)))
+
+  /** Register all graft functions for SQL text / `call_function`. */
+  def registerAll(spark: SparkSession): Unit = {
+    Bridge.register(spark, "cosine_sim", es => CosineSimilarity(es(0), es(1)))
+    Bridge.register(spark, "dot_product", es => DotProduct(es(0), es(1)))
+    Bridge.register(spark, "l2_dist_sq", es => L2Distance(es(0), es(1)))
+    Bridge.register(spark, "l2_norm", es => L2Norm(es.head))
+    Bridge.register(spark, "hash_embed", es => HashEmbed(es(0), es(1)))
+    Bridge.register(spark, "simhash64", es => SimHash64(es.head))
+    Bridge.register(spark, "rolling_hash", es => RollingHash(es.head))
+  }
+}

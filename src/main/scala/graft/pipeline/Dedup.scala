@@ -1,0 +1,163 @@
+package graft.pipeline
+
+import graft.Tables
+import graft.functions.{cosine_sim, simhash64}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family (SURVEY §2 B-1/B-2): exact, n-gram Jaccard,
+  * MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * Scale design: exact dedup is one hash-shuffle on the group key. The
+  * n-gram Jaccard join is quadratic in docs sharing a gram — it exists as
+  * the *exact verifier*; MinHash+LSH is the 100 TB path: per-row signature
+  * computation (no shuffle), then a band-bucket shuffle whose fan-out is
+  * `bands` rows per doc, candidate pairs only where a band collides, and
+  * exact verification only on candidates.
+  */
+object Dedup {
+
+  val GramLen = 6
+
+  /** Distinct character n-grams of `text` as an array column. Guarded so
+    * short strings produce an empty array (Spark `sequence(1,0)` would
+    * descend). Definition mirrors the DuckDB oracle exactly.
+    */
+  def charGrams(textCol: String, n: Int = GramLen): Column =
+    when(length(col(textCol)) >= n,
+      array_distinct(expr(
+        s"transform(sequence(1, length($textCol) - ${n - 1}), i -> substring($textCol, i, $n))")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Q10: exact dedup by content — first doc_id + copy count per text. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  /** Q14: exact all-pairs n-gram Jaccard ≥ threshold, via an inverted
+    * index on grams (join blowup bounded by gram selectivity — the exact
+    * baseline that verifies the LSH path).
+    */
+  def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), charGrams("text").as("grams"))
+      .filter(size(col("grams")) > 0)
+    val g = docs.select(col("doc_id"), explode(col("grams")).as("gram"))
+    val sizes = docs.select(col("doc_id"), size(col("grams")).cast("long").as("sz"))
+    val inter = g.as("a").join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("s1"), col("d1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("d2") === col("s2.doc_id"))
+      .withColumn("jac", col("i").cast("double") / (col("s1.sz") + col("s2.sz") - col("i")))
+      .filter(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
+      .orderBy("d1", "d2")
+  }
+
+  // --- MinHash + LSH --------------------------------------------------
+
+  val NumHashes = 128
+  val BandRows = 2 // 64 bands of 2 rows: recall ≈ 1 for jaccard ≥ 0.5
+  val MersennePrime = 2147483647L // 2^31 - 1
+
+  /** Fixed hash-family coefficients (deterministic; seed 42). */
+  lazy val (hashA, hashB): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(42)
+    val a = Array.fill(NumHashes)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
+    val b = Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+
+  /** MinHash signature column over a distinct-gram array column: for each
+    * hash i, min over grams of (a_i * h(gram) + b_i) mod p. Computed
+    * row-local via nested `transform` — no shuffle, fully code-generated.
+    */
+  def minhashSignature(gramsCol: Column): Column = {
+    val aLit = typedLit(hashA.toSeq)
+    val bLit = typedLit(hashB.toSeq)
+    // xhash: gram -> non-negative long via Spark's murmur3 hash
+    transform(sequence(lit(0), lit(NumHashes - 1)), i =>
+      array_min(transform(gramsCol, gcol =>
+        (element_at(aLit, i + 1) * (hash(gcol).cast("long") + lit(2147483648L))
+          + element_at(bLit, i + 1)) % lit(MersennePrime))))
+  }
+
+  /** Q15: MinHash-LSH near-dup join, exact-verified. Candidate pairs come
+    * from band-bucket collisions; each candidate's true Jaccard is then
+    * computed, so the output equals the exact join for any pair the LSH
+    * recalls (P(miss) < 1e-9 at jaccard ≥ 0.9 with 64×2 banding).
+    */
+  def minhashNearDup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), charGrams("text").as("grams"))
+      .filter(size(col("grams")) > 0)
+      .withColumn("sig", minhashSignature(col("grams")))
+
+    val numBands = NumHashes / BandRows
+    val bands = docs.select(
+        col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, ${numBands - 1}), b -> " +
+          s"hash(b, slice(sig, b * $BandRows + 1, $BandRows)))")))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .distinct()
+
+    val withGrams = cand
+      .join(docs.select(col("doc_id").as("d1"), col("grams").as("g1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("grams").as("g2")), "d2")
+      .withColumn("i", size(array_intersect(col("g1"), col("g2"))).cast("long"))
+      .withColumn("jac",
+        col("i").cast("double") /
+          (size(col("g1")).cast("long") + size(col("g2")).cast("long") - col("i")))
+    withGrams
+      .filter(col("jac") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
+      .orderBy("d1", "d2")
+  }
+
+  /** Q16: SimHash near-dup — 64-bit fingerprints, banded into 4×16-bit
+    * keys (a pair within Hamming distance 3 must collide on ≥1 band),
+    * verified with `bit_count(xor) <= maxHamming`.
+    */
+  def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), simhash64(col("text")).as("sh"))
+    val bands = docs.select(col("doc_id"), col("sh"),
+        posexplode(expr("transform(sequence(0,3), b -> (sh >> (b * 16)) & 65535)")))
+      .select(col("doc_id"), col("sh"), col("pos").as("band"), col("col").as("bucket"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.sh").as("sh1"), col("b.sh").as("sh2"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("d1", "d2", "hamming")
+      .orderBy("d1", "d2")
+  }
+
+  /** Q20: embedding-cosine near-dup pairs (exact all-pairs over the
+    * broadcast-able side; the LSH-bucketed variant for scale is in
+    * [[graft.query.AnnIndex]]).
+    */
+  def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
+    val e = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    e.as("a").join(broadcast(e.as("b")), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("sim", cosine_sim(col("a.embedding"), col("b.embedding")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("v1", "v2")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core over the star schema (SURVEY §2 B-6, declared queries
+  * Q1–Q7 + Q13). Everything here is Spark built-ins on purpose: filters and
+  * projections reach the parquet scan, Catalyst picks broadcast vs
+  * sort-merge joins (small dims are explicitly broadcast), aggregation is
+  * partial+final hash agg.
+  *
+  * All outputs are deterministically ordered and type-aligned with the
+  * DuckDB oracle (computed ints cast to long, doubles rounded only where an
+  * aggregation reorders summation).
+  */
+object Relational {
+
+  /** Q1: date-predicate filter + projection; pushed to the parquet scan. */
+  def q1Filter(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") < lit("1996-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q2: fact ⋈ broadcast(dim). Customer is tiny relative to orders at any
+    * scale factor — broadcast avoids shuffling the fact side.
+    */
+  def q2Join(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Q3: 3-way join + hash aggregate by market segment. lineitem⋈orders is
+    * the big join (shuffle on orderkey); customer broadcasts.
+    */
+  def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+        round(avg("l_quantity"), 4).as("avg_qty"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Q4: semi-join (customers with orders) + anti-join (without), tagged. */
+  def q4SemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer")
+    val orders = Tables(spark, dir, "orders")
+    val withO = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit(1).as("has_orders"))
+    val withoutO = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit(0).as("has_orders"))
+    withO.unionAll(withoutO).orderBy("c_custkey")
+  }
+
+  /** Q5: ranking window — top-3 orders per customer by total price. */
+  def q5WindowTopN(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Q6: global top-k — TakeOrderedAndProject, no full sort at scale. */
+  def q6TopK(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_totalprice")
+
+  /** Q7: union + distinct across nation/region keys. */
+  def q7UnionDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables(spark, dir, "nation").select(col("n_regionkey").as("key"))
+    val region = Tables(spark, dir, "region").select(col("r_regionkey").as("key"))
+    nation.unionAll(region).distinct().orderBy("key")
+  }
+
+  /** Q13: rollup (grouping sets) over return flag / line status. */
+  def q13Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("sum_qty"), col("n"))
+      .orderBy("rflag", "lstatus")
+}

@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import graft.Tables
+import graft.functions.{rolling_hash, simhash64}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (SURVEY §2 B-5 + the mandated
+  * training-data-pipeline set): token counting, quality scoring,
+  * language-ID heuristic, document fingerprinting. All row-local —
+  * no shuffle except the final aggregations.
+  */
+object TextAnalysis {
+
+  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Q11: grouped document stats by language. */
+  def statsByLang(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg("n_chars"), 4).as("avg_chars"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"))
+      .orderBy("lang")
+
+  /** Q18: whitespace-token counts aggregated by source. */
+  def tokenStatsBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+    docs.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_tokens"), 4).as("avg_tokens"))
+      .orderBy("source")
+  }
+
+  /** Q19: per-document quality signals — token count, distinct-token
+    * count, type-token ratio (lexical diversity), mean token length.
+    */
+  def qualityPerDoc(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        round(size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double"), 6).as("ttr"),
+        round((length(col("text")) - size(col("toks")) + 1).cast("double") /
+          size(col("toks")).cast("double"), 6).as("avg_tok_len"))
+      .orderBy("doc_id")
+
+  /** Language marker sets for the n-gram/stopword language-ID heuristic.
+    * Fixed tie-break order = declaration order.
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "las", "por"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "est", "dans", "pour"),
+    "zh" -> Seq("的", "是", "不", "我", "了", "在", "有", "人"))
+
+  /** Q17: heuristic language ID — argmax of marker-token hits, with the
+    * fixed tie-break order above; "und" (undetermined) when no marker hits.
+    */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("toks", tokens(lower(col("text"))))
+    val scored = LangMarkers.foldLeft(docs) { case (df, (lang, markers)) =>
+      df.withColumn(s"score_$lang",
+        size(array_intersect(col("toks"), typedLit(markers))))
+    }
+    // argmax with declaration-order tie-break
+    val best = LangMarkers.map(_._1).foldLeft((lit(-1), lit("und"))) {
+      case ((bestScore, bestLang), lang) =>
+        val s = col(s"score_$lang")
+        (when(s > bestScore, s).otherwise(bestScore),
+          when(s > bestScore, lit(lang)).otherwise(bestLang))
+    }
+    scored
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        best._2.as("pred_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Q21: document fingerprints — rolling hash + simhash per doc. */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        rolling_hash(col("text")).as("content_fp"),
+        simhash64(col("text")).as("simhash"))
+      .orderBy("doc_id")
+}

@@ -1,0 +1,65 @@
+package graft.query
+
+import graft.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Threshold-filtered top-k cosine similarity — the reference's core query
+  * (A-14, reference src/clients/vector-client.ts:396-415, where it is
+  * delegated wholesale to a pgvector `match_documents`-style stored
+  * function: similarity + `WHERE similarity > threshold` +
+  * `ORDER BY similarity DESC LIMIT count`). Here the same semantics are
+  * explicit Spark plans.
+  *
+  * Scale notes (100 TB): the single-query path is a scan +
+  * `TakeOrderedAndProject` — no shuffle of the index, only k rows reach the
+  * driver. The batch path broadcasts the (small) query set so the big index
+  * side never shuffles; per-query top-k is a windowed rank over
+  * `queryId`-partitioned data, which shuffles only rows that survived the
+  * threshold filter.
+  */
+object SimilaritySearch {
+
+  /** One query vector: `filter(sim > threshold) ORDER BY sim DESC LIMIT k`.
+    * Physical plan: TakeOrderedAndProject over the scan — no full sort.
+    */
+  def topK(
+      index: DataFrame,
+      embeddingCol: String,
+      queryVec: Array[Float],
+      k: Int,
+      threshold: Double): DataFrame = {
+    val sim = cosine_sim(col(embeddingCol), lit(queryVec))
+    index
+      .withColumn("sim", sim)
+      .filter(col("sim") > threshold)
+      .orderBy(col("sim").desc)
+      .limit(k)
+  }
+
+  /** Batch of query vectors: broadcast the query side across the index,
+    * threshold-filter, then per-query top-k with a deterministic tie-break.
+    *
+    * @param queries DataFrame with (queryIdCol, queryVecCol)
+    */
+  def topKBatch(
+      index: DataFrame,
+      embeddingCol: String,
+      idCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      threshold: Double): DataFrame = {
+    val joined = index.crossJoin(broadcast(queries))
+      .withColumn("sim", cosine_sim(col(embeddingCol), col(queryVecCol)))
+      .filter(col("sim") > threshold)
+    val w = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    joined
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("sim"), col("rn"))
+  }
+}
