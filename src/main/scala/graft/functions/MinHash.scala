@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash kernel: shingle-set (array<string>) -> signature (array<long>).
+  *
+  * One tight JVM loop per row replaces 128 interpreted higher-order
+  * `transform` lambdas (measured 56 s -> sub-second at sf0.01). The hash
+  * family is (a_i * x + b_i) mod p over a 64-bit FNV-1a of each shingle,
+  * with fixed seed-42 coefficients — deterministic on any partition layout.
+  */
+object MinHashKernel {
+  val Prime: Long = 2147483647L // 2^31 - 1
+
+  def coefficients(numHashes: Int): (Array[Long], Array[Long]) = {
+    val rnd = new scala.util.Random(42)
+    val a = Array.fill(numHashes)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
+    val b = Array.fill(numHashes)(rnd.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+
+  // cached per numHashes (tiny; only one size in practice)
+  private val cache = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  def cached(numHashes: Int): (Array[Long], Array[Long]) =
+    cache.computeIfAbsent(numHashes, n => coefficients(n))
+
+  private def fnv64(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Signature of a shingle array; empty input -> all-Prime sentinel. */
+  def signature(grams: ArrayData, numHashes: Int): ArrayData = {
+    val (a, b) = cached(numHashes)
+    val out = Array.fill(numHashes)(Prime)
+    val n = grams.numElements()
+    var g = 0
+    while (g < n) {
+      val s = grams.getUTF8String(g)
+      if (s != null) {
+        // non-negative 31-bit input keeps a*x+b < 2^63 (no overflow)
+        val x = (fnv64(s) & 0x7fffffffL)
+        var i = 0
+        while (i < numHashes) {
+          val v = (a(i) * x + b(i)) % Prime
+          if (v < out(i)) out(i) = v
+          i += 1
+        }
+      }
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `minhash_sig(array<string>, numHashes)` as a native expression. */
+case class MinHashSignature(child: Expression, numHashesExpr: Expression)
+    extends BinaryExpression with Serializable {
+  override def prettyName: String = "minhash_sig"
+  override def left: Expression = child
+  override def right: Expression = numHashesExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(g: Any, n: Any): Any =
+    MinHashKernel.signature(g.asInstanceOf[ArrayData], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (g, n) =>
+      s"${ev.value} = graft.functions.MinHashKernel.signature($g, $n);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, numHashesExpr = r)
+}

@@ -19,6 +19,8 @@ package object functions {
     Bridge.column(HashEmbed(st(text), b(dim.cast("int"))))
   def simhash64(text: Column): Column = Bridge.column(SimHash64(st(text)))
   def rolling_hash(text: Column): Column = Bridge.column(RollingHash(st(text)))
+  def minhash_sig(grams: Column, numHashes: Column): Column =
+    Bridge.column(MinHashSignature(b(grams), b(numHashes.cast("int"))))
 
   /** Register all graft functions for SQL text / `call_function`. */
   def registerAll(spark: SparkSession): Unit = {

@@ -64,29 +64,12 @@ object Dedup {
 
   val NumHashes = 128
   val BandRows = 2 // 64 bands of 2 rows: recall ≈ 1 for jaccard ≥ 0.5
-  val MersennePrime = 2147483647L // 2^31 - 1
 
-  /** Fixed hash-family coefficients (deterministic; seed 42). */
-  lazy val (hashA, hashB): (Array[Long], Array[Long]) = {
-    val rnd = new scala.util.Random(42)
-    val a = Array.fill(NumHashes)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
-    val b = Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong)
-    (a, b)
-  }
-
-  /** MinHash signature column over a distinct-gram array column: for each
-    * hash i, min over grams of (a_i * h(gram) + b_i) mod p. Computed
-    * row-local via nested `transform` — no shuffle, fully code-generated.
+  /** MinHash signature column — native kernel expression, one tight loop
+    * per row (see [[graft.functions.MinHashKernel]]); no shuffle.
     */
-  def minhashSignature(gramsCol: Column): Column = {
-    val aLit = typedLit(hashA.toSeq)
-    val bLit = typedLit(hashB.toSeq)
-    // xhash: gram -> non-negative long via Spark's murmur3 hash
-    transform(sequence(lit(0), lit(NumHashes - 1)), i =>
-      array_min(transform(gramsCol, gcol =>
-        (element_at(aLit, i + 1) * (hash(gcol).cast("long") + lit(2147483648L))
-          + element_at(bLit, i + 1)) % lit(MersennePrime))))
-  }
+  def minhashSignature(gramsCol: Column): Column =
+    graft.functions.minhash_sig(gramsCol, lit(NumHashes))
 
   /** Q15: MinHash-LSH near-dup join, exact-verified. Candidate pairs come
     * from band-bucket collisions; each candidate's true Jaccard is then
