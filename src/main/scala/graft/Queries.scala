@@ -1,7 +1,8 @@
 package graft
 
+import graft.ingest.IngestJob
 import graft.pipeline.{Dedup, Events, Relational, TextAnalysis}
-import graft.query.SimilaritySearch
+import graft.query.{ContextAssembler, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -23,7 +24,69 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** Q12: MDX header-split sections (A-2..A-6) — synthetic-MDX render +
+    * regex section split + neighbor window, oracle re-derives the same
+    * construction arithmetically in DuckDB.
+    */
+  def q12Sections(spark: SparkSession, dir: String): DataFrame =
+    IngestJob.sections(spark, dir)
+      .withColumn("n_chars", length(col("content")).cast("long"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Q12b: full chunking pipeline A-2..A-10 (LangChain-semantics splitter
+    * is not SQL-expressible -> rows-only; semantics pinned by ScalaTest).
+    */
+  def q12bChunkPipeline(spark: SparkSession, dir: String): DataFrame =
+    IngestJob.chunks(spark, dir)
+      .select(col("doc_id"), col("chunk_id"), col("piece_id"),
+        length(col("content")).cast("long").as("n_chars"),
+        md5(col("content")).as("content_md5"))
+      .orderBy("doc_id", "chunk_id", "piece_id")
+
+  /** Q22: ingest index table A-11..A-13 (embeddings are graft-native ->
+    * rows-only; norm must be 1.0 for every row by construction).
+    */
+  def q22IngestIndex(spark: SparkSession, dir: String): DataFrame =
+    IngestJob.index(spark, dir)
+      .select(col("doc_id"), col("chunk_id"), col("piece_id"),
+        length(col("content")).cast("long").as("n_chars"),
+        round(graft.functions.l2_norm(col("embedding")), 4).as("norm"),
+        col("metadata.total_chunks").as("total_chunks"))
+      .orderBy("doc_id", "chunk_id", "piece_id")
+
+  /** Retrieval hits for the assembly queries: q9's top-k joined to the
+    * documents table (vec_id = doc_id in the fixtures), `source` as the
+    * grouping context.
+    */
+  private def retrievedHits(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source").as("context"), col("text").as("content"))
+    q9CosineTopK(spark, dir)
+      .join(docs, col("vec_id") === col("doc_id"))
+      .select(col("query_id"), col("rn"), col("context"), col("content"))
+  }
+
+  /** Q23: order-preserving group-by-context merge (A-15). */
+  def q23ContextMerge(spark: SparkSession, dir: String): DataFrame =
+    ContextAssembler
+      .mergeByContext(retrievedHits(spark, dir), "query_id", "rn", "context", "content")
+      .orderBy("query_id", "first_seen")
+
+  /** Q24: full prompt assembly (A-16). */
+  def q24Prompt(spark: SparkSession, dir: String): DataFrame =
+    ContextAssembler
+      .assemblePrompt(
+        q23ContextMerge(spark, dir), "query_id", "context",
+        concat(lit("Q"), col("query_id")))
+      .select(col("query_id"), col("prompt"))
+      .orderBy("query_id")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q12_sections" -> (q12Sections _),
+    "q12b_chunk_pipeline" -> (q12bChunkPipeline _),
+    "q22_ingest_index" -> (q22IngestIndex _),
+    "q23_context_merge" -> (q23ContextMerge _),
+    "q24_prompt" -> (q24Prompt _),
     "q1_filter" -> (Relational.q1Filter _),
     "q2_join" -> (Relational.q2Join _),
     "q3_join_agg" -> (Relational.q3JoinAgg _),
@@ -52,6 +115,80 @@ object Queries {
     * rows-only check.
     */
   val oracles: Map[String, String] = Map(
+    "q12_sections" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words,
+        |         (len(string_split(text, ' ')) + 3) // 4 AS q
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(words, 1, q), ' ') AS s0,
+        |    array_to_string(list_slice(words, q + 1, 2 * q), ' ') AS s1,
+        |    array_to_string(list_slice(words, 2 * q + 1, 3 * q), ' ') AS s2,
+        |    array_to_string(list_slice(words, 3 * q + 1, len(words)), ' ') AS s3
+        |  FROM w)
+        |SELECT doc_id, c.chunk_id, c.header, trim(c.content) AS content,
+        |       c.prev_header, c.next_header,
+        |       length(trim(c.content))::BIGINT AS n_chars
+        |FROM segs,
+        |LATERAL (VALUES
+        |  (1, '## Context',  s0, '',            '## Overview'),
+        |  (2, '## Overview', s1, '## Context',  '### Details'),
+        |  (3, '### Details', s2, '## Overview', '## Summary'),
+        |  (4, '## Summary',  s3, '### Details', '')
+        |) AS c(chunk_id, header, content, prev_header, next_header)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+    "q23_context_merge" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+        |  FROM embeddings e CROSS JOIN q),
+        |r AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        |  FROM s WHERE sim > 0.0),
+        |j AS (
+        |  SELECT h.query_id, h.rn, d.source AS context, d.text AS content
+        |  FROM r h JOIN documents d ON h.vec_id = d.doc_id WHERE h.rn <= 5)
+        |SELECT query_id, context, min(rn)::BIGINT AS first_seen,
+        |       count(*)::BIGINT AS n_chunks,
+        |       string_agg(content, chr(10) ORDER BY rn) AS merged
+        |FROM j GROUP BY query_id, context
+        |ORDER BY query_id, first_seen""".stripMargin,
+    "q24_prompt" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+        |  FROM embeddings e CROSS JOIN q),
+        |r AS (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        |  FROM s WHERE sim > 0.0),
+        |j AS (
+        |  SELECT h.query_id, h.rn, d.source AS context, d.text AS content
+        |  FROM r h JOIN documents d ON h.vec_id = d.doc_id WHERE h.rn <= 5),
+        |g AS (
+        |  SELECT query_id, context, min(rn) AS first_seen,
+        |         string_agg(content, chr(10) ORDER BY rn) AS merged
+        |  FROM j GROUP BY query_id, context),
+        |b AS (
+        |  SELECT query_id, context, merged,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY first_seen) AS chunk_n
+        |  FROM g)
+        |SELECT query_id,
+        |  '# Question' || chr(10) || 'Q' || query_id || chr(10) || chr(10) ||
+        |  '# Context' || chr(10) ||
+        |  string_agg('## Chunk ' || chunk_n || chr(10) || chr(10) ||
+        |    '### Context' || chr(10) || context || chr(10) || chr(10) ||
+        |    '### Content' || chr(10) || merged || chr(10) || chr(10) ||
+        |    '---' || chr(10) || chr(10), '' ORDER BY chunk_n) AS prompt
+        |FROM b GROUP BY query_id ORDER BY query_id""".stripMargin,
     "q1_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
         |WHERE l_shipdate < TIMESTAMP '1996-01-01' ORDER BY l_orderkey, l_linenumber""".stripMargin,
