@@ -107,7 +107,8 @@ object Queries {
     "q18_token_stats" -> (TextAnalysis.tokenStatsBySource _),
     "q19_quality" -> (TextAnalysis.qualityPerDoc _),
     "q20_cosine_neardup" -> ((s: SparkSession, d: String) => Dedup.cosineNearDup(s, d)),
-    "q21_fingerprints" -> (TextAnalysis.fingerprints _))
+    "q21_fingerprints" -> (TextAnalysis.fingerprints _),
+    "q25_ann_join" -> ((s: SparkSession, d: String) => Dedup.annCosineNearDup(s, d)))
 
   /** DuckDB-runnable oracles. Omitted keys (q15 shares q14's oracle
     * because LSH recall is exact-verified; q16/q17/q21 use graft-native
@@ -283,13 +284,18 @@ object Queries {
         |round((length(text) - len(string_split_regex(trim(text), '\s+')) + 1) * 1.0
         |      / len(string_split_regex(trim(text), '\s+')), 6) AS avg_tok_len
         |FROM documents ORDER BY doc_id""".stripMargin,
-    "q20_cosine_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-        |SELECT a.vec_id AS v1, b.vec_id AS v2,
-        |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
-        |ORDER BY v1, v2""".stripMargin)
+    "q20_cosine_neardup" -> cosineNearDupOracle,
+    // The ANN path must produce the identical pair set as the exact join:
+    // LSH only generates candidates, exact cosine verifies every pair.
+    "q25_ann_join" -> cosineNearDupOracle)
+
+  private lazy val cosineNearDupOracle: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      |SELECT a.vec_id AS v1, b.vec_id AS v2,
+      |  round(list_cosine_similarity(a.v, b.v), 6) AS sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+      |ORDER BY v1, v2""".stripMargin
 
   private lazy val ngramJaccardOracle: String =
     """WITH g AS (

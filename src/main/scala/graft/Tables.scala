@@ -23,7 +23,10 @@ object Tables {
     val df = spark.read.parquet(s"$dir/events.parquet")
     df.schema("ts").dataType match {
       case LongType =>
-        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        // integral division: `/` would promote ~1.7e18 ns longs to double
+        // (53-bit mantissa) and lose up to ~256 ns before dividing, which
+        // can flip a sessionization gap sitting exactly on the boundary
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => df
     }
   }

@@ -81,31 +81,39 @@ object TextChunker {
     if (t.isEmpty) None else Some(t)
   }
 
-  /** Greedy merge with overlap carry-over — mirrors the JS `mergeSplits`
-    * loop: `total` counts only content chars; the overflow check adds one
-    * separator per already-buffered piece.
+  /** Greedy merge with overlap carry-over — mirrors the LangChain-JS
+    * `TextSplitter.mergeSplits` loop exactly: `total` includes one
+    * separator per join (i.e. `sepLen` whenever the buffer already holds a
+    * piece), the overflow check adds one separator when the buffer is
+    * non-empty, and the overlap-shrink loop subtracts the separator that
+    * linked the evicted head to its successor.
     */
   private def mergeSplits(
       splits: Seq[String],
       separator: String,
       chunkSize: Int,
       chunkOverlap: Int): Seq[String] = {
+    val sepLen = separator.length
     val docs = new ArrayBuffer[String]
     val current = new ArrayBuffer[String]
     var total = 0
     for (d <- splits) {
       val len = d.length
-      if (total + len + current.length * separator.length > chunkSize) {
+      if (total + len + (if (current.nonEmpty) sepLen else 0) > chunkSize) {
         if (current.nonEmpty) {
           joinDocs(current.toSeq, separator).foreach(docs += _)
-          while (total > chunkOverlap || (total + len > chunkSize && total > 0)) {
-            total -= current.head.length
+          // keep popping while over the overlap budget, or while adding
+          // `d` would still overflow and the buffer is non-empty
+          while (total > chunkOverlap ||
+              (total + len + (if (current.nonEmpty) sepLen else 0) > chunkSize &&
+                total > 0)) {
+            total -= current.head.length + (if (current.length > 1) sepLen else 0)
             current.remove(0)
           }
         }
       }
       current += d
-      total += len
+      total += len + (if (current.length > 1) sepLen else 0)
     }
     joinDocs(current.toSeq, separator).foreach(docs += _)
     docs.toSeq

@@ -36,6 +36,24 @@ object MinHashKernel {
     h
   }
 
+  /** Estimated Jaccard = fraction of equal signature components. With 128
+    * hashes the estimate of a true-Jaccard-j pair is Binomial(128, j)/128
+    * (sd ≈ 0.044 at j=0.5), so a floor well below the query threshold
+    * rejects the low-similarity candidate mass at ~zero false-negative
+    * risk — the cheap pre-filter before the exact gram-set verification.
+    */
+  def estJaccard(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
   /** Signature of a shingle array; empty input -> all-Prime sentinel. */
   def signature(grams: ArrayData, numHashes: Int): ArrayData = {
     val (a, b) = cached(numHashes)
@@ -78,4 +96,24 @@ case class MinHashSignature(child: Expression, numHashesExpr: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(child = l, numHashesExpr = r)
+}
+
+/** `sig_jaccard_est(array<long>, array<long>)` — componentwise-equality
+  * fraction of two MinHash signatures (unbiased Jaccard estimator).
+  */
+case class SigJaccardEst(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def prettyName: String = "sig_jaccard_est"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    MinHashKernel.estJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.MinHashKernel.estJaccard($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
 }

@@ -62,7 +62,7 @@ object VectorOps {
   def hashEmbed(text: String, dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     if (text == null || text.isEmpty || dim <= 0) return out
-    val s = "" + text + "" // boundary markers
+    val s = "\u0002" + text + "\u0003" // STX/ETX boundary markers
     var i = 0
     while (i + 3 <= s.length) {
       var h = 0x811c9dc5

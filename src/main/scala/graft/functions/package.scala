@@ -21,6 +21,8 @@ package object functions {
   def rolling_hash(text: Column): Column = Bridge.column(RollingHash(st(text)))
   def minhash_sig(grams: Column, numHashes: Column): Column =
     Bridge.column(MinHashSignature(b(grams), b(numHashes.cast("int"))))
+  def sig_jaccard_est(a: Column, bb: Column): Column =
+    Bridge.column(SigJaccardEst(b(a), b(bb)))
   def chunk_text(text: Column, size: Column, overlap: Column): Column =
     Bridge.column(ChunkText(st(text), b(size.cast("int")), b(overlap.cast("int"))))
 
@@ -34,6 +36,7 @@ package object functions {
     Bridge.register(spark, "simhash64", es => SimHash64(es.head))
     Bridge.register(spark, "rolling_hash", es => RollingHash(es.head))
     Bridge.register(spark, "minhash_sig", es => MinHashSignature(es(0), es(1)))
+    Bridge.register(spark, "sig_jaccard_est", es => SigJaccardEst(es(0), es(1)))
     Bridge.register(spark, "chunk_text", es => ChunkText(es(0), es(1), es(2)))
   }
 }

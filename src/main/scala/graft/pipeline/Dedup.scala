@@ -72,9 +72,13 @@ object Dedup {
     graft.functions.minhash_sig(gramsCol, lit(NumHashes))
 
   /** Q15: MinHash-LSH near-dup join, exact-verified. Candidate pairs come
-    * from band-bucket collisions; each candidate's true Jaccard is then
-    * computed, so the output equals the exact join for any pair the LSH
-    * recalls (P(miss) < 1e-9 at jaccard ≥ 0.9 with 64×2 banding).
+    * from band-bucket collisions (64×2 banding keeps recall ≈ 1 at
+    * jaccard ≥ 0.5: P(no band collides) = (1-0.25)^64 < 1e-8); the
+    * low-similarity candidate mass the loose banding admits is then killed
+    * by a cheap signature-estimated-Jaccard pre-filter (128 longs compared
+    * componentwise) BEFORE the gram arrays are joined, so only plausible
+    * pairs pay the full `array_intersect` exact verification — and the
+    * wide gram payload is shuffled only for that small survivor set.
     */
   def minhashNearDup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = Tables(spark, dir, "documents")
@@ -95,7 +99,18 @@ object Dedup {
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
 
-    val withGrams = cand
+    // Pre-filter on the signatures alone. Floor = 0.6·threshold: ≥4.5σ
+    // below the estimator mean of a true threshold pair (miss ~3e-6), yet
+    // it rejects the j ≲ 0.25 mass that 64×2 banding lets through.
+    val estFloor = threshold * 0.6
+    val sigs = docs.select(col("doc_id"), col("sig"))
+    val plausible = cand
+      .join(sigs.select(col("doc_id").as("d1"), col("sig").as("s1")), "d1")
+      .join(sigs.select(col("doc_id").as("d2"), col("sig").as("s2")), "d2")
+      .filter(graft.functions.sig_jaccard_est(col("s1"), col("s2")) >= estFloor)
+      .select("d1", "d2")
+
+    val withGrams = plausible
       .join(docs.select(col("doc_id").as("d1"), col("grams").as("g1")), "d1")
       .join(docs.select(col("doc_id").as("d2"), col("grams").as("g2")), "d2")
       .withColumn("i", size(array_intersect(col("g1"), col("g2"))).cast("long"))
@@ -130,9 +145,11 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** Q20: embedding-cosine near-dup pairs (exact all-pairs over the
-    * broadcast-able side; the LSH-bucketed variant for scale is in
-    * [[graft.query.AnnIndex]]).
+  /** Q20: embedding-cosine near-dup pairs, EXACT all-pairs. This is the
+    * correctness baseline that verifies the ANN path ([[annCosineNearDup]])
+    * — it is deliberately quadratic (broadcast nested-loop over every
+    * pair), stays out of the bench headline, and must never be the scale
+    * path: that is [[graft.query.AnnIndex]].
     */
   def cosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame = {
     val e = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
@@ -143,4 +160,17 @@ object Dedup {
         round(col("sim"), 6).as("sim"))
       .orderBy("v1", "v2")
   }
+
+  /** Q25: embedding-cosine near-dup via the LSH-bucketed ANN join (B-3/B-4
+    * scale path) — same output contract as [[cosineNearDup]] and verified
+    * against the same exact DuckDB oracle; candidates come from hash
+    * buckets instead of an all-pairs product.
+    */
+  def annCosineNearDup(spark: SparkSession, dir: String, threshold: Double = 0.35): DataFrame =
+    graft.query.AnnIndex
+      .selfJoin(
+        Tables(spark, dir, "embeddings").select("vec_id", "embedding"),
+        "vec_id", "embedding", threshold)
+      .select(col("v1"), col("v2"), round(col("sim"), 6).as("sim"))
+      .orderBy("v1", "v2")
 }

@@ -73,8 +73,10 @@ object TextAnalysis {
       df.withColumn(s"score_$lang",
         size(array_intersect(col("toks"), typedLit(markers))))
     }
-    // argmax with declaration-order tie-break
-    val best = LangMarkers.map(_._1).foldLeft((lit(-1), lit("und"))) {
+    // argmax with declaration-order tie-break; seeded with score 0 so a
+    // marker-free document keeps the "und" label (only a strictly
+    // positive marker count overrides the undetermined default)
+    val best = LangMarkers.map(_._1).foldLeft((lit(0), lit("und"))) {
       case ((bestScore, bestLang), lang) =>
         val s = col(s"score_$lang")
         (when(s > bestScore, s).otherwise(bestScore),

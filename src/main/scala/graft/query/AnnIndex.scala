@@ -1,0 +1,101 @@
+package graft.query
+
+import graft.functions.cosine_sim
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel, Normalizer}
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Batch ANN index build + approximate similarity join (SURVEY §2 B-4) —
+  * the scale path for the reference's entire query surface (vector
+  * retrieval, reference src/clients/vector-client.ts:396-415) and for
+  * embedding near-dup (B-3).
+  *
+  * Design: MLlib `BucketedRandomProjectionLSH` over L2-normalized vectors.
+  * On the unit sphere, cosine similarity τ is exactly Euclidean distance
+  * √(2−2τ), so a cosine-threshold query becomes a distance-threshold
+  * `approxSimilarityJoin`. Candidates come from hash-bucket collisions
+  * (OR across `numHashTables` tables — each doubles recall, linearly more
+  * candidate rows); every candidate is then verified with the exact
+  * cosine kernel on the original vectors, so emitted pairs are never
+  * false positives. 100 TB shape: per-row hashing (narrow), one shuffle
+  * keyed by (table, bucket), join fan-out bounded by bucket occupancy —
+  * no all-pairs stage and no broadcast of the full table anywhere.
+  */
+object AnnIndex {
+
+  /** numHashTables=16 / bucketLength=1.0: at the q25 operating point
+    * (τ=0.35 → dist 1.14) this recalls every qualifying pair on the
+    * fixture corpus (validated against the exact q20 oracle at sf0.01 and
+    * sf0.1); raise tables for higher recall at lower τ.
+    */
+  case class Params(
+      numHashTables: Int = 16,
+      bucketLength: Double = 1.0,
+      seed: Long = 42L)
+
+  /** Project (id, array<float>) to (id, embedding, features) where
+    * `features` is the L2-normalized MLlib vector the LSH hashes.
+    */
+  def prepared(df: DataFrame, idCol: String, embCol: String): DataFrame = {
+    val raw = df.select(col(idCol), col(embCol))
+      .withColumn("raw_vec", array_to_vector(col(embCol).cast("array<double>")))
+    new Normalizer().setInputCol("raw_vec").setOutputCol("features").setP(2.0)
+      .transform(raw)
+      .drop("raw_vec")
+  }
+
+  def fit(prepared: DataFrame, params: Params = Params()): BucketedRandomProjectionLSHModel =
+    new BucketedRandomProjectionLSH()
+      .setInputCol("features")
+      .setOutputCol("hashes")
+      .setNumHashTables(params.numHashTables)
+      .setBucketLength(params.bucketLength)
+      .setSeed(params.seed)
+      .fit(prepared)
+
+  /** Batch index build (the `spark_approach` named in BASELINE.json):
+    * persist the fitted model and the per-row hash tables as parquet so
+    * query batches rehash only their own side.
+    */
+  def buildIndex(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      outPath: String,
+      params: Params = Params()): BucketedRandomProjectionLSHModel = {
+    val prep = prepared(df, idCol, embCol)
+    val model = fit(prep, params)
+    model.write.overwrite().save(s"$outPath/model")
+    model.transform(prep)
+      .select(col(idCol), col(embCol), col("hashes"))
+      .write.mode("overwrite").parquet(s"$outPath/hashes")
+    model
+  }
+
+  /** All pairs with cosine similarity ≥ simThreshold, via LSH candidate
+    * generation + exact verification. Output: (v1, v2, sim), v1 < v2.
+    */
+  def selfJoin(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      simThreshold: Double,
+      params: Params = Params()): DataFrame = {
+    require(simThreshold > -1.0 && simThreshold < 1.0, "simThreshold in (-1, 1)")
+    val prep = prepared(df, idCol, embCol)
+    val model = fit(prep, params)
+    // cosine τ on unit vectors ⟺ euclidean distance √(2−2τ)
+    val distThreshold = math.sqrt(2.0 - 2.0 * simThreshold)
+    model.approxSimilarityJoin(prep, prep, distThreshold, "dist")
+      .select(
+        col(s"datasetA.$idCol").as("v1"),
+        col(s"datasetB.$idCol").as("v2"),
+        col(s"datasetA.$embCol").as("e1"),
+        col(s"datasetB.$embCol").as("e2"))
+      .filter(col("v1") < col("v2"))
+      .withColumn("sim", cosine_sim(col("e1"), col("e2")))
+      .filter(col("sim") >= simThreshold)
+      .select(col("v1"), col("v2"), col("sim"))
+  }
+}
