@@ -110,12 +110,50 @@ object Queries {
     "q21_fingerprints" -> (TextAnalysis.fingerprints _),
     "q25_ann_join" -> ((s: SparkSession, d: String) => Dedup.annCosineNearDup(s, d)))
 
-  /** DuckDB-runnable oracles. Omitted keys (q15 shares q14's oracle
-    * because LSH recall is exact-verified; q16/q17/q21 use graft-native
-    * hashes/heuristics DuckDB cannot express) fall back to the driver's
-    * rows-only check.
+  /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
+    * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
+    * kernels DuckDB cannot express, so their oracles read golden parquet
+    * generated at sf0.01 by an INDEPENDENT Python re-implementation of
+    * the same published algorithms (tools/make_golden.py) — a divergence
+    * in either implementation fails the compare.
     */
   val oracles: Map[String, String] = Map(
+    "q12b_chunk_pipeline" ->
+      """SELECT doc_id, chunk_id, piece_id, n_chars, content_md5
+        |FROM '/root/repo/golden/q12b_chunk_pipeline.parquet'
+        |ORDER BY doc_id, chunk_id, piece_id""".stripMargin,
+    "q22_ingest_index" ->
+      """SELECT doc_id, chunk_id, piece_id, n_chars, norm, total_chunks
+        |FROM '/root/repo/golden/q22_ingest_index.parquet'
+        |ORDER BY doc_id, chunk_id, piece_id""".stripMargin,
+    "q16_simhash_neardup" ->
+      """SELECT d1, d2, hamming FROM '/root/repo/golden/q16_simhash_neardup.parquet'
+        |ORDER BY d1, d2""".stripMargin,
+    "q21_fingerprints" ->
+      """SELECT doc_id, content_fp, simhash
+        |FROM '/root/repo/golden/q21_fingerprints.parquet'
+        |ORDER BY doc_id""".stripMargin,
+    "q17_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(['the','and','of','to','in','is','that','with'], m -> list_contains(toks, m))) AS s_en,
+        |    len(list_filter(['el','la','de','que','y','los','las','por'], m -> list_contains(toks, m))) AS s_es,
+        |    len(list_filter(['der','die','das','und','ist','nicht','ein','mit'], m -> list_contains(toks, m))) AS s_de,
+        |    len(list_filter(['le','les','et','des','une','est','dans','pour'], m -> list_contains(toks, m))) AS s_fr,
+        |    len(list_filter(['的','是','不','我','了','在','有','人'], m -> list_contains(toks, m))) AS s_zh
+        |  FROM t)
+        |SELECT doc_id, lang AS labeled_lang,
+        |  CASE WHEN greatest(s_en, s_es, s_de, s_fr, s_zh) = 0 THEN 'und'
+        |       WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'es'
+        |       WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'de'
+        |       WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q12_sections" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS words,

@@ -1,0 +1,305 @@
+#!/usr/bin/env python3
+"""Golden-oracle generator for the graft-native queries DuckDB cannot
+express (q12b chunk pipeline, q16 simhash pairs, q21 fingerprints,
+q22 ingest index).
+
+This is an INDEPENDENT from-scratch Python re-implementation of the same
+published algorithms the Scala engine implements (LangChain
+RecursiveCharacterTextSplitter merge semantics, ATX-heading MDX split,
+FNV-1a trigram hashing embedder, 64-bit token SimHash, polynomial rolling
+hash) — NOT a dump of Spark output. The driver's DuckDB oracle then reads
+the committed golden parquet, so a divergence in either implementation
+fails the correctness gate.
+
+Driver-side tooling only (python/duckdb/pyarrow are not available to the
+shipped Scala engine). Usage:
+
+    python3 tools/make_golden.py /root/testdata/sf0.01 /root/repo/golden
+"""
+import hashlib
+import re
+import sys
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MASK32 = 0xFFFFFFFF
+MASK64 = 0xFFFFFFFFFFFFFFFF
+
+CHUNK_SIZE, CHUNK_OVERLAP, EMBED_DIM = 80, 16, 64
+
+
+# --- LangChain-semantics recursive character splitter -------------------
+
+SEPARATORS = ["\n\n", "\n", " ", ""]
+
+
+def _join_docs(docs, sep):
+    t = sep.join(docs).strip()
+    return t if t else None
+
+
+def _merge_splits(splits, sep, size, overlap):
+    sep_len = len(sep)
+    docs, current, total = [], [], 0
+    for d in splits:
+        l = len(d)
+        if total + l + (sep_len if current else 0) > size:
+            if current:
+                doc = _join_docs(current, sep)
+                if doc is not None:
+                    docs.append(doc)
+                while total > overlap or (
+                        total + l + (sep_len if current else 0) > size
+                        and total > 0):
+                    total -= len(current[0]) + (sep_len if len(current) > 1 else 0)
+                    current.pop(0)
+        current.append(d)
+        total += l + (sep_len if len(current) > 1 else 0)
+    doc = _join_docs(current, sep)
+    if doc is not None:
+        docs.append(doc)
+    return docs
+
+
+def chunk_text(text, size, overlap, separators=None):
+    if not text:
+        return []
+    seps = SEPARATORS if separators is None else separators
+    sep, new_seps = seps[-1], None
+    for i, s in enumerate(seps):
+        if s == "":
+            sep = s
+            break
+        if s in text:
+            sep, new_seps = s, seps[i + 1:]
+            break
+    splits = [p for p in (text.split(sep) if sep else list(text)) if p]
+    out, good = [], []
+    for s in splits:
+        if len(s) < size:
+            good.append(s)
+        else:
+            if good:
+                out.extend(_merge_splits(good, sep, size, overlap))
+                good = []
+            if new_seps is None:
+                out.append(s)
+            else:
+                out.extend(chunk_text(s, size, overlap, new_seps))
+    if good:
+        out.extend(_merge_splits(good, sep, size, overlap))
+    return out
+
+
+# --- hash kernels -------------------------------------------------------
+
+def fnv32(s):
+    h = 0x811C9DC5
+    for c in s:
+        h ^= ord(c)
+        h = (h * 0x01000193) & MASK32
+    return h
+
+
+def to_signed32(h):
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def to_signed64(h):
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def hash_embed(text, dim):
+    out = [0.0] * dim
+    if not text or dim <= 0:
+        return out
+    s = "\x02" + text + "\x03"
+    for i in range(len(s) - 2):
+        h = fnv32(s[i:i + 3])
+        hs = to_signed32(h)
+        bucket = ((hs % dim) + dim) % dim
+        out[bucket] += -1.0 if (h & 0x80000000) else 1.0
+    nrm = sum(v * v for v in out) ** 0.5
+    if nrm > 0:
+        # float32 rounding mirrors the engine's Array[Float] storage
+        import struct
+        out = [struct.unpack('f', struct.pack('f', v / nrm))[0] for v in out]
+    return out
+
+
+def fnv64(b):
+    h = 0xCBF29CE484222325
+    for byte in b:
+        h ^= byte
+        h = (h * 0x100000001B3) & MASK64
+    return h
+
+
+def simhash64(text):
+    if text is None:
+        return 0
+    weights = [0] * 64
+    for tok in re.split(r"\s+", text):
+        if not tok:
+            continue
+        # engine hashes char codes (UTF-16 units); fixture is ASCII so
+        # char code == byte value
+        h = 0xCBF29CE484222325
+        for c in tok:
+            h ^= ord(c)
+            h = (h * 0x100000001B3) & MASK64
+        for b in range(64):
+            weights[b] += 1 if (h >> b) & 1 else -1
+    out = 0
+    for b in range(64):
+        if weights[b] > 0:
+            out |= 1 << b
+    return to_signed64(out)
+
+
+def rolling_hash(text):
+    h = 0
+    for c in text:
+        h = (h * 1000003 + ord(c)) & MASK64
+    return to_signed64(h)
+
+
+# --- MDX pipeline (synthetic render -> section split -> chunk -> embed) --
+
+def trim_ws(s):
+    return re.sub(r"^\s+|\s+$", "", s)
+
+
+def synthetic_mdx(text):
+    words = text.split(" ")
+    q = (len(words) + 3) // 4
+
+    def seg(i):
+        if i == 3:
+            return " ".join(words[3 * q:])
+        return " ".join(words[q * i:q * i + q])
+
+    return ("## Context\n" + seg(0) + "\n## Overview\n" + seg(1) +
+            "\n### Details\n" + seg(2) + "\n## Summary\n" + seg(3))
+
+
+def split_sections(mdx):
+    """ATX-heading split with neighbor headers — one dict per section."""
+    parts = [p for p in re.split(r"(?m)(?=^#{1,6} .+$)", mdx)
+             if len(trim_ws(p)) > 0]
+    secs = []
+    for p in parts:
+        m = re.search(r"(?m)^(#{1,6} .+)$", p)
+        header = trim_ws(m.group(1)) if m else ""
+        if header:
+            nl = p.find("\n")
+            content = p if nl < 0 else p[nl + 1:]
+        else:
+            content = p
+        secs.append({"header": header, "content": trim_ws(content)})
+    for i, s in enumerate(secs):
+        s["chunk_id"] = i + 1
+        s["prev_header"] = secs[i - 1]["header"] if i > 0 else ""
+        s["next_header"] = secs[i + 1]["header"] if i + 1 < len(secs) else ""
+    return secs
+
+
+def ingest_rows(doc_id, text):
+    """(q12b row, q22 row) pairs for one document."""
+    secs = split_sections(synthetic_mdx(text))
+    pieces_per_sec = []
+    for s in secs:
+        if len(s["content"]) > CHUNK_SIZE:
+            pieces = chunk_text(s["content"], CHUNK_SIZE, CHUNK_OVERLAP)
+        else:
+            pieces = [s["content"]]
+        pieces_per_sec.append(pieces)
+    total_chunks = sum(len(p) for p in pieces_per_sec)
+    rows = []
+    for s, pieces in zip(secs, pieces_per_sec):
+        n = len(pieces)
+        for idx, piece in enumerate(pieces):
+            content = piece.replace("\n", " ") if n > 1 else piece
+            header_stripped = s["header"].replace("## ", "", 1)
+            embed_input = f"HEADER: {header_stripped} | CONTENT: {content}"
+            emb = hash_embed(embed_input, EMBED_DIM)
+            norm = round(sum(v * v for v in emb) ** 0.5, 4)
+            rows.append({
+                "doc_id": doc_id,
+                "chunk_id": s["chunk_id"],
+                "piece_id": idx + 1,
+                "n_chars": len(content),
+                "content_md5": hashlib.md5(content.encode()).hexdigest(),
+                "norm": norm,
+                "total_chunks": total_chunks,
+            })
+    return rows
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/golden"
+    import os
+    os.makedirs(out_dir, exist_ok=True)
+
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+    ).fetchall()
+
+    # q12b + q22
+    all_rows = []
+    for doc_id, text in docs:
+        all_rows.extend(ingest_rows(doc_id, text))
+    q12b = pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in all_rows], pa.int64()),
+        "chunk_id": pa.array([r["chunk_id"] for r in all_rows], pa.int32()),
+        "piece_id": pa.array([r["piece_id"] for r in all_rows], pa.int32()),
+        "n_chars": pa.array([r["n_chars"] for r in all_rows], pa.int64()),
+        "content_md5": pa.array([r["content_md5"] for r in all_rows], pa.string()),
+    })
+    pq.write_table(q12b, f"{out_dir}/q12b_chunk_pipeline.parquet")
+    q22 = pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in all_rows], pa.int64()),
+        "chunk_id": pa.array([r["chunk_id"] for r in all_rows], pa.int32()),
+        "piece_id": pa.array([r["piece_id"] for r in all_rows], pa.int32()),
+        "n_chars": pa.array([r["n_chars"] for r in all_rows], pa.int64()),
+        "norm": pa.array([r["norm"] for r in all_rows], pa.float64()),
+        "total_chunks": pa.array([r["total_chunks"] for r in all_rows], pa.int32()),
+    })
+    pq.write_table(q22, f"{out_dir}/q22_ingest_index.parquet")
+
+    # q21 fingerprints + q16 simhash near-dup pairs
+    fps = [(doc_id, rolling_hash(text), simhash64(text)) for doc_id, text in docs]
+    q21 = pa.table({
+        "doc_id": pa.array([f[0] for f in fps], pa.int64()),
+        "content_fp": pa.array([f[1] for f in fps], pa.int64()),
+        "simhash": pa.array([f[2] for f in fps], pa.int64()),
+    })
+    pq.write_table(q21, f"{out_dir}/q21_fingerprints.parquet")
+
+    # brute-force Hamming<=3 pairs; the engine's 4x16-bit banding is
+    # complete for distance<=3 (pigeonhole), so the sets must be identical
+    pairs = []
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            h = bin((fps[i][2] ^ fps[j][2]) & MASK64).count("1")
+            if h <= 3:
+                a, b = fps[i][0], fps[j][0]
+                pairs.append((min(a, b), max(a, b), h))
+    pairs.sort()
+    q16 = pa.table({
+        "d1": pa.array([p[0] for p in pairs], pa.int64()),
+        "d2": pa.array([p[1] for p in pairs], pa.int64()),
+        "hamming": pa.array([p[2] for p in pairs], pa.int64()),
+    })
+    pq.write_table(q16, f"{out_dir}/q16_simhash_neardup.parquet")
+
+    print(f"golden: q12b/q22 rows={len(all_rows)}, q21 rows={len(fps)}, "
+          f"q16 pairs={len(pairs)} -> {out_dir}")
+
+
+if __name__ == "__main__":
+    main()
