@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.IngestJob
-import graft.pipeline.{Dedup, Events, Relational, TextAnalysis}
+import graft.pipeline.{Dedup, Events, Multimodal, Relational, TextAnalysis}
 import graft.query.{ContextAssembler, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -96,6 +96,7 @@ object Queries {
     "q7_union_distinct" -> (Relational.q7UnionDistinct _),
     "q8_events_hourly" -> (Events.hourlyByType _),
     "q8b_sessionize" -> ((s: SparkSession, d: String) => Events.sessionize(s, d)),
+    "q8c_session_window" -> (Events.sessionWindow _),
     "q9_cosine_topk" -> (q9CosineTopK _),
     "q10_dedup_exact" -> (Dedup.exact _),
     "q11_text_stats" -> (TextAnalysis.statsByLang _),
@@ -108,7 +109,10 @@ object Queries {
     "q19_quality" -> (TextAnalysis.qualityPerDoc _),
     "q20_cosine_neardup" -> ((s: SparkSession, d: String) => Dedup.cosineNearDup(s, d)),
     "q21_fingerprints" -> (TextAnalysis.fingerprints _),
-    "q25_ann_join" -> ((s: SparkSession, d: String) => Dedup.annCosineNearDup(s, d)))
+    "q25_ann_join" -> ((s: SparkSession, d: String) => Dedup.annCosineNearDup(s, d)),
+    "q26_multimodal_meta" -> (Multimodal.decodeMeta _),
+    "q27_frame_sample" -> (Multimodal.frameSample _),
+    "q28_byte_histogram" -> (Multimodal.byteHistogram _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -266,19 +270,11 @@ object Queries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
-    "q8b_sessionize" ->
-      """WITH g AS (
-        |  SELECT user_id, ts, value,
-        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-        |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
-        |  FROM events),
-        |s AS (
-        |  SELECT user_id, ts, value,
-        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
-        |  FROM g)
-        |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
-        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
-        |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin,
+    // q8c: native session_window operator — same session semantics, same
+    // oracle (no exact-30-min boundary gaps exist in the fixtures, where
+    // strict-> vs window-overlap semantics could differ)
+    "q8c_session_window" -> sessionizeOracle,
+    "q8b_sessionize" -> sessionizeOracle,
     "q9_cosine_topk" ->
       """WITH q AS (
         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -325,7 +321,58 @@ object Queries {
     "q20_cosine_neardup" -> cosineNearDupOracle,
     // The ANN path must produce the identical pair set as the exact join:
     // LSH only generates candidates, exact cosine verifies every pair.
-    "q25_ann_join" -> cosineNearDupOracle)
+    "q25_ann_join" -> cosineNearDupOracle,
+    // Multimodal: documents' UTF-8 payloads stand in for opaque media
+    // blobs; the fixture is pure ASCII (verified), so DuckDB's
+    // char-indexed arithmetic equals Spark's byte-indexed arithmetic.
+    "q26_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |       WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  octet_length(text::BLOB)::BIGINT AS n_bytes,
+        |  (64 + octet_length(text::BLOB) % 64)::BIGINT AS width,
+        |  (64 + (octet_length(text::BLOB) // 64) % 64)::BIGINT AS height,
+        |  (CASE WHEN doc_id % 3 = 0 THEN 0
+        |        ELSE octet_length(text::BLOB) * 8 END)::BIGINT AS duration_ms
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q27_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, octet_length(text::BLOB)::BIGINT AS n_bytes,
+        |    CAST(ceil(octet_length(text::BLOB) / 16.0) AS BIGINT) AS n_blocks
+        |  FROM documents
+        |  WHERE octet_length(text::BLOB) > 0)
+        |SELECT doc_id,
+        |  CAST(t.b // 4 AS INT) AS frame_id,
+        |  t.b AS block_idx,
+        |  md5(substr(text, CAST(t.b * 16 + 1 AS INT), 16)) AS frame_md5,
+        |  least(16, n_bytes - t.b * 16)::BIGINT AS frame_bytes
+        |FROM m, unnest(range(0, n_blocks, 4)) AS t(b)
+        |ORDER BY doc_id, frame_id""".stripMargin,
+    "q28_byte_histogram" ->
+      """WITH c AS (
+        |  SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> ascii(substr(text, CAST(i AS INT), 1))) AS codes
+        |  FROM documents)
+        |SELECT doc_id, CAST(t.b AS INT) AS bin,
+        |  CAST(len(list_filter(codes, c -> c // 16 = t.b)) AS BIGINT) AS n_in_bin,
+        |  round(len(list_filter(codes, c -> c // 16 = t.b)) * 1.0 / n_bytes, 6) AS frac
+        |FROM c, unnest(range(0, 16)) AS t(b)
+        |ORDER BY doc_id, bin""".stripMargin)
+
+  private lazy val sessionizeOracle: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts, value,
+      |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM g)
+      |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin
 
   private lazy val cosineNearDupOracle: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -108,6 +108,21 @@ object VectorOps {
     out
   }
 
+  /** Byte-value histogram of a binary payload: `bins` equal-width buckets
+    * over 0..255 (multimodal feature extraction — the deterministic
+    * "feature vector" a real image/audio featurizer would replace).
+    */
+  def byteHistogram(bytes: Array[Byte], bins: Int): Array[Long] = {
+    val out = new Array[Long](bins)
+    if (bytes == null || bins <= 0) return out
+    var i = 0
+    while (i < bytes.length) {
+      out((bytes(i) & 0xff) * bins / 256) += 1L
+      i += 1
+    }
+    out
+  }
+
   /** Polynomial rolling hash (Rabin-Karp style) of the full string —
     * cheap content fingerprint for exact-dup keys.
     */

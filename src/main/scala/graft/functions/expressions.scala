@@ -111,6 +111,30 @@ case class SimHash64(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** `byte_histogram(binary, bins)` -> array<long> of byte-bucket counts
+  * (multimodal feature extraction over opaque media payloads).
+  */
+case class ByteHistogram(child: Expression, binsExpr: Expression)
+    extends BinaryExpression with Serializable {
+  override def prettyName: String = "byte_histogram"
+  override def left: Expression = child
+  override def right: Expression = binsExpr
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(b: Any, n: Any): Any =
+    new GenericArrayData(
+      VectorOps.byteHistogram(b.asInstanceOf[Array[Byte]], n.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, n) =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.VectorOps.byteHistogram($b, $n));""".stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, binsExpr = r)
+}
+
 /** Polynomial rolling-hash content fingerprint. */
 case class RollingHash(child: Expression) extends UnaryExpression
     with Serializable {

@@ -25,6 +25,8 @@ package object functions {
     Bridge.column(SigJaccardEst(b(a), b(bb)))
   def chunk_text(text: Column, size: Column, overlap: Column): Column =
     Bridge.column(ChunkText(st(text), b(size.cast("int")), b(overlap.cast("int"))))
+  def byte_histogram(bin: Column, bins: Column): Column =
+    Bridge.column(ByteHistogram(b(bin.cast("binary")), b(bins.cast("int"))))
 
   /** Register all graft functions for SQL text / `call_function`. */
   def registerAll(spark: SparkSession): Unit = {
@@ -38,5 +40,6 @@ package object functions {
     Bridge.register(spark, "minhash_sig", es => MinHashSignature(es(0), es(1)))
     Bridge.register(spark, "sig_jaccard_est", es => SigJaccardEst(es(0), es(1)))
     Bridge.register(spark, "chunk_text", es => ChunkText(es(0), es(1), es(2)))
+    Bridge.register(spark, "byte_histogram", es => ByteHistogram(es(0), es(1)))
   }
 }

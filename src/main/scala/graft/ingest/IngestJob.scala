@@ -1,7 +1,7 @@
 package graft.ingest
 
 import graft.Tables
-import graft.functions.{chunk_text, hash_embed}
+import graft.functions.chunk_text
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -71,11 +71,22 @@ object IngestJob {
     * context), header/prev_header/next_header, total_chunks, embed_input,
     * embedding.
     */
-  def chunks(spark: SparkSession, dir: String, cfg: Config = Config()): DataFrame = {
+  def chunks(spark: SparkSession, dir: String, cfg: Config = Config()): DataFrame =
+    chunksWith(spark, dir, cfg, new graft.embed.HashingEmbedder(cfg.embedDim))
+
+  /** [[chunks]] with a caller-supplied [[graft.embed.Embedder]] — the
+    * A-12 seam: swap the deterministic hashing default for a batched
+    * external-service embedder without touching the pipeline.
+    */
+  def chunksWith(
+      spark: SparkSession,
+      dir: String,
+      cfg: Config,
+      embedder: graft.embed.Embedder): DataFrame = {
     val secs = sections(spark, dir)
     val wDoc = Window.partitionBy(col("doc_id"))
 
-    secs
+    val projected = secs
       // A-9: oversized sections split (LangChain semantics); small ones
       // pass through as a single piece (reference vector-client.ts:236-248)
       .withColumn("pieces",
@@ -102,9 +113,10 @@ object IngestJob {
       .withColumn("embed_input",
         concat(lit("HEADER: "), replaceFirst(col("header"), "## "),
           lit(" | CONTENT: "), col("content")))
-      // A-12: deterministic local embedder (stands in for ada-002)
-      .withColumn("embedding", hash_embed(col("embed_input"), lit(cfg.embedDim)))
       .drop("piece", "piece_pos")
+    // A-12: embedding via the pluggable seam (default: deterministic
+    // hashing embedder standing in for the reference's ada-002 call)
+    embedder.embed(projected, "embed_input", "embedding")
   }
 
   /** A-13: the index table (content, embedding, typed metadata struct) —

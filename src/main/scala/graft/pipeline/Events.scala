@@ -6,8 +6,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Batch event analytics over `events` (SURVEY §2 B-7 batch side; the
-  * streaming versions with watermarks live in graft.streaming and are
-  * equivalence-tested against these).
+  * streaming versions with watermarks live in [[graft.streaming.EventStream]]
+  * and are equivalence-tested against these — the aggregation logic is
+  * shared via the `*Df` transforms so batch and stream cannot drift).
   *
   * Timestamps never appear raw in outputs: the fixture is TIMESTAMP(NANOS)
   * parquet while Spark works at microseconds, so outputs carry
@@ -15,18 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  /** Q8: tumbling 1-hour window counts per event type. */
-  def hourlyByType(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "events")
+  /** Shared transform: tumbling 1-hour counts per event type. */
+  def hourlyByTypeDf(events: DataFrame): DataFrame =
+    events
       .groupBy(
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
-      .orderBy("hour", "event_type")
+
+  /** Q8: tumbling 1-hour window counts per event type. */
+  def hourlyByType(spark: SparkSession, dir: String): DataFrame =
+    hourlyByTypeDf(Tables(spark, dir, "events")).orderBy("hour", "event_type")
 
   /** Q8b: sessionization — 30-minute inactivity gap per user, batch
     * (gaps-and-islands with a window; identical semantics to the
-    * `session_window` streaming version for non-boundary gaps).
+    * `session_window` version for non-boundary gaps).
     */
   def sessionize(spark: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts")
@@ -47,15 +51,36 @@ object Events {
       .orderBy("user_id", "session_start")
   }
 
-  /** Sliding-window (1h window, 15m slide) event counts — returned with
-    * formatted window bounds; used by the streaming equivalence test.
+  /** Shared transform: native `session_window` aggregation (gap-based;
+    * works in batch AND streaming — this is the 100 TB path: one shuffle
+    * keyed by user, no per-user ordered window pass).
     */
-  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "events")
+  def sessionWindowDf(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(
+        date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value"))
+      .select("user_id", "session_start", "n_events", "sum_value")
+
+  /** Q8c: sessionization via the native `session_window` operator — same
+    * output contract (and DuckDB oracle) as the gaps-and-islands Q8b.
+    */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame =
+    sessionWindowDf(Tables(spark, dir, "events"))
+      .orderBy("user_id", "session_start")
+
+  /** Shared transform: sliding-window (1h window, 15m slide) counts. */
+  def slidingCountsDf(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
       .agg(count(lit(1)).as("n"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("w_start"),
         col("event_type"), col("n"))
-      .orderBy("w_start", "event_type")
+
+  /** Sliding-window event counts — used by the streaming equivalence test. */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+    slidingCountsDf(Tables(spark, dir, "events")).orderBy("w_start", "event_type")
 }

@@ -24,26 +24,29 @@ object Relational {
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
       .orderBy("l_orderkey", "l_linenumber")
 
-  /** Q2: fact ⋈ broadcast(dim). Customer is tiny relative to orders at any
-    * scale factor — broadcast avoids shuffling the fact side.
+  /** Q2: fact ⋈ dim. No forced broadcast hint: under
+    * `autoBroadcastJoinThreshold` + AQE, Spark broadcasts customer while
+    * it is small and degrades to shuffle join when a 100× customer table
+    * would OOM the executors — a hard-coded hint would not.
     */
   def q2Join(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables(spark, dir, "orders")
     val customer = Tables(spark, dir, "customer")
-    orders.join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+    orders.join(customer, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_name"), col("o_totalprice"))
       .orderBy("o_orderkey")
   }
 
   /** Q3: 3-way join + hash aggregate by market segment. lineitem⋈orders is
-    * the big join (shuffle on orderkey); customer broadcasts.
+    * the big join (shuffle on orderkey); customer broadcasts while under
+    * the AQE/auto threshold (no forced hint — see q2Join).
     */
   def q3JoinAgg(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
     val orders = Tables(spark, dir, "orders")
     val customer = Tables(spark, dir, "customer")
     li.join(orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(
         count(lit(1)).as("n_rows"),

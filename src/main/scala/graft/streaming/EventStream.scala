@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.pipeline.Events
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Structured Streaming ingest over the events table (SURVEY §2 B-7):
+  * file-source replay of the parquet fixture, watermarked tumbling /
+  * sliding windows, and `session_window` sessionization. The aggregation
+  * column logic is the SAME code the batch path runs
+  * ([[graft.pipeline.Events]] `*Df` transforms), so the stream/batch
+  * equivalence test pins one implementation, not two.
+  *
+  * Scale notes: the file source shards by file; each micro-batch is one
+  * keyed shuffle into the stateful aggregation. Watermarks bound state:
+  * `withWatermark("ts", ...)` lets Spark drop window state older than the
+  * watermark, which is what keeps a 100 TB/day stream's state finite.
+  */
+object EventStream {
+
+  /** The events schema as stored (ts is TIMESTAMP(NANOS) parquet, read as
+    * LongType nanoseconds under `spark.sql.legacy.parquet.nanosAsLong`).
+    */
+  def eventsSchema(spark: SparkSession, dir: String): StructType =
+    spark.read.parquet(s"$dir/events.parquet").schema
+
+  /** File-source stream of the events fixture with the same ns→µs
+    * timestamp normalization the batch loader applies. A production
+    * deployment points the source at a growing directory; the fixture is
+    * a single parquet file, so replay stages it behind a symlink in a
+    * temp directory (the file stream source only accepts directories).
+    */
+  def readEvents(
+      spark: SparkSession,
+      dir: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    val schema = eventsSchema(spark, dir)
+    val src = new java.io.File(s"$dir/events.parquet")
+    val streamPath =
+      if (src.isFile) {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-events-replay")
+        java.nio.file.Files.createSymbolicLink(
+          tmp.resolve("events.parquet"), src.toPath.toAbsolutePath)
+        tmp.toString
+      } else src.getPath
+    val raw = spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(streamPath)
+    schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** Watermarked tumbling 1-hour counts per event type (streaming Q8). */
+  def hourlyByType(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    Events.hourlyByTypeDf(events.withWatermark("ts", watermark))
+
+  /** Watermarked sliding-window counts (1h / 15m). */
+  def slidingCounts(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    Events.slidingCountsDf(events.withWatermark("ts", watermark))
+
+  /** Watermarked `session_window` sessionization (streaming Q8c). */
+  def sessionize(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    Events.sessionWindowDf(events.withWatermark("ts", watermark))
+
+  /** Run a streaming aggregation to an in-memory table until the source
+    * is exhausted; returns the query (caller reads `spark.table(name)`).
+    * Complete output mode: every trigger emits the full aggregate, which
+    * is what the batch-equivalence test compares against.
+    */
+  def runToMemory(
+      df: DataFrame,
+      name: String,
+      outputMode: String = "complete"): StreamingQuery = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
+}
