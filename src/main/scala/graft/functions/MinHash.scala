@@ -76,6 +76,35 @@ object MinHashKernel {
     }
     new GenericArrayData(out)
   }
+
+  /** One-pass signature straight from text: slides a `gramLen`-byte
+    * window over the UTF-8 payload, FNV-hashes each window, updates the
+    * running minima. No gram materialization, no per-gram UTF8String
+    * allocation, no `array_distinct` (min over a multiset equals min over
+    * the set) — this is the candidate-generation kernel; exact
+    * verification still uses real character grams.
+    */
+  def signatureFromText(text: UTF8String, gramLen: Int, numHashes: Int): ArrayData = {
+    val (a, b) = cached(numHashes)
+    val out = Array.fill(numHashes)(Prime)
+    val bytes = text.getBytes
+    val n = bytes.length - gramLen + 1
+    var g = 0
+    while (g < n) {
+      var h = 0xcbf29ce484222325L
+      var j = g
+      while (j < g + gramLen) { h ^= (bytes(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+      val x = h & 0x7fffffffL
+      var i = 0
+      while (i < numHashes) {
+        val v = (a(i) * x + b(i)) % Prime
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** `minhash_sig(array<string>, numHashes)` as a native expression. */
@@ -96,6 +125,28 @@ case class MinHashSignature(child: Expression, numHashesExpr: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(child = l, numHashesExpr = r)
+}
+
+/** `minhash_text(string, gramLen, numHashes)` — one-pass signature from
+  * raw text (see [[MinHashKernel.signatureFromText]]).
+  */
+case class MinHashText(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with Serializable {
+  override def prettyName: String = "minhash_text"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(t: Any, g: Any, n: Any): Any =
+    MinHashKernel.signatureFromText(
+      t.asInstanceOf[UTF8String], g.asInstanceOf[Int], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, g, n) =>
+      s"${ev.value} = graft.functions.MinHashKernel.signatureFromText($t, $g, $n);")
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
 }
 
 /** `sig_jaccard_est(array<long>, array<long>)` — componentwise-equality

@@ -23,6 +23,8 @@ package object functions {
     Bridge.column(MinHashSignature(b(grams), b(numHashes.cast("int"))))
   def sig_jaccard_est(a: Column, bb: Column): Column =
     Bridge.column(SigJaccardEst(b(a), b(bb)))
+  def minhash_text(text: Column, gramLen: Column, numHashes: Column): Column =
+    Bridge.column(MinHashText(st(text), b(gramLen.cast("int")), b(numHashes.cast("int"))))
   def chunk_text(text: Column, size: Column, overlap: Column): Column =
     Bridge.column(ChunkText(st(text), b(size.cast("int")), b(overlap.cast("int"))))
   def byte_histogram(bin: Column, bins: Column): Column =

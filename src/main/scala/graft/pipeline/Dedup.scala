@@ -24,15 +24,24 @@ object Dedup {
     * descend). Definition mirrors the DuckDB oracle exactly.
     */
   def charGrams(textCol: String, n: Int = GramLen): Column =
-    when(length(col(textCol)) >= n,
-      array_distinct(expr(
-        s"transform(sequence(1, length($textCol) - ${n - 1}), i -> substring($textCol, i, $n))")))
+    charGramsOf(col(textCol), n)
+
+  def charGramsOf(text: Column, n: Int = GramLen): Column =
+    when(length(text) >= n,
+      array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Q10: exact dedup by content — first doc_id + copy count per text. */
+  /** Q10: exact dedup by content — first doc_id + copy count per text.
+    * Groups on sha2-256 of the content, not the content itself: the
+    * shuffle then moves 32-byte keys instead of full document payloads
+    * (at 100 TB that is the difference between shuffling hashes and
+    * shuffling the corpus).
+    */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .groupBy("text")
+      .groupBy(sha2(col("text"), 256).as("content_sha"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
       .orderBy("doc_id")
@@ -82,37 +91,49 @@ object Dedup {
     */
   def minhashNearDup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-      .select(col("doc_id"), charGrams("text").as("grams"))
-      .filter(size(col("grams")) > 0)
-      .withColumn("sig", minhashSignature(col("grams")))
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= GramLen)
+
+    // One-pass text->signature kernel: no gram materialization for
+    // candidate generation (min over a multiset = min over the set).
+    val sigs = docs.select(
+      col("doc_id"),
+      graft.functions.minhash_text(col("text"), lit(GramLen), lit(NumHashes)).as("sig"))
 
     val numBands = NumHashes / BandRows
-    val bands = docs.select(
+    val bands = sigs.select(
         col("doc_id"),
         posexplode(expr(s"transform(sequence(0, ${numBands - 1}), b -> " +
           s"hash(b, slice(sig, b * $BandRows + 1, $BandRows)))")))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
 
-    val cand = bands.as("a").join(bands.as("b"),
+    // Band collisions are NOT deduplicated before filtering: the
+    // estimator is one codegen'd 128-long compare per row, far cheaper
+    // than a distinct() shuffle of the multi-million-pair candidate
+    // multiset. Signatures attach via (auto-broadcast-able) joins, so the
+    // collision stream stays within one stage after the bucket shuffle.
+    // Floor = 0.6·threshold: ≥4.5σ below the estimator mean of a true
+    // threshold pair (miss ~3e-6), yet it rejects the j ≲ 0.25 mass that
+    // 64×2 banding admits.
+    val estFloor = threshold * 0.6
+    val collisions = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .distinct()
-
-    // Pre-filter on the signatures alone. Floor = 0.6·threshold: ≥4.5σ
-    // below the estimator mean of a true threshold pair (miss ~3e-6), yet
-    // it rejects the j ≲ 0.25 mass that 64×2 banding lets through.
-    val estFloor = threshold * 0.6
-    val sigs = docs.select(col("doc_id"), col("sig"))
-    val plausible = cand
+    val plausible = collisions
       .join(sigs.select(col("doc_id").as("d1"), col("sig").as("s1")), "d1")
       .join(sigs.select(col("doc_id").as("d2"), col("sig").as("s2")), "d2")
       .filter(graft.functions.sig_jaccard_est(col("s1"), col("s2")) >= estFloor)
       .select("d1", "d2")
+      .distinct() // now a few hundred rows, not millions
 
+    // Exact verification: real character grams computed only for the
+    // survivor pairs.
     val withGrams = plausible
-      .join(docs.select(col("doc_id").as("d1"), col("grams").as("g1")), "d1")
-      .join(docs.select(col("doc_id").as("d2"), col("grams").as("g2")), "d2")
+      .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+      .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+      .withColumn("g1", charGramsOf(col("t1")))
+      .withColumn("g2", charGramsOf(col("t2")))
       .withColumn("i", size(array_intersect(col("g1"), col("g2"))).cast("long"))
       .withColumn("jac",
         col("i").cast("double") /

@@ -2,7 +2,7 @@ package graft.query
 
 import graft.functions.cosine_sim
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel, Normalizer}
-import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -75,6 +75,16 @@ object AnnIndex {
 
   /** All pairs with cosine similarity ≥ simThreshold, via LSH candidate
     * generation + exact verification. Output: (v1, v2, sim), v1 < v2.
+    *
+    * Candidate recall is exactly MLlib `approxSimilarityJoin`'s (same
+    * fitted hash tables, same OR-across-tables rule), but the physical
+    * join is restructured for throughput: bucket collisions are verified
+    * IMMEDIATELY with the codegen'd cosine kernel (one fused stage after
+    * the bucket shuffle, embeddings attached via auto-broadcast-able id
+    * joins) and deduplicated only after the threshold filter — a
+    * `distinct` over the few true pairs instead of over the million-row
+    * collision multiset that MLlib's join dedups before its non-codegen
+    * distance UDF.
     */
   def selfJoin(
       df: DataFrame,
@@ -85,17 +95,24 @@ object AnnIndex {
     require(simThreshold > -1.0 && simThreshold < 1.0, "simThreshold in (-1, 1)")
     val prep = prepared(df, idCol, embCol)
     val model = fit(prep, params)
-    // cosine τ on unit vectors ⟺ euclidean distance √(2−2τ)
-    val distThreshold = math.sqrt(2.0 - 2.0 * simThreshold)
-    model.approxSimilarityJoin(prep, prep, distThreshold, "dist")
+    // one row per (vector, hash table): the table's bucket id
+    val buckets = model.transform(prep)
+      .select(col(idCol), posexplode(col("hashes")))
       .select(
-        col(s"datasetA.$idCol").as("v1"),
-        col(s"datasetB.$idCol").as("v2"),
-        col(s"datasetA.$embCol").as("e1"),
-        col(s"datasetB.$embCol").as("e2"))
-      .filter(col("v1") < col("v2"))
+        col(idCol),
+        col("pos").as("table"),
+        element_at(vector_to_array(col("col")), 1).cast("long").as("bucket"))
+    val collisions = buckets.as("a").join(buckets.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("v1"), col(s"b.$idCol").as("v2"))
+    val emb = df.select(col(idCol), col(embCol))
+    collisions
+      .join(emb.select(col(idCol).as("v1"), col(embCol).as("e1")), "v1")
+      .join(emb.select(col(idCol).as("v2"), col(embCol).as("e2")), "v2")
       .withColumn("sim", cosine_sim(col("e1"), col("e2")))
       .filter(col("sim") >= simThreshold)
       .select(col("v1"), col("v2"), col("sim"))
+      .distinct() // survivors only; a pair's sim is deterministic
   }
 }

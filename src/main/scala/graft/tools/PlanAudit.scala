@@ -1,0 +1,84 @@
+package graft.tools
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Plan/stage diagnostics for the heavy approximate-join operators —
+  * counts each intermediate so regressions in candidate volume are
+  * visible, and prints formatted plans for audit.
+  *
+  * Usage: runMain graft.tools.PlanAudit [sfDir] [q15|q25|plans]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val what = if (args.length > 1) args(1) else "all"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.configure(SparkSession.builder())
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[audit] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    if (what == "q15" || what == "all") {
+      import graft.pipeline.Dedup._
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+        .filter(length(col("text")) >= GramLen)
+      val sigs = docs.select(
+        col("doc_id"),
+        graft.functions.minhash_text(col("text"), lit(GramLen), lit(NumHashes)).as("sig"))
+      timed("q15 sig compute")(println(s"[audit] sigs: ${sigs.count()}"))
+      val numBands = NumHashes / BandRows
+      val bands = sigs.select(
+          col("doc_id"),
+          posexplode(expr(s"transform(sequence(0, ${numBands - 1}), b -> " +
+            s"hash(b, slice(sig, b * $BandRows + 1, $BandRows)))")))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+      val collisions = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      timed("q15 raw band collisions")(println(s"[audit] collisions: ${collisions.count()}"))
+      val plausible = collisions
+        .join(sigs.select(col("doc_id").as("d1"), col("sig").as("s1")), "d1")
+        .join(sigs.select(col("doc_id").as("d2"), col("sig").as("s2")), "d2")
+        .filter(graft.functions.sig_jaccard_est(col("s1"), col("s2")) >= 0.3)
+        .select("d1", "d2")
+        .distinct()
+      timed("q15 est-filter survivors")(println(s"[audit] plausible: ${plausible.count()}"))
+      println("[audit] q15 plausible plan:")
+      plausible.explain("formatted")
+    }
+
+    if (what == "q25" || what == "all") {
+      import graft.query.AnnIndex
+      val e = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+      val prep = AnnIndex.prepared(e, "vec_id", "embedding").cache()
+      timed("q25 prepared")(println(s"[audit] vectors: ${prep.count()}"))
+      val model = timed("q25 fit")(AnnIndex.fit(prep))
+      val dist = math.sqrt(2.0 - 2.0 * 0.35)
+      val cand = model.approxSimilarityJoin(prep, prep, dist, "dist")
+        .filter(col("datasetA.vec_id") < col("datasetB.vec_id"))
+      timed("q25 candidates within dist")(println(s"[audit] cand pairs: ${cand.count()}"))
+      prep.unpersist()
+    }
+
+    if (what == "plans") {
+      graft.Queries.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        println(s"\n===== $name =====")
+        fn(spark, sfDir).explain("formatted")
+      }
+    }
+    spark.stop()
+  }
+}
