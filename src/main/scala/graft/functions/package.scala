@@ -41,6 +41,7 @@ package object functions {
     Bridge.register(spark, "rolling_hash", es => RollingHash(es.head))
     Bridge.register(spark, "minhash_sig", es => MinHashSignature(es(0), es(1)))
     Bridge.register(spark, "sig_jaccard_est", es => SigJaccardEst(es(0), es(1)))
+    Bridge.register(spark, "minhash_text", es => MinHashText(es(0), es(1), es(2)))
     Bridge.register(spark, "chunk_text", es => ChunkText(es(0), es(1), es(2)))
     Bridge.register(spark, "byte_histogram", es => ByteHistogram(es(0), es(1)))
   }

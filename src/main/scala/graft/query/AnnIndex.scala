@@ -73,6 +73,52 @@ object AnnIndex {
     model
   }
 
+  /** Batch top-k retrieval against a PERSISTED index (the A-14 query
+    * shape at scale): load the fitted model + pre-hashed index rows,
+    * hash only the query batch, bucket-join queries to index rows,
+    * verify candidates with the exact cosine kernel, keep per-query
+    * top-k above the threshold. Approximate: a true neighbor sharing no
+    * bucket with the query is missed (recall rises with
+    * `Params.numHashTables`); every returned similarity is exact.
+    *
+    * Output: (queryIdCol, idCol, sim, rn) — rn 1..k by descending sim.
+    */
+  def queryTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      threshold: Double): DataFrame = {
+    val model = BucketedRandomProjectionLSHModel.load(s"$indexPath/model")
+    val index = spark.read.parquet(s"$indexPath/hashes")
+    val indexBuckets = index
+      .select(col(idCol), col(embCol), posexplode(col("hashes")))
+      .select(col(idCol), col(embCol), col("pos").as("table"),
+        element_at(vector_to_array(col("col")), 1).cast("long").as("bucket"))
+    val qPrep = model.transform(
+      prepared(queries.select(col(queryIdCol), col(queryVecCol).as(embCol)), queryIdCol, embCol))
+    val qBuckets = qPrep
+      .select(col(queryIdCol), col(embCol).as("qvec"), posexplode(col("hashes")))
+      .select(col(queryIdCol), col("qvec"), col("pos").as("table"),
+        element_at(vector_to_array(col("col")), 1).cast("long").as("bucket"))
+    // big index side streams; the query batch broadcasts (small by contract)
+    val cand = indexBuckets.join(broadcast(qBuckets), Seq("table", "bucket"))
+      .select(col(queryIdCol), col(idCol), col(embCol), col("qvec"))
+      .distinct()
+      .withColumn("sim", cosine_sim(col(embCol), col("qvec")))
+      .filter(col("sim") > threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol).asc)
+    cand
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col(queryIdCol), col(idCol), col("sim"), col("rn"))
+  }
+
   /** All pairs with cosine similarity ≥ simThreshold, via LSH candidate
     * generation + exact verification. Output: (v1, v2, sim), v1 < v2.
     *

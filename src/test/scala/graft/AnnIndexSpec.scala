@@ -1,0 +1,42 @@
+package graft
+
+import graft.query.{AnnIndex, SimilaritySearch}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** B-4: persisted index build + query path. The self-join equivalence is
+  * covered by DedupEquivalenceSpec; here the index round-trips through
+  * disk and serves a query batch.
+  */
+class AnnIndexSpec extends AnyFunSuite with SharedSpark {
+
+  test("buildIndex persists model + hashes; queryTopK serves a batch from disk") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    AnnIndex.buildIndex(e, "vec_id", "embedding", dir)
+
+    assert(new java.io.File(s"$dir/model").exists())
+    assert(new java.io.File(s"$dir/hashes").exists())
+    val hashes = spark.read.parquet(s"$dir/hashes")
+    assert(hashes.count() == e.count())
+    assert(hashes.columns.toSet == Set("vec_id", "embedding", "hashes"))
+
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val ann = AnnIndex.queryTopK(spark, dir, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val exact = SimilaritySearch.topKBatch(
+        e, "embedding", "vec_id", queries, "query_id", "qvec", k = 5, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // the ANN result is a subset of legal hits with exact sims; recall
+    // vs the exact top-k must be high at this table count (empirically 1
+    // on the fixture — assert >= 0.8 to keep the test robust)
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ANN top-k recall $recall too low (got ${ann.size} hits)")
+    // every returned query got at most k hits
+    assert(ann.groupBy(_._1).forall(_._2.size <= 5))
+  }
+}
