@@ -111,6 +111,7 @@ object Queries {
     "q21_fingerprints" -> (TextAnalysis.fingerprints _),
     "q25_ann_join" -> ((s: SparkSession, d: String) => Dedup.annCosineNearDup(s, d)),
     "q26_multimodal_meta" -> (Multimodal.decodeMeta _),
+    "q29_bpe_tokens" -> (TextAnalysis.bpeTokenCounts _),
     "q27_frame_sample" -> (Multimodal.frameSample _),
     "q28_byte_histogram" -> (Multimodal.byteHistogram _))
 
@@ -348,6 +349,13 @@ object Queries {
         |  least(16, n_bytes - t.b * 16)::BIGINT AS frame_bytes
         |FROM m, unnest(range(0, n_blocks, 4)) AS t(b)
         |ORDER BY doc_id, frame_id""".stripMargin,
+    "q29_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+        |  round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) * 1.0
+        |        / len(string_split_regex(trim(text), '\s+')), 6) AS blowup
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q28_byte_histogram" ->
       """WITH c AS (
         |  SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,

@@ -44,6 +44,38 @@ object Multimodal {
   object FakeCodec {
     def widthCol(nBytes: Column): Column = lit(64) + nBytes % 64
     def heightCol(nBytes: Column): Column = lit(64) + (nBytes / 64).cast("long") % 64
+
+    /** Executor-side form of the same stub, for the mapPartitions path. */
+    def decodeBytes(payload: Array[Byte]): (Long, Long) = {
+      val n = payload.length.toLong
+      (64L + n % 64, 64L + (n / 64) % 64)
+    }
+  }
+
+  /** The execution shape a REAL codec runs in: one codec instance per
+    * partition, rows decoded in a partition-local loop, schema widened
+    * with the decoded fields (this is the Scala analogue of a
+    * mapInPandas decode UDF — batch-per-partition, typed output schema).
+    * The codec is injected; production passes the real library,
+    * everything else here stays identical.
+    */
+  def decodeWith(
+      df: DataFrame,
+      mediaCol: String,
+      codec: Array[Byte] => (Long, Long)): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.LongType
+    val outSchema = df.schema
+      .add("width", LongType, nullable = false)
+      .add("height", LongType, nullable = false)
+    val idx = df.schema.fieldIndex(mediaCol)
+    val c = codec
+    df.mapPartitions { rows: Iterator[Row] =>
+      rows.map { r =>
+        val (w, h) = c(r.getAs[Array[Byte]](idx))
+        Row.fromSeq(r.toSeq :+ w :+ h)
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Synthesize the media table from the documents fixture: the UTF-8

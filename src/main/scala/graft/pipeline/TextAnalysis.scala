@@ -88,6 +88,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE-ish pre-tokenization pattern: letter runs, digit runs, and
+    * single non-alphanumeric glyphs — the class of regex GPT-style BPE
+    * tokenizers apply before byte-pair merging. ASCII-restricted so the
+    * Java and DuckDB regex engines agree on the fixture corpus.
+    */
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Q29: token counting with the BPE-ish regex vs plain whitespace —
+    * per-doc counts plus the subword blow-up ratio.
+    */
+  def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0)))
+          .cast("long").as("bpe_tokens"))
+      .withColumn("blowup",
+        round(col("bpe_tokens").cast("double") / col("ws_tokens"), 6))
+      .orderBy("doc_id")
+
   /** Q21: document fingerprints — rolling hash + simhash per doc. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
