@@ -1,0 +1,101 @@
+package graft
+
+import graft.answer.{AnswerModel, EchoAnswerModel}
+import graft.embed.{Embedder, HashingEmbedder}
+import graft.ingest.{IngestJob, MdxSplitter}
+import graft.query.{ContextAssembler, SimilaritySearch}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The drop-in façade for a user of the reference library: the
+  * reference's one exported class (`VectorClient`,
+  * src/clients/vector-client.ts:54+) exposes `ingestData`,
+  * `createEmbeddings`, `queryEmbeddings`, `getAnswer`; this client maps
+  * each onto the engine's distributed pipelines. The Postgres/pgvector
+  * table becomes a parquet index path; the sequential per-chunk network
+  * loop becomes one lazy plan; the OpenAI/LLM calls become the injected
+  * [[Embedder]]/[[AnswerModel]] seams (deterministic defaults).
+  */
+object GraftClient {
+  /** Mirrors `VectorClientOptions` (vector-client.ts:9-17): chunking
+    * defaults 1000/200 are the reference's (vector-client.ts:72-73).
+    */
+  case class Config(
+      chunkSize: Int = 1000,
+      chunkOverlap: Int = 200,
+      embedDim: Int = 64)
+}
+
+final class GraftClient(
+    spark: SparkSession,
+    config: GraftClient.Config = GraftClient.Config(),
+    embedder: Embedder = HashingEmbedder.default,
+    answerModel: AnswerModel = new EchoAnswerModel) {
+
+  private def ingestCfg = IngestJob.Config(
+    chunkSize = config.chunkSize,
+    chunkOverlap = config.chunkOverlap,
+    embedDim = config.embedDim)
+
+  /** `ingestData({data, dbTable})`: split MDX documents, validate that
+    * every document's first section is `## Context` (A-6), sub-chunk,
+    * embed, and write the index table to `indexPath`.
+    *
+    * @param docs one row per document, with an id column and an MDX
+    *             string column
+    */
+  def ingest(docs: DataFrame, docIdCol: String, mdxCol: String, indexPath: String): Unit = {
+    val secs = MdxSplitter.split(docs, docIdCol, mdxCol)
+      .withColumnRenamed(docIdCol, "doc_id")
+    val bad = MdxSplitter.invalidDocs(secs, "doc_id").limit(1).count()
+    require(bad == 0, "validateContext: first chunk must start with '## Context'")
+    IngestJob.indexFrom(IngestJob.chunkSections(secs, ingestCfg, embedder))
+      .write.mode("overwrite").parquet(indexPath)
+  }
+
+  /** `createEmbeddings(question)`: one text to one vector, through the
+    * same embedder the ingest path uses (driver-side convenience over a
+    * 1-row frame so any [[Embedder]] implementation works).
+    */
+  def embedText(text: String): Array[Float] = {
+    import spark.implicits._
+    embedder.embed(Seq(text).toDF("text"), "text", "embedding")
+      .select("embedding").collect()(0)
+      .getSeq[Float](0).toArray
+  }
+
+  /** `queryEmbeddings({embeddings, threshold, count})`: threshold-filtered
+    * top-k cosine retrieval against a written index — the pgvector stored
+    * function's semantics as an explicit Spark plan (A-14).
+    * Output: content, metadata struct, sim, ordered by sim descending.
+    */
+  def query(
+      indexPath: String,
+      queryVec: Array[Float],
+      threshold: Double,
+      count: Int): DataFrame =
+    SimilaritySearch.topK(
+      spark.read.parquet(indexPath), "embedding", queryVec, count, threshold)
+      .select(col("content"), col("metadata"), col("sim"))
+
+  /** `getAnswer(question, embedding)`: group the retrieved rows by their
+    * shared document context in first-appearance order, render the
+    * `## Chunk n` prompt, call the answer model; None on model failure
+    * (mirrors the reference returning undefined, vector-client.ts:483-488).
+    */
+  def answer(question: String, hits: DataFrame): Option[String] = {
+    val ranked = hits
+      .withColumn("qid", lit(1))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("qid").orderBy(col("sim").desc, col("content"))))
+      .select(col("qid"), col("rank"),
+        col("metadata.context").as("context"), col("content"))
+    val prompts = ContextAssembler.assemblePrompt(
+        ContextAssembler.mergeByContext(ranked, "qid", "rank", "context", "content"),
+        "qid", "context", lit(question))
+      .select("prompt").collect()
+    if (prompts.isEmpty) None
+    else answerModel.answer(prompts(0).getString(0))
+  }
+}

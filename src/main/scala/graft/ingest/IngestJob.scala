@@ -82,8 +82,17 @@ object IngestJob {
       spark: SparkSession,
       dir: String,
       cfg: Config,
+      embedder: graft.embed.Embedder): DataFrame =
+    chunkSections(sections(spark, dir), cfg, embedder)
+
+  /** The pipeline core over ANY sections frame (columns doc_id, chunk_id,
+    * header, prev_header, next_header, content) — used by the fixture
+    * queries above and by [[graft.GraftClient]] on caller documents.
+    */
+  def chunkSections(
+      secs: DataFrame,
+      cfg: Config,
       embedder: graft.embed.Embedder): DataFrame = {
-    val secs = sections(spark, dir)
     val wDoc = Window.partitionBy(col("doc_id"))
 
     val projected = secs
@@ -124,7 +133,11 @@ object IngestJob {
     * row-at-a-time INSERTs.
     */
   def index(spark: SparkSession, dir: String, cfg: Config = Config()): DataFrame =
-    chunks(spark, dir, cfg).select(
+    indexFrom(chunks(spark, dir, cfg))
+
+  /** A-13 projection over any [[chunkSections]] output. */
+  def indexFrom(chunked: DataFrame): DataFrame =
+    chunked.select(
       col("doc_id"), col("chunk_id"), col("piece_id"),
       col("content"), col("embedding"),
       struct(

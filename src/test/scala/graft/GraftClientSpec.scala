@@ -1,0 +1,51 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end façade: the reference's ingest -> embed -> query -> answer
+  * sequence (README.md:42-52 of the reference) against the Spark client.
+  */
+class GraftClientSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private val mdxDocs = Seq(
+    (1L,
+      "## Context\nThe graft engine indexes MDX documentation for retrieval.\n" +
+        "## Usage\nCall ingest then query with an embedded question string.\n"),
+    (2L,
+      "## Context\nSpark pipelines shuffle data between stages by key.\n" +
+        "## Tuning\nBroadcast small tables and let AQE handle skewed joins.\n"))
+
+  test("ingest -> query -> answer round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-client").toString
+    val client = new GraftClient(spark,
+      GraftClient.Config(chunkSize = 200, chunkOverlap = 40, embedDim = 64))
+
+    client.ingest(mdxDocs.toDF("doc_id", "mdx"), "doc_id", "mdx", s"$dir/index")
+    val index = spark.read.parquet(s"$dir/index")
+    assert(index.count() == 4) // 2 docs x 2 sections, no sub-splitting at 200
+    assert(index.columns.toSet ==
+      Set("doc_id", "chunk_id", "piece_id", "content", "embedding", "metadata"))
+
+    // querying with a chunk's own embed-input text must return that chunk first
+    val qvec = client.embedText(
+      "HEADER: Usage | CONTENT: Call ingest then query with an embedded question string.")
+    val hits = client.query(s"$dir/index", qvec, threshold = 0.0, count = 3)
+    val top = hits.collect()(0)
+    assert(top.getString(0).contains("Call ingest then query"))
+
+    val ans = client.answer("How do I use it?", hits)
+    assert(ans.isDefined)
+    assert(ans.get.startsWith("ECHO: "))
+  }
+
+  test("ingest rejects documents whose first section is not ## Context") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-client-bad").toString
+    val client = new GraftClient(spark)
+    val bad = Seq((1L, "## Wrong\nno context here\n")).toDF("doc_id", "mdx")
+    val e = intercept[IllegalArgumentException] {
+      client.ingest(bad, "doc_id", "mdx", s"$dir/index")
+    }
+    assert(e.getMessage.contains("validateContext"))
+  }
+}
