@@ -101,6 +101,8 @@ object Queries {
     "q10_dedup_exact" -> (Dedup.exact _),
     "q11_text_stats" -> (TextAnalysis.statsByLang _),
     "q13_rollup" -> (Relational.q13Rollup _),
+    "q30_cube" -> (Relational.q30Cube _),
+    "q31_date_math" -> (Relational.q31DateMath _),
     "q14_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "q15_minhash_neardup" -> ((s: SparkSession, d: String) => Dedup.minhashNearDup(s, d)),
     "q16_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
@@ -303,6 +305,27 @@ object Queries {
         |round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rflag, lstatus""".stripMargin,
+    "q30_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |coalesce(l_linestatus, 'ALL') AS lstatus,
+        |round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin,
+    "q31_date_math" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(month(o_orderdate) AS INT) AS o_month,
+        |    CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+        |    strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter_start,
+        |    strftime(o_orderdate::DATE + INTERVAL 90 DAY, '%Y-%m-%d') AS due_90d,
+        |    CAST(CASE WHEN o_totalprice > 100000 THEN round(o_totalprice * 10, 0)
+        |              ELSE round(o_totalprice * 5, 0) END AS BIGINT) AS fee_cents
+        |  FROM orders)
+        |SELECT o_year, o_month, count(*) AS n_orders,
+        |  CAST(sum(fee_cents) AS BIGINT) / 100.0 AS total_fees,
+        |  min(quarter_start) AS quarter_start, max(due_90d) AS max_due
+        |FROM o GROUP BY o_year, o_month ORDER BY o_year, o_month""".stripMargin,
     "q14_ngram_jaccard" -> ngramJaccardOracle,
     "q15_minhash_neardup" -> ngramJaccardOracle,
     "q18_token_stats" ->

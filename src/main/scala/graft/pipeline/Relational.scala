@@ -91,6 +91,48 @@ object Relational {
     nation.unionAll(region).distinct().orderBy("key")
   }
 
+  /** Q30: full cube over (returnflag, linestatus) — all four grouping
+    * sets in one pass (partial aggregation expands grouping ids
+    * map-side; one shuffle).
+    */
+  def q30Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_extendedprice"), 2).as("sum_price"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("sum_price"), col("n"))
+      .orderBy("rflag", "lstatus")
+
+  /** Q31: date/scalar function surface over orders — truncation,
+    * extraction, interval arithmetic, conditional math. All evaluated
+    * inside the scan's codegen stage; the aggregation is the only
+    * shuffle.
+    */
+  def q31DateMath(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        date_format(date_trunc("quarter", col("o_orderdate")), "yyyy-MM-dd").as("quarter_start"),
+        date_format(date_add(col("o_orderdate").cast("date"), 90), "yyyy-MM-dd").as("due_90d"),
+        // fee in exact integer cents: double summation is order-dependent
+        // across partitions, so a rounded-double fee can drift a cent vs
+        // the oracle; long cents sum associatively on any plan
+        when(col("o_totalprice") > 100000, round(col("o_totalprice") * 10, 0))
+          .otherwise(round(col("o_totalprice") * 5, 0))
+          .cast("long").as("fee_cents"))
+      .groupBy("o_year", "o_month")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (sum("fee_cents") / 100.0).as("total_fees"),
+        min("quarter_start").as("quarter_start"),
+        max("due_90d").as("max_due"))
+      .orderBy("o_year", "o_month")
+
   /** Q13: rollup (grouping sets) over return flag / line status. */
   def q13Rollup(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
