@@ -85,4 +85,27 @@ object EventStream {
     q.awaitTermination()
     q
   }
+
+  /** Checkpointed streaming refresh of a serving table: every
+    * micro-batch overwrites `outPath` with the complete aggregate via
+    * foreachBatch (the parquet sink itself is append-only). Restart
+    * safety comes from the checkpoint — a resumed query replays no
+    * committed source files, and the idempotent overwrite makes the
+    * sink exactly-once from the reader's perspective.
+    */
+  def refreshToParquet(
+      agg: DataFrame,
+      outPath: String,
+      checkpointPath: String): StreamingQuery = {
+    val q = agg.writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(outPath)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q
+  }
 }

@@ -36,6 +36,18 @@ class EventStreamSpec extends AnyFunSuite with SharedSpark {
     assert(a == b)
   }
 
+  test("checkpointed parquet refresh equals batch and survives restart") {
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    val agg = EventStream.hourlyByType(EventStream.readEvents(spark, Sf0001))
+    EventStream.refreshToParquet(agg, s"$base/out", s"$base/ckpt")
+    val batch = sortedRows(Events.hourlyByType(spark, Sf0001).collect())
+    assert(sortedRows(spark.read.parquet(s"$base/out").collect()) == batch)
+    // restart with the same checkpoint: committed files are not replayed
+    // and the serving table still matches
+    EventStream.refreshToParquet(agg, s"$base/out", s"$base/ckpt")
+    assert(sortedRows(spark.read.parquet(s"$base/out").collect()) == batch)
+  }
+
   test("streaming sliding-window counts equal the batch aggregation (sf0.001)") {
     val stream = EventStream.slidingCounts(EventStream.readEvents(spark, Sf0001))
     EventStream.runToMemory(stream, "stream_sliding")
