@@ -21,6 +21,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Warm the JVM before timing: JIT + codegen compilation otherwise
+    // lands entirely on whichever query runs first and distorts its
+    // number by several seconds.
+    try {
+      spark.range(1000000).selectExpr("sum(id)").write
+        .format("noop").mode("overwrite").save()
+      Tables(spark, sfDir, "documents").limit(100)
+        .select(graft.functions.hash_embed(org.apache.spark.sql.functions.col("text"),
+          org.apache.spark.sql.functions.lit(16)))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
+
     val excluded = Set("q14_ngram_jaccard", "q20_cosine_neardup")
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq

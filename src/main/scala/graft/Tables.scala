@@ -31,6 +31,19 @@ object Tables {
     }
   }
 
+  /** Spread a small single-split input across all cores before a
+    * CPU-heavy narrow stage. The fixture tables are single-row-group
+    * parquet files, so everything upstream of the first shuffle would
+    * otherwise run on ONE core regardless of `local[32]`. No-op when the
+    * scan already has enough splits (any real corpus); when it fires, the
+    * cost is one shuffle of the small input — strictly cheaper than
+    * serializing the kernel work behind it.
+    */
+  def parallelize(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Session config every graft entry point should apply. */
   def configure(builder: SparkSession.Builder): SparkSession.Builder =
     builder

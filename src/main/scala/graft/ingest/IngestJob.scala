@@ -60,7 +60,7 @@ object IngestJob {
 
   /** A-2..A-7: sections with neighbors, ids, and validation. */
   def sections(spark: SparkSession, dir: String): DataFrame = {
-    val docs = syntheticMdx(Tables(spark, dir, "documents"))
+    val docs = syntheticMdx(Tables.parallelize(Tables(spark, dir, "documents")))
     MdxSplitter.split(docs, "doc_id", "mdx")
   }
 

@@ -40,7 +40,7 @@ object Dedup {
     * shuffling the corpus).
     */
   def exact(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.parallelize(Tables(spark, dir, "documents"))
       .groupBy(sha2(col("text"), 256).as("content_sha"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .select("doc_id", "n_copies")
@@ -51,7 +51,7 @@ object Dedup {
     * baseline that verifies the LSH path).
     */
   def ngramJaccard(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.parallelize(Tables(spark, dir, "documents"))
       .select(col("doc_id"), charGrams("text").as("grams"))
       .filter(size(col("grams")) > 0)
     val g = docs.select(col("doc_id"), explode(col("grams")).as("gram"))
@@ -90,7 +90,7 @@ object Dedup {
     * wide gram payload is shuffled only for that small survivor set.
     */
   def minhashNearDup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.parallelize(Tables(spark, dir, "documents"))
       .select(col("doc_id"), col("text"))
       .filter(length(col("text")) >= GramLen)
 
@@ -149,7 +149,7 @@ object Dedup {
     * verified with `bit_count(xor) <= maxHamming`.
     */
   def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.parallelize(Tables(spark, dir, "documents"))
       .select(col("doc_id"), simhash64(col("text")).as("sh"))
     val bands = docs.select(col("doc_id"), col("sh"),
         posexplode(expr("transform(sequence(0,3), b -> (sh >> (b * 16)) & 65535)")))

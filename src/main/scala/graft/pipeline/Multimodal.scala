@@ -83,7 +83,7 @@ object Multimodal {
     * byte n == char n and DuckDB can oracle byte arithmetic).
     */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.parallelize(Tables(spark, dir, "documents"))
       .select(
         col("doc_id"),
         col("text").cast("binary").as("media"),

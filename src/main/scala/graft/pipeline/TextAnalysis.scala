@@ -27,7 +27,7 @@ object TextAnalysis {
 
   /** Q18: whitespace-token counts aggregated by source. */
   def tokenStatsBySource(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.parallelize(Tables(spark, dir, "documents"))
       .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
     docs.groupBy("source")
       .agg(
@@ -41,7 +41,7 @@ object TextAnalysis {
     * count, type-token ratio (lexical diversity), mean token length.
     */
   def qualityPerDoc(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.parallelize(Tables(spark, dir, "documents"))
       .withColumn("toks", tokens(col("text")))
       .select(
         col("doc_id"),
@@ -67,7 +67,7 @@ object TextAnalysis {
     * fixed tie-break order above; "und" (undetermined) when no marker hits.
     */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.parallelize(Tables(spark, dir, "documents"))
       .withColumn("toks", tokens(lower(col("text"))))
     val scored = LangMarkers.foldLeft(docs) { case (df, (lang, markers)) =>
       df.withColumn(s"score_$lang",
@@ -99,7 +99,7 @@ object TextAnalysis {
     * per-doc counts plus the subword blow-up ratio.
     */
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.parallelize(Tables(spark, dir, "documents"))
       .select(
         col("doc_id"),
         size(tokens(col("text"))).cast("long").as("ws_tokens"),
@@ -111,7 +111,7 @@ object TextAnalysis {
 
   /** Q21: document fingerprints — rolling hash + simhash per doc. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
+    Tables.parallelize(Tables(spark, dir, "documents"))
       .select(
         col("doc_id"),
         rolling_hash(col("text")).as("content_fp"),
