@@ -38,7 +38,7 @@ object AnnIndex {
     * `features` is the L2-normalized MLlib vector the LSH hashes.
     */
   def prepared(df: DataFrame, idCol: String, embCol: String): DataFrame = {
-    val raw = df.select(col(idCol), col(embCol))
+    val raw = graft.Tables.parallelize(df.select(col(idCol), col(embCol)))
       .withColumn("raw_vec", array_to_vector(col(embCol).cast("array<double>")))
     new Normalizer().setInputCol("raw_vec").setOutputCol("features").setP(2.0)
       .transform(raw)
