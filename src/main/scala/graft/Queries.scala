@@ -114,6 +114,7 @@ object Queries {
     "q25_ann_join" -> ((s: SparkSession, d: String) => Dedup.annCosineNearDup(s, d)),
     "q26_multimodal_meta" -> (Multimodal.decodeMeta _),
     "q29_bpe_tokens" -> (TextAnalysis.bpeTokenCounts _),
+    "q32_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     "q27_frame_sample" -> (Multimodal.frameSample _),
     "q28_byte_histogram" -> (Multimodal.byteHistogram _))
 
@@ -328,6 +329,7 @@ object Queries {
         |FROM o GROUP BY o_year, o_month ORDER BY o_year, o_month""".stripMargin,
     "q14_ngram_jaccard" -> ngramJaccardOracle,
     "q15_minhash_neardup" -> ngramJaccardOracle,
+    "q32_dedup_clusters" -> dedupClustersOracle,
     "q18_token_stats" ->
       """SELECT source, count(*) AS n_docs,
         |CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
@@ -412,6 +414,32 @@ object Queries {
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
       |ORDER BY v1, v2""".stripMargin
+
+  private lazy val dedupClustersOracle: String =
+    """WITH RECURSIVE g AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct(list_transform(range(1, length(text) - 4),
+      |      i -> substr(text, CAST(i AS INT), 6)))) AS gram
+      |  FROM documents WHERE length(text) >= 6),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT d1, d2 FROM inter
+      |  JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+      |  WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.5),
+      |edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+      |          UNION SELECT d2, d1 FROM pairs),
+      |reach(node, r) AS (
+      |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      |  UNION
+      |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
+      |labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+      |SELECT l.node AS doc_id, l.cluster_id,
+      |  count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+      |FROM labels l ORDER BY doc_id""".stripMargin
 
   private lazy val ngramJaccardOracle: String =
     """WITH g AS (

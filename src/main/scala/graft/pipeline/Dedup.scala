@@ -182,6 +182,54 @@ object Dedup {
       .orderBy("v1", "v2")
   }
 
+  /** Connected components over an undirected pair list via min-label
+    * propagation: every node starts labeled with its own id; each
+    * iteration every node takes the minimum label among itself and its
+    * neighbors; fixpoint = component-minimum labels. Converges in
+    * O(component diameter) iterations — near-dup clusters are shallow,
+    * so this is a handful of small joins; `localCheckpoint` truncates
+    * the lineage each round so plans stay flat. Deterministic (labels
+    * are ids, no randomness).
+    */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
+      .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges.join(labels, edges("b") === labels("node"))
+        .groupBy(col("a")).agg(min("label").as("nmin"))
+      val updated = labels.join(neighborMin, labels("node") === neighborMin("a"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("new_label"))
+        .localCheckpoint()
+      changed = updated.filter(col("new_label") =!= col("label")).count()
+      labels = updated.select(col("node"), col("new_label").as("label"))
+    }
+    labels
+  }
+
+  /** Q32: dedup clustering — transitive closure of the near-dup relation
+    * (pairs from the LSH join, which equals the exact join), one row per
+    * clustered document with its canonical id (= component minimum) and
+    * cluster size. The keep/drop decision of a dedup pipeline is
+    * `doc_id == cluster_id`.
+    */
+  def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDup(spark, dir, threshold).select("d1", "d2")
+    val labels = connectedComponents(pairs)
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "label")
+      .select(
+        col("node").as("doc_id"),
+        col("label").as("cluster_id"),
+        col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
   /** Q25: embedding-cosine near-dup via the LSH-bucketed ANN join (B-3/B-4
     * scale path) — same output contract as [[cosineNearDup]] and verified
     * against the same exact DuckDB oracle; candidates come from hash
