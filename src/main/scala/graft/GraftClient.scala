@@ -18,12 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object GraftClient {
   /** Mirrors `VectorClientOptions` (vector-client.ts:9-17): chunking
-    * defaults 1000/200 are the reference's (vector-client.ts:72-73).
+    * defaults 1000/200 are the reference's (vector-client.ts:72-73);
+    * `template` is the reference's required prompt template with
+    * `{question}` / `{context}` slots (vector-client.ts:470-475).
     */
   case class Config(
       chunkSize: Int = 1000,
       chunkOverlap: Int = 200,
-      embedDim: Int = 64)
+      embedDim: Int = 64,
+      template: String = "# Question\n{question}\n\n# Context\n{context}")
+
+  /** The reference's columnar query result (vector-client.ts:48-51):
+    * index-aligned parallel arrays of chunk contents and their contexts.
+    */
+  case class Embedding(context: Seq[String], metadataContext: Seq[String])
 }
 
 final class GraftClient(
@@ -78,10 +86,26 @@ final class GraftClient(
       spark.read.parquet(indexPath), "embedding", queryVec, count, threshold)
       .select(col("content"), col("metadata"), col("sim"))
 
+  /** [[query]] projected to the reference's columnar result shape
+    * (parallel index-aligned arrays, vector-client.ts:411-414).
+    */
+  def queryEmbedding(
+      indexPath: String,
+      queryVec: Array[Float],
+      threshold: Double,
+      count: Int): GraftClient.Embedding = {
+    val rows = query(indexPath, queryVec, threshold, count)
+      .select(col("content"), col("metadata.context")).collect()
+    GraftClient.Embedding(
+      rows.map(_.getString(0)).toSeq,
+      rows.map(_.getString(1)).toSeq)
+  }
+
   /** `getAnswer(question, embedding)`: group the retrieved rows by their
     * shared document context in first-appearance order, render the
-    * `## Chunk n` prompt, call the answer model; None on model failure
-    * (mirrors the reference returning undefined, vector-client.ts:483-488).
+    * `## Chunk n` blocks, fill the configured `{question}`/`{context}`
+    * template, call the answer model; None on model failure (mirrors the
+    * reference returning undefined, vector-client.ts:483-488).
     */
   def answer(question: String, hits: DataFrame): Option[String] = {
     val ranked = hits
@@ -91,11 +115,20 @@ final class GraftClient(
           .partitionBy("qid").orderBy(col("sim").desc, col("content"))))
       .select(col("qid"), col("rank"),
         col("metadata.context").as("context"), col("content"))
-    val prompts = ContextAssembler.assemblePrompt(
-        ContextAssembler.mergeByContext(ranked, "qid", "rank", "context", "content"),
-        "qid", "context", lit(question))
+    val merged = ContextAssembler.mergeByContext(ranked, "qid", "rank", "context", "content")
+    val blocks = ContextAssembler.assemblePrompt(merged, "qid", "context", lit(""))
       .select("prompt").collect()
-    if (prompts.isEmpty) None
-    else answerModel.answer(prompts(0).getString(0))
+    if (blocks.isEmpty) None
+    else {
+      // assemblePrompt renders the default frame; extract the chunk
+      // blocks and fill the caller's template (reference
+      // PromptTemplate.format semantics)
+      val rendered = blocks(0).getString(0)
+      val contextPart = rendered.substring(rendered.indexOf("# Context\n") + "# Context\n".length)
+      val prompt = config.template
+        .replace("{question}", question)
+        .replace("{context}", contextPart)
+      answerModel.answer(prompt)
+    }
   }
 }

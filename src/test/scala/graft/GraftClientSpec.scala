@@ -37,6 +37,24 @@ class GraftClientSpec extends AnyFunSuite with SharedSpark {
     val ans = client.answer("How do I use it?", hits)
     assert(ans.isDefined)
     assert(ans.get.startsWith("ECHO: "))
+
+    // columnar result shape: parallel index-aligned arrays
+    val emb = client.queryEmbedding(s"$dir/index", qvec, threshold = 0.0, count = 3)
+    assert(emb.context.length == emb.metadataContext.length)
+    assert(emb.context.head.contains("Call ingest then query"))
+  }
+
+  test("answer fills a caller-supplied template") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-client-tpl").toString
+    val client = new GraftClient(spark,
+      GraftClient.Config(chunkSize = 200, chunkOverlap = 40,
+        template = "Q={question} CTX={context}"))
+    client.ingest(mdxDocs.toDF("doc_id", "mdx"), "doc_id", "mdx", s"$dir/index")
+    val qvec = client.embedText("anything")
+    val hits = client.query(s"$dir/index", qvec, threshold = -1.0, count = 2)
+    val ans = client.answer("why?", hits)
+    assert(ans.isDefined)
+    assert(ans.get.contains("Q=why?"))
   }
 
   test("ingest rejects documents whose first section is not ## Context") {
