@@ -103,6 +103,9 @@ object Queries {
     "q13_rollup" -> (Relational.q13Rollup _),
     "q30_cube" -> (Relational.q30Cube _),
     "q31_date_math" -> (Relational.q31DateMath _),
+    "q33_sliding_window" -> (Events.slidingCounts _),
+    "q34_outer_join" -> (Relational.q34OuterJoin _),
+    "q35_window_running" -> (Relational.q35WindowRunning _),
     "q14_ngram_jaccard" -> ((s: SparkSession, d: String) => Dedup.ngramJaccard(s, d)),
     "q15_minhash_neardup" -> ((s: SparkSession, d: String) => Dedup.minhashNearDup(s, d)),
     "q16_simhash_neardup" -> ((s: SparkSession, d: String) => Dedup.simhashNearDup(s, d)),
@@ -330,6 +333,29 @@ object Queries {
     "q14_ngram_jaccard" -> ngramJaccardOracle,
     "q15_minhash_neardup" -> ngramJaccardOracle,
     "q32_dedup_clusters" -> dedupClustersOracle,
+    // every event lies in exactly 4 of the 1h/15m sliding windows, whose
+    // starts are the event's 15-min bucket minus k*15min, k=0..3
+    "q33_sliding_window" ->
+      """SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE,
+        |  '%Y-%m-%d %H:%M:%S') AS w_start, event_type, count(*) AS n
+        |FROM events, (SELECT unnest(range(0, 4)) AS k) k
+        |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
+    "q34_outer_join" ->
+      """SELECT n_nationkey, n_name,
+        |  count(s_suppkey) AS n_suppliers,
+        |  coalesce(round(sum(s_acctbal), 2), 0.0) AS total_acctbal
+        |FROM nation LEFT OUTER JOIN supplier ON n_nationkey = s_nationkey
+        |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
+    "q35_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS cum_spend,
+        |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS avg3,
+        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk,
+        |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS drnk
+        |FROM orders WHERE o_custkey % 100 = 0
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q18_token_stats" ->
       """SELECT source, count(*) AS n_docs,
         |CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,

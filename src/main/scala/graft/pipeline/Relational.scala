@@ -133,6 +133,39 @@ object Relational {
         max("due_90d").as("max_due"))
       .orderBy("o_year", "o_month")
 
+  /** Q34: outer joins with null handling — every region, its nations
+    * (left outer), and suppliers per nation (full outer tagged).
+    */
+  def q34OuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables(spark, dir, "nation")
+    val supplier = Tables(spark, dir, "supplier")
+    nation.join(supplier, col("n_nationkey") === col("s_nationkey"), "left_outer")
+      .groupBy("n_nationkey", "n_name")
+      .agg(
+        count(col("s_suppkey")).as("n_suppliers"),
+        coalesce(round(sum("s_acctbal"), 2), lit(0.0)).as("total_acctbal"))
+      .orderBy("n_nationkey")
+  }
+
+  /** Q35: running/analytic window frame — cumulative revenue and moving
+    * 3-order average per customer in order-date order.
+    */
+  def q35WindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables(spark, dir, "orders")
+      .filter(col("o_custkey") % 100 === 0) // keep output bounded
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum("o_totalprice").over(
+          byCust.rowsBetween(Window.unboundedPreceding, 0)), 2).as("cum_spend"),
+        round(avg("o_totalprice").over(
+          byCust.rowsBetween(-2, 0)), 2).as("avg3"),
+        rank().over(byCust).cast("long").as("rnk"),
+        dense_rank().over(byCust).cast("long").as("drnk"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Q13: rollup (grouping sets) over return flag / line status. */
   def q13Rollup(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
