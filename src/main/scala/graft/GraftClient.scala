@@ -116,18 +116,15 @@ final class GraftClient(
       .select(col("qid"), col("rank"),
         col("metadata.context").as("context"), col("content"))
     val merged = ContextAssembler.mergeByContext(ranked, "qid", "rank", "context", "content")
-    val blocks = ContextAssembler.assemblePrompt(merged, "qid", "context", lit(""))
-      .select("prompt").collect()
+    val blocks = ContextAssembler.assembleBlocks(merged, "qid", "context")
+      .select("chunks").collect()
     if (blocks.isEmpty) None
     else {
-      // assemblePrompt renders the default frame; extract the chunk
-      // blocks and fill the caller's template (reference
-      // PromptTemplate.format semantics)
-      val rendered = blocks(0).getString(0)
-      val contextPart = rendered.substring(rendered.indexOf("# Context\n") + "# Context\n".length)
+      // reference PromptTemplate.format semantics: fill the configured
+      // template's slots with the question and the rendered chunk blocks
       val prompt = config.template
         .replace("{question}", question)
-        .replace("{context}", contextPart)
+        .replace("{context}", blocks(0).getString(0))
       answerModel.answer(prompt)
     }
   }

@@ -77,23 +77,37 @@ object MinHashKernel {
     new GenericArrayData(out)
   }
 
-  /** One-pass signature straight from text: slides a `gramLen`-byte
-    * window over the UTF-8 payload, FNV-hashes each window, updates the
-    * running minima. No gram materialization, no per-gram UTF8String
-    * allocation, no `array_distinct` (min over a multiset equals min over
-    * the set) — this is the candidate-generation kernel; exact
-    * verification still uses real character grams.
+  /** One-pass signature straight from text: slides a `gramLen`-CHARACTER
+    * window over the UTF-8 payload (windows aligned to code-point starts,
+    * so each window's bytes are exactly the UTF-8 encoding of the
+    * character gram — the hash matches `fnv64(gram)` on any corpus, not
+    * just ASCII), FNV-hashes each window, updates the running minima. No
+    * gram materialization, no per-gram UTF8String allocation, no
+    * `array_distinct` (min over a multiset equals min over the set) —
+    * this is the candidate-generation kernel; exact verification still
+    * uses real character grams.
     */
   def signatureFromText(text: UTF8String, gramLen: Int, numHashes: Int): ArrayData = {
     val (a, b) = cached(numHashes)
     val out = Array.fill(numHashes)(Prime)
     val bytes = text.getBytes
-    val n = bytes.length - gramLen + 1
+    // offsets of each character start, plus the terminal offset
+    val starts = new Array[Int](text.numChars() + 1)
+    var p = 0
+    var c = 0
+    while (p < bytes.length) {
+      starts(c) = p
+      p += UTF8String.numBytesForFirstByte(bytes(p))
+      c += 1
+    }
+    starts(c) = bytes.length
+    val nGrams = c - gramLen + 1
     var g = 0
-    while (g < n) {
+    while (g < nGrams) {
       var h = 0xcbf29ce484222325L
-      var j = g
-      while (j < g + gramLen) { h ^= (bytes(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
+      var j = starts(g)
+      val end = starts(g + gramLen)
+      while (j < end) { h ^= (bytes(j) & 0xffL); h *= 0x100000001b3L; j += 1 }
       val x = h & 0x7fffffffL
       var i = 0
       while (i < numHashes) {

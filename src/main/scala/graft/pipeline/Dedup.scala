@@ -89,43 +89,61 @@ object Dedup {
     * pairs pay the full `array_intersect` exact verification — and the
     * wide gram payload is shuffled only for that small survivor set.
     */
-  def minhashNearDup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val docs = Tables.parallelize(Tables(spark, dir, "documents"))
-      .select(col("doc_id"), col("text"))
-      .filter(length(col("text")) >= GramLen)
-
-    // One-pass text->signature kernel: no gram materialization for
-    // candidate generation (min over a multiset = min over the set).
-    val sigs = docs.select(
+  /** One-pass text->signature kernel: no gram materialization for
+    * candidate generation (min over a multiset = min over the set).
+    * Persisted — the signature scan feeds the band explode AND both
+    * sides of the estimator join, and is the dominant per-row cost.
+    */
+  private[graft] def minhashSigs(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       graft.functions.minhash_text(col("text"), lit(GramLen), lit(NumHashes)).as("sig"))
+      .persist()
 
+  /** (band, bucket) rows per document — the LSH shuffle key. */
+  private[graft] def minhashBands(sigs: DataFrame): DataFrame = {
     val numBands = NumHashes / BandRows
-    val bands = sigs.select(
+    sigs.select(
         col("doc_id"),
         posexplode(expr(s"transform(sequence(0, ${numBands - 1}), b -> " +
           s"hash(b, slice(sig, b * $BandRows + 1, $BandRows)))")))
       .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
+  }
 
-    // Band collisions are NOT deduplicated before filtering: the
-    // estimator is one codegen'd 128-long compare per row, far cheaper
-    // than a distinct() shuffle of the multi-million-pair candidate
-    // multiset. Signatures attach via (auto-broadcast-able) joins, so the
-    // collision stream stays within one stage after the bucket shuffle.
-    // Floor = 0.6·threshold: ≥4.5σ below the estimator mean of a true
-    // threshold pair (miss ~3e-6), yet it rejects the j ≲ 0.25 mass that
-    // 64×2 banding admits.
-    val estFloor = threshold * 0.6
-    val collisions = bands.as("a").join(bands.as("b"),
+  /** Raw band-bucket collision pairs, NOT deduplicated. */
+  private[graft] def minhashCollisions(bands: DataFrame): DataFrame =
+    bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-    val plausible = collisions
+
+  /** Signature-estimator pre-filter + dedup of the survivor pairs.
+    * Collisions are filtered BEFORE any distinct: the estimator is one
+    * codegen'd 128-long compare per row, far cheaper than a distinct()
+    * shuffle of the multi-million-pair collision multiset. Floor =
+    * 0.6·threshold: ≥4.5σ below the estimator mean of a true threshold
+    * pair (miss ~3e-6), yet it rejects the j ≲ 0.25 mass that 64×2
+    * banding admits.
+    */
+  private[graft] def minhashPlausible(
+      collisions: DataFrame,
+      sigs: DataFrame,
+      threshold: Double): DataFrame = {
+    val estFloor = threshold * 0.6
+    collisions
       .join(sigs.select(col("doc_id").as("d1"), col("sig").as("s1")), "d1")
       .join(sigs.select(col("doc_id").as("d2"), col("sig").as("s2")), "d2")
       .filter(graft.functions.sig_jaccard_est(col("s1"), col("s2")) >= estFloor)
       .select("d1", "d2")
       .distinct() // now a few hundred rows, not millions
+  }
+
+  def minhashNearDup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.parallelize(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= GramLen)
+    val sigs = minhashSigs(docs)
+    val plausible = minhashPlausible(minhashCollisions(minhashBands(sigs)), sigs, threshold)
 
     // Exact verification: real character grams computed only for the
     // survivor pairs.

@@ -133,8 +133,9 @@ object Relational {
         max("due_90d").as("max_due"))
       .orderBy("o_year", "o_month")
 
-  /** Q34: outer joins with null handling — every region, its nations
-    * (left outer), and suppliers per nation (full outer tagged).
+  /** Q34: left outer join with null handling — every nation keeps a row
+    * even with zero suppliers (count over the nullable key, coalesced
+    * balance total).
     */
   def q34OuterJoin(spark: SparkSession, dir: String): DataFrame = {
     val nation = Tables(spark, dir, "nation")

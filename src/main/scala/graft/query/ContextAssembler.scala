@@ -41,16 +41,16 @@ object ContextAssembler {
             x => x.getField("c")),
           "\n").as("merged"))
 
-  /** A-16: render each context group as a `## Chunk n` block (n = 1-based
-    * first-appearance order) and fold the groups into one prompt per
-    * query with the `# Question / # Context` template fill
-    * (vector-client.ts:446-475).
+  /** A-16 first half: render each context group as a `## Chunk n` block
+    * (n = 1-based first-appearance order) and fold the blocks into one
+    * `chunks` string per query (vector-client.ts:446-463). Exposed so
+    * callers with their own prompt template ([[graft.GraftClient]]) can
+    * fill it without re-parsing a rendered frame.
     */
-  def assemblePrompt(
+  def assembleBlocks(
       merged: DataFrame,
       queryId: String,
-      contextCol: String,
-      question: org.apache.spark.sql.Column): DataFrame = {
+      contextCol: String): DataFrame = {
     val w = Window.partitionBy(col(queryId)).orderBy(col("first_seen"))
     merged
       .withColumn("chunk_n", row_number().over(w))
@@ -67,8 +67,18 @@ object ContextAssembler {
             array_sort(collect_list(struct(col("chunk_n").as("n"), col("block").as("b")))),
             x => x.getField("b")),
           "").as("chunks"))
+  }
+
+  /** A-16: chunk blocks + the default `# Question / # Context` template
+    * fill (vector-client.ts:465-475).
+    */
+  def assemblePrompt(
+      merged: DataFrame,
+      queryId: String,
+      contextCol: String,
+      question: org.apache.spark.sql.Column): DataFrame =
+    assembleBlocks(merged, queryId, contextCol)
       .withColumn("prompt",
         concat(lit("# Question\n"), question, lit("\n\n# Context\n"), col("chunks")))
       .drop("chunks")
-  }
 }

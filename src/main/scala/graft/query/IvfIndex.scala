@@ -73,10 +73,20 @@ object IvfIndex {
       .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
       .toSeq.toDF("centroid_id", "center")
 
+    // Probe ranking MUST use the assignment metric: cells were assigned
+    // by Euclidean distance of the NORMALIZED vector to the centroid
+    // (centroids are means of unit vectors, so their norms differ and
+    // cosine ranking would probe different cells than assignment used,
+    // systematically missing neighbors the index contains).
+    val qNorm = graft.query.AnnIndex.prepared(
+        queries.select(col(queryIdCol), col(queryVecCol).as("__qv")), queryIdCol, "__qv")
+      .select(col(queryIdCol), col("__qv").as(queryVecCol),
+        org.apache.spark.ml.functions.vector_to_array(col("features"))
+          .cast("array<float>").as("__qnorm"))
     val wCent = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("csim").desc, col("centroid_id").asc)
-    val probes = queries.crossJoin(centersDf)
-      .withColumn("csim", cosine_sim(col(queryVecCol), col("center")))
+      .orderBy(col("cdist").asc, col("centroid_id").asc)
+    val probes = qNorm.crossJoin(centersDf)
+      .withColumn("cdist", graft.functions.l2_dist_sq(col("__qnorm"), col("center")))
       .withColumn("crank", row_number().over(wCent))
       .filter(col("crank") <= nProbe)
       .select(col(queryIdCol), col(queryVecCol), col("centroid_id"))

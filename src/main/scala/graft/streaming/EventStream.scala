@@ -39,12 +39,7 @@ object EventStream {
     val schema = eventsSchema(spark, dir)
     val src = new java.io.File(s"$dir/events.parquet")
     val streamPath =
-      if (src.isFile) {
-        val tmp = java.nio.file.Files.createTempDirectory("graft-events-replay")
-        java.nio.file.Files.createSymbolicLink(
-          tmp.resolve("events.parquet"), src.toPath.toAbsolutePath)
-        tmp.toString
-      } else src.getPath
+      if (src.isFile) EventStream.stagedReplayDir(src) else src.getPath
     val raw = spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -54,6 +49,22 @@ object EventStream {
       case _ => raw
     }
   }
+
+  /** Replay-staging directories, cached per source file so repeated
+    * readEvents calls (tests, restarts) reuse one symlinked dir instead
+    * of leaking a temp directory per call; removed on JVM exit.
+    */
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedReplayDir(src: java.io.File): String =
+    stagedDirs.computeIfAbsent(src.getAbsolutePath, { _ =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-events-replay")
+      val link = tmp.resolve("events.parquet")
+      java.nio.file.Files.createSymbolicLink(link, src.toPath.toAbsolutePath)
+      link.toFile.deleteOnExit()
+      tmp.toFile.deleteOnExit()
+      tmp.toString
+    })
 
   /** Watermarked tumbling 1-hour counts per event type (streaming Q8). */
   def hourlyByType(events: DataFrame, watermark: String = "10 minutes"): DataFrame =

@@ -30,34 +30,21 @@ object PlanAudit {
     }
 
     if (what == "q15" || what == "all") {
-      import graft.pipeline.Dedup._
-      val docs = Tables(spark, sfDir, "documents")
+      // instrument the REAL q15 stages (same private[graft] builders the
+      // query uses), so the audit cannot drift from the pipeline
+      import graft.pipeline.Dedup
+      val docs = Tables.parallelize(Tables(spark, sfDir, "documents"))
         .select(col("doc_id"), col("text"))
-        .filter(length(col("text")) >= GramLen)
-      val sigs = docs.select(
-        col("doc_id"),
-        graft.functions.minhash_text(col("text"), lit(GramLen), lit(NumHashes)).as("sig"))
+        .filter(length(col("text")) >= Dedup.GramLen)
+      val sigs = Dedup.minhashSigs(docs)
       timed("q15 sig compute")(println(s"[audit] sigs: ${sigs.count()}"))
-      val numBands = NumHashes / BandRows
-      val bands = sigs.select(
-          col("doc_id"),
-          posexplode(expr(s"transform(sequence(0, ${numBands - 1}), b -> " +
-            s"hash(b, slice(sig, b * $BandRows + 1, $BandRows)))")))
-        .select(col("doc_id"), col("pos").as("band"), col("col").as("bucket"))
-      val collisions = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      val collisions = Dedup.minhashCollisions(Dedup.minhashBands(sigs))
       timed("q15 raw band collisions")(println(s"[audit] collisions: ${collisions.count()}"))
-      val plausible = collisions
-        .join(sigs.select(col("doc_id").as("d1"), col("sig").as("s1")), "d1")
-        .join(sigs.select(col("doc_id").as("d2"), col("sig").as("s2")), "d2")
-        .filter(graft.functions.sig_jaccard_est(col("s1"), col("s2")) >= 0.3)
-        .select("d1", "d2")
-        .distinct()
+      val plausible = Dedup.minhashPlausible(collisions, sigs, threshold = 0.5)
       timed("q15 est-filter survivors")(println(s"[audit] plausible: ${plausible.count()}"))
       println("[audit] q15 plausible plan:")
       plausible.explain("formatted")
+      sigs.unpersist()
     }
 
     if (what == "q25" || what == "all") {

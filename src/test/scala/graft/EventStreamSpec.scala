@@ -36,6 +36,23 @@ class EventStreamSpec extends AnyFunSuite with SharedSpark {
     assert(a == b)
   }
 
+  test("no fixture has an exactly-30-minute gap (the q8c/q8b boundary)") {
+    // session_window uses half-open [ts, ts+gap) windows (an exact-gap
+    // event starts a NEW session) while the gaps-and-islands query and
+    // its oracle use strict '>' (same session). Their shared oracle is
+    // only sound while no consecutive per-user gap is exactly the gap.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    for (sf <- Seq(Sf0001, Sf001)) {
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val exact = Tables(spark, sf, "events")
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+        .filter(col("gap_us") === 30L * 60 * 1000000)
+      assert(exact.count() == 0, s"exact 30-min gap present in $sf")
+    }
+  }
+
   test("checkpointed parquet refresh equals batch and survives restart") {
     val base = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
     val agg = EventStream.hourlyByType(EventStream.readEvents(spark, Sf0001))
