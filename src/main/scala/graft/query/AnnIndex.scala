@@ -119,6 +119,42 @@ object AnnIndex {
       .select(col(queryIdCol), col(idCol), col("sim"), col("rn"))
   }
 
+  /** Two-dataset similarity join (B-3): all (a, b) pairs across two
+    * vector tables with cosine ≥ simThreshold — same LSH candidate
+    * generation as [[selfJoin]] but hashing both sides with one fitted
+    * model (fit on the larger side) and bucket-joining across datasets.
+    * Output: (a_id, b_id, sim).
+    */
+  def crossJoin(
+      dfA: DataFrame,
+      idColA: String,
+      dfB: DataFrame,
+      idColB: String,
+      embCol: String,
+      simThreshold: Double,
+      params: Params = Params()): DataFrame = {
+    require(simThreshold > -1.0 && simThreshold < 1.0, "simThreshold in (-1, 1)")
+    require(idColA != idColB, "id columns must have distinct names")
+    val prepA = prepared(dfA, idColA, embCol)
+    val prepB = prepared(dfB, idColB, embCol)
+    val model = fit(prepA, params)
+    def buckets(prep: DataFrame, idCol: String) =
+      model.transform(prep)
+        .select(col(idCol), posexplode(col("hashes")))
+        .select(col(idCol), col("pos").as("table"),
+          element_at(vector_to_array(col("col")), 1).cast("long").as("bucket"))
+    val collisions = buckets(prepA, idColA).as("a")
+      .join(buckets(prepB, idColB).as("b"), Seq("table", "bucket"))
+      .select(col(s"a.$idColA"), col(s"b.$idColB"))
+    collisions
+      .join(dfA.select(col(idColA), col(embCol).as("e1")), idColA)
+      .join(dfB.select(col(idColB), col(embCol).as("e2")), idColB)
+      .withColumn("sim", cosine_sim(col("e1"), col("e2")))
+      .filter(col("sim") >= simThreshold)
+      .select(col(idColA), col(idColB), col("sim"))
+      .distinct()
+  }
+
   /** All pairs with cosine similarity ≥ simThreshold, via LSH candidate
     * generation + exact verification. Output: (v1, v2, sim), v1 < v2.
     *

@@ -39,4 +39,20 @@ class AnnIndexSpec extends AnyFunSuite with SharedSpark {
     // every returned query got at most k hits
     assert(ann.groupBy(_._1).forall(_._2.size <= 5))
   }
+
+  test("two-dataset ANN cross join equals the exact cross join (sf0.001)") {
+    import org.apache.spark.sql.functions._
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    val a = e.filter(col("vec_id") % 2 === 0).withColumnRenamed("vec_id", "a_id")
+    val b = e.filter(col("vec_id") % 2 === 1).withColumnRenamed("vec_id", "b_id")
+    val ann = AnnIndex.crossJoin(a, "a_id", b, "b_id", "embedding", 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = a.as("x").crossJoin(b.as("y"))
+      .withColumn("sim", graft.functions.cosine_sim(
+        col("x.embedding"), col("y.embedding")))
+      .filter(col("sim") >= 0.35)
+      .select("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ann == exact)
+  }
 }
