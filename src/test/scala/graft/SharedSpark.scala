@@ -9,6 +9,8 @@ object SharedSpark {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
       .appName("graft-test")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
