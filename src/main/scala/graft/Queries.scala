@@ -118,6 +118,7 @@ object Queries {
     "q26_multimodal_meta" -> (Multimodal.decodeMeta _),
     "q29_bpe_tokens" -> (TextAnalysis.bpeTokenCounts _),
     "q32_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
+    "q36_quality_ratios" -> (TextAnalysis.qualityRatios _),
     "q27_frame_sample" -> (Multimodal.frameSample _),
     "q28_byte_histogram" -> (Multimodal.byteHistogram _))
 
@@ -333,6 +334,23 @@ object Queries {
     "q14_ngram_jaccard" -> ngramJaccardOracle,
     "q15_minhash_neardup" -> ngramJaccardOracle,
     "q32_dedup_clusters" -> dedupClustersOracle,
+    "q36_quality_ratios" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    string_split_regex(trim(lower(text)), '\s+') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
+        |        * 1.0 / length(text), 6) AS punct_ratio,
+        |  round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+        |        * 1.0 / length(text), 6) AS upper_ratio,
+        |  round((length(text) - length(regexp_replace(text, '[ \t\n\f\r]', '', 'g')))
+        |        * 1.0 / length(text), 6) AS ws_ratio,
+        |  round(len(list_filter(toks, t -> list_contains(
+        |    ['the','and','of','to','in','is','that','with','a','an',
+        |     'for','on','as','are','was','be','by','at','it','this'], t)))
+        |        * 1.0 / len(toks), 6) AS stopword_ratio
+        |FROM s ORDER BY doc_id""".stripMargin,
     // every event lies in exactly 4 of the 1h/15m sliding windows, whose
     // starts are the event's 15-min bucket minus k*15min, k=0..3
     "q33_sliding_window" ->

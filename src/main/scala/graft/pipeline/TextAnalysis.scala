@@ -88,6 +88,46 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** English stopwords for the quality-ratio heuristic (the lang-ID
+    * marker set plus the most frequent function words).
+    */
+  val EnStopwords: Seq[String] = Seq(
+    "the", "and", "of", "to", "in", "is", "that", "with", "a", "an",
+    "for", "on", "as", "are", "was", "be", "by", "at", "it", "this")
+
+  /** Q36: heuristic quality ratios per document — punctuation density,
+    * uppercase-letter density, stopword fraction of tokens, and
+    * whitespace fraction. The standard cheap filters a training-data
+    * pipeline applies before expensive scoring.
+    */
+  def qualityRatios(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelize(Tables(spark, dir, "documents"))
+    val toks = tokens(lower(col("text")))
+    docs.select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[\\p{Punct}]", ""))).cast("long")
+          .as("n_punct"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[A-Z]", ""))).cast("long")
+          .as("n_upper"),
+        // explicit class: Java \s includes \x0B, RE2 (DuckDB) \s does not
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[ \\t\\n\\f\\r]", ""))).cast("long")
+          .as("n_ws"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => t.isInCollection(EnStopwords))).cast("long")
+          .as("n_stop"))
+      .select(
+        col("doc_id"),
+        round(col("n_punct").cast("double") / col("n_chars"), 6).as("punct_ratio"),
+        round(col("n_upper").cast("double") / col("n_chars"), 6).as("upper_ratio"),
+        round(col("n_ws").cast("double") / col("n_chars"), 6).as("ws_ratio"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stopword_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** BPE-ish pre-tokenization pattern: letter runs, digit runs, and
     * single non-alphanumeric glyphs — the class of regex GPT-style BPE
     * tokenizers apply before byte-pair merging. ASCII-restricted so the
