@@ -365,15 +365,26 @@ object Queries {
         |FROM nation LEFT OUTER JOIN supplier ON n_nationkey = s_nationkey
         |GROUP BY n_nationkey, n_name ORDER BY n_nationkey""".stripMargin,
     "q35_window_running" ->
-      """SELECT o_custkey, o_orderkey,
-        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2) AS cum_spend,
-        |  round(avg(o_totalprice) OVER (PARTITION BY o_custkey
-        |    ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS avg3,
-        |  rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk,
-        |  dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS drnk
-        |FROM orders WHERE o_custkey % 100 = 0
-        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate,
+        |    CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders WHERE o_custkey % 100 = 0),
+        |w AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, cents,
+        |    CAST(sum(cents) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+        |    CAST(sum(cents) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS sum3,
+        |    count(*) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS cnt3,
+        |    rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk,
+        |    dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS drnk
+        |  FROM o)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(cum_c AS DOUBLE) / 100.0 AS cum_spend,
+        |  CAST((sum3 * 2 + cnt3) // (cnt3 * 2) AS DOUBLE) / 100.0 AS avg3,
+        |  rnk, drnk
+        |FROM w ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q18_token_stats" ->
       """SELECT source, count(*) AS n_docs,
         |CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,

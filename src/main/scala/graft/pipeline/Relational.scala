@@ -154,14 +154,23 @@ object Relational {
   def q35WindowRunning(spark: SparkSession, dir: String): DataFrame = {
     val byCust = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    val cum = byCust.rowsBetween(Window.unboundedPreceding, 0)
+    val last3 = byCust.rowsBetween(-2, 0)
+    // exact integer cents end-to-end: a double running average can land
+    // exactly on a half-cent (observed at sf0.1: a 2-row frame averaging
+    // to ·725), where Spark rounds the shortest decimal representation
+    // and DuckDB rounds the binary value — so the half-up rounding is
+    // done in INTEGER arithmetic ((2s+n) div 2n) and only the exact
+    // 2-decimal result is converted to double
     Tables(spark, dir, "orders")
       .filter(col("o_custkey") % 100 === 0) // keep output bounded
+      .withColumn("cents", round(col("o_totalprice") * 100, 0).cast("long"))
+      .withColumn("sum3", sum("cents").over(last3))
+      .withColumn("cnt3", count(lit(1)).over(last3))
       .select(
         col("o_custkey"), col("o_orderkey"),
-        round(sum("o_totalprice").over(
-          byCust.rowsBetween(Window.unboundedPreceding, 0)), 2).as("cum_spend"),
-        round(avg("o_totalprice").over(
-          byCust.rowsBetween(-2, 0)), 2).as("avg3"),
+        (sum("cents").over(cum).cast("double") / 100.0).as("cum_spend"),
+        (expr("(sum3 * 2 + cnt3) div (cnt3 * 2)").cast("double") / 100.0).as("avg3"),
         rank().over(byCust).cast("long").as("rnk"),
         dense_rank().over(byCust).cast("long").as("drnk"))
       .orderBy("o_custkey", "o_orderkey")
