@@ -334,23 +334,7 @@ object Queries {
     "q14_ngram_jaccard" -> ngramJaccardOracle,
     "q15_minhash_neardup" -> ngramJaccardOracle,
     "q32_dedup_clusters" -> dedupClustersOracle,
-    "q36_quality_ratios" ->
-      """WITH s AS (
-        |  SELECT doc_id, text,
-        |    string_split_regex(trim(lower(text)), '\s+') AS toks
-        |  FROM documents)
-        |SELECT doc_id,
-        |  round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))
-        |        * 1.0 / length(text), 6) AS punct_ratio,
-        |  round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
-        |        * 1.0 / length(text), 6) AS upper_ratio,
-        |  round((length(text) - length(regexp_replace(text, '[ \t\n\f\r]', '', 'g')))
-        |        * 1.0 / length(text), 6) AS ws_ratio,
-        |  round(len(list_filter(toks, t -> list_contains(
-        |    ['the','and','of','to','in','is','that','with','a','an',
-        |     'for','on','as','are','was','be','by','at','it','this'], t)))
-        |        * 1.0 / len(toks), 6) AS stopword_ratio
-        |FROM s ORDER BY doc_id""".stripMargin,
+    "q36_quality_ratios" -> qualityRatiosOracle,
     // every event lies in exactly 4 of the 1h/15m sliding windows, whose
     // starts are the event's 15-min bucket minus k*15min, k=0..3
     "q33_sliding_window" ->
@@ -469,6 +453,30 @@ object Queries {
       |FROM e a JOIN e b ON a.vec_id < b.vec_id
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.35
       |ORDER BY v1, v2""".stripMargin
+
+  /** Built from the Scala stopword constant so the lists cannot drift;
+    * ratios use the same integer half-up rounding as the engine (see
+    * TextAnalysis.qualityRatios — `round(double, 6)` ties diverge
+    * between engines).
+    */
+  private lazy val qualityRatiosOracle: String = {
+    val stop = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")
+    s"""WITH s AS (
+       |  SELECT doc_id, length(text)::BIGINT AS n_chars,
+       |    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::BIGINT AS n_punct,
+       |    (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::BIGINT AS n_upper,
+       |    (length(text) - length(regexp_replace(text, '[ \\t\\n\\f\\r]', '', 'g')))::BIGINT AS n_ws,
+       |    len(string_split_regex(trim(lower(text)), '\\s+'))::BIGINT AS n_tokens,
+       |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |        t -> list_contains($stop, t)))::BIGINT AS n_stop
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST((n_punct * 2000000 + n_chars) // (n_chars * 2) AS DOUBLE) / 1000000.0 AS punct_ratio,
+       |  CAST((n_upper * 2000000 + n_chars) // (n_chars * 2) AS DOUBLE) / 1000000.0 AS upper_ratio,
+       |  CAST((n_ws * 2000000 + n_chars) // (n_chars * 2) AS DOUBLE) / 1000000.0 AS ws_ratio,
+       |  CAST((n_stop * 2000000 + n_tokens) // (n_tokens * 2) AS DOUBLE) / 1000000.0 AS stopword_ratio
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
 
   private lazy val dedupClustersOracle: String =
     """WITH RECURSIVE g AS (

@@ -29,5 +29,8 @@ object Bucketing {
       keyA: String,
       tableB: String,
       keyB: String): DataFrame =
-    spark.table(tableA).join(spark.table(tableB), col(keyA) === col(keyB))
+    // aliased so same-named bucket keys (the natural co-bucketed case)
+    // resolve unambiguously
+    spark.table(tableA).as("a")
+      .join(spark.table(tableB).as("b"), col(s"a.$keyA") === col(s"b.$keyB"))
 }

@@ -88,21 +88,27 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  /** English stopwords for the quality-ratio heuristic (the lang-ID
-    * marker set plus the most frequent function words).
+  /** English stopwords for the quality-ratio heuristic: the lang-ID "en"
+    * marker set (derived, so the lists cannot drift) plus the most
+    * frequent remaining function words.
     */
-  val EnStopwords: Seq[String] = Seq(
-    "the", "and", "of", "to", "in", "is", "that", "with", "a", "an",
-    "for", "on", "as", "are", "was", "be", "by", "at", "it", "this")
+  val EnStopwords: Seq[String] =
+    LangMarkers.head._2 ++ Seq(
+      "a", "an", "for", "on", "as", "are", "was", "be", "by", "at", "it", "this")
 
   /** Q36: heuristic quality ratios per document — punctuation density,
     * uppercase-letter density, stopword fraction of tokens, and
     * whitespace fraction. The standard cheap filters a training-data
-    * pipeline applies before expensive scoring.
+    * pipeline applies before expensive scoring. Ratios are rounded
+    * half-up in INTEGER arithmetic ((2k·10^6 + n) div 2n, then /10^6):
+    * `round(double, 6)` ties diverge between Spark (shortest-decimal
+    * HALF_UP) and DuckDB (binary) — the q35 bug class.
     */
   def qualityRatios(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.parallelize(Tables(spark, dir, "documents"))
     val toks = tokens(lower(col("text")))
+    def ratio6(k: String, n: String): Column =
+      expr(s"cast(($k * 2000000 + $n) div ($n * 2) as double)") / 1000000.0
     docs.select(
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
@@ -121,10 +127,10 @@ object TextAnalysis {
           .as("n_stop"))
       .select(
         col("doc_id"),
-        round(col("n_punct").cast("double") / col("n_chars"), 6).as("punct_ratio"),
-        round(col("n_upper").cast("double") / col("n_chars"), 6).as("upper_ratio"),
-        round(col("n_ws").cast("double") / col("n_chars"), 6).as("ws_ratio"),
-        round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stopword_ratio"))
+        ratio6("n_punct", "n_chars").as("punct_ratio"),
+        ratio6("n_upper", "n_chars").as("upper_ratio"),
+        ratio6("n_ws", "n_chars").as("ws_ratio"),
+        ratio6("n_stop", "n_tokens").as("stopword_ratio"))
       .orderBy("doc_id")
   }
 

@@ -121,8 +121,9 @@ object AnnIndex {
 
   /** Two-dataset similarity join (B-3): all (a, b) pairs across two
     * vector tables with cosine ≥ simThreshold — same LSH candidate
-    * generation as [[selfJoin]] but hashing both sides with one fitted
-    * model (fit on the larger side) and bucket-joining across datasets.
+    * generation as [[selfJoin]] but hashing both sides with one model
+    * fitted on `dfA` (fitting only reads the vector dimension, so pass a
+    * non-empty frame as `dfA`) and bucket-joining across datasets.
     * Output: (a_id, b_id, sim).
     */
   def crossJoin(
