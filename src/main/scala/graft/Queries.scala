@@ -119,6 +119,7 @@ object Queries {
     "q29_bpe_tokens" -> (TextAnalysis.bpeTokenCounts _),
     "q32_dedup_clusters" -> ((s: SparkSession, d: String) => Dedup.dedupClusters(s, d)),
     "q36_quality_ratios" -> (TextAnalysis.qualityRatios _),
+    "q37_media_resize" -> (Multimodal.resize _),
     "q27_frame_sample" -> (Multimodal.frameSample _),
     "q28_byte_histogram" -> (Multimodal.byteHistogram _))
 
@@ -335,6 +336,23 @@ object Queries {
     "q15_minhash_neardup" -> ngramJaccardOracle,
     "q32_dedup_clusters" -> dedupClustersOracle,
     "q36_quality_ratios" -> qualityRatiosOracle,
+    // resized payload = every 2nd byte; ASCII fixture => char == byte,
+    // so DuckDB reconstructs the strided string and hashes it
+    "q37_media_resize" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    octet_length(text::BLOB)::BIGINT AS orig_bytes,
+        |    array_to_string(list_transform(range(1, length(text) + 1, 2),
+        |      i -> substr(text, CAST(i AS INT), 1)), '') AS resized
+        |  FROM documents)
+        |SELECT doc_id, media_type, orig_bytes,
+        |  length(resized)::BIGINT AS resized_bytes,
+        |  md5(resized) AS resized_md5,
+        |  (64 + length(resized) % 64)::BIGINT AS width,
+        |  (64 + (length(resized) // 64) % 64)::BIGINT AS height
+        |FROM r ORDER BY doc_id""".stripMargin,
     // every event lies in exactly 4 of the 1h/15m sliding windows, whose
     // starts are the event's 15-min bucket minus k*15min, k=0..3
     "q33_sliding_window" ->

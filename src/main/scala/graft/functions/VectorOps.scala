@@ -123,6 +123,20 @@ object VectorOps {
     out
   }
 
+  /** Every `stride`-th byte of a payload, starting at byte 0 — the
+    * deterministic stand-in for a media downsample/resize (a real codec
+    * resamples pixels; the Spark-side contract is just binary -> smaller
+    * binary plus updated metadata).
+    */
+  def byteStride(bytes: Array[Byte], stride: Int): Array[Byte] = {
+    if (bytes == null || stride <= 0) return Array.emptyByteArray
+    val n = (bytes.length + stride - 1) / stride
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = bytes(i * stride); i += 1 }
+    out
+  }
+
   /** Polynomial rolling hash (Rabin-Karp style) of the full string —
     * cheap content fingerprint for exact-dup keys.
     */

@@ -135,6 +135,28 @@ case class ByteHistogram(child: Expression, binsExpr: Expression)
     copy(child = l, binsExpr = r)
 }
 
+/** `byte_stride(binary, stride)` -> binary of every stride-th byte
+  * (deterministic media downsample stand-in).
+  */
+case class ByteStride(child: Expression, strideExpr: Expression)
+    extends BinaryExpression with Serializable {
+  override def prettyName: String = "byte_stride"
+  override def left: Expression = child
+  override def right: Expression = strideExpr
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(b: Any, s: Any): Any =
+    VectorOps.byteStride(b.asInstanceOf[Array[Byte]], s.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, s) =>
+      s"${ev.value} = graft.functions.VectorOps.byteStride($b, $s);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, strideExpr = r)
+}
+
 /** Polynomial rolling-hash content fingerprint. */
 case class RollingHash(child: Expression) extends UnaryExpression
     with Serializable {

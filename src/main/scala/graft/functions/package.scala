@@ -29,6 +29,8 @@ package object functions {
     Bridge.column(ChunkText(st(text), b(size.cast("int")), b(overlap.cast("int"))))
   def byte_histogram(bin: Column, bins: Column): Column =
     Bridge.column(ByteHistogram(b(bin.cast("binary")), b(bins.cast("int"))))
+  def byte_stride(bin: Column, stride: Column): Column =
+    Bridge.column(ByteStride(b(bin.cast("binary")), b(stride.cast("int"))))
 
   /** Register all graft functions for SQL text / `call_function`. */
   def registerAll(spark: SparkSession): Unit = {
@@ -44,5 +46,6 @@ package object functions {
     Bridge.register(spark, "minhash_text", es => MinHashText(es(0), es(1), es(2)))
     Bridge.register(spark, "chunk_text", es => ChunkText(es(0), es(1), es(2)))
     Bridge.register(spark, "byte_histogram", es => ByteHistogram(es(0), es(1)))
+    Bridge.register(spark, "byte_stride", es => ByteStride(es(0), es(1)))
   }
 }

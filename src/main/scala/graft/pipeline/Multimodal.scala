@@ -128,6 +128,27 @@ object Multimodal {
       .orderBy("doc_id", "frame_id")
   }
 
+  val ResizeStride = 2
+
+  /** Q37: media "resize" — deterministic byte-stride downsample (every
+    * [[ResizeStride]]-th byte) with the metadata recomputed for the new
+    * payload; a real codec swaps the kernel for pixel resampling, the
+    * schema/plumbing contract is identical. Row-local, no shuffle.
+    */
+  def resize(spark: SparkSession, dir: String): DataFrame =
+    mediaTable(spark, dir)
+      .withColumn("resized",
+        graft.functions.byte_stride(col("media"), lit(ResizeStride)))
+      .withColumn("resized_bytes", length(col("resized")).cast("long"))
+      .select(
+        col("doc_id"), col("media_type"),
+        col("n_bytes").as("orig_bytes"),
+        col("resized_bytes"),
+        md5(col("resized")).as("resized_md5"),
+        FakeCodec.widthCol(col("resized_bytes")).as("width"),
+        FakeCodec.heightCol(col("resized_bytes")).as("height"))
+      .orderBy("doc_id")
+
   /** Q28: byte-histogram feature extraction — [[HistBins]] buckets per
     * payload via the native kernel, exploded to scalar rows for the
     * oracle compare (the array form is `byte_histogram(media, bins)`).
