@@ -16,23 +16,36 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
+    // Pre-clean: a query failing BEFORE its overwrite starts would
+    // otherwise leave a stale result from a previous run in place, and
+    // the downstream compare would pass falsely on old data.
+    val outRoot = new java.io.File(outDir)
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(deleteRec))
+      f.delete()
+    }
+    if (outRoot.exists()) deleteRec(outRoot)
+    outRoot.mkdirs()
     // 4 queries in flight: actions are thread-safe on one SparkSession,
     // outputs go to disjoint directories, and overlapping the many small
-    // single-partition writes roughly halves the wall time
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
-      pool.submit(new Runnable {
-        def run(): Unit =
-          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-            .parquet(s"$outDir/$name")
-          catch { case e: Throwable =>
-            System.err.println(s"[verify] $name failed: ${e.getMessage}")
-          }
-      })
-    }
-    tasks.foreach(_.get())
-    pool.shutdown()
+    // single-partition writes roughly halves the wall time. Daemon
+    // threads + finally so an escaping error exits instead of hanging
+    // the JVM on non-daemon workers.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4,
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t })
+    try {
+      val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            catch { case e: Throwable =>
+              System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -162,15 +162,31 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  /** Q16: SimHash near-dup — 64-bit fingerprints, banded into 4×16-bit
-    * keys (a pair within Hamming distance 3 must collide on ≥1 band),
-    * verified with `bit_count(xor) <= maxHamming`.
+  /** SimHash banding layout — shared with the completeness property test
+    * so a change here is checked against the pigeonhole precondition
+    * (maxHamming < SimHashBands) rather than silently losing pairs.
     */
-  def simhashNearDup(spark: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+  val SimHashBands = 4
+  val SimHashBandBits = 16
+  val SimHashMaxHamming = 3
+
+  /** Q16: SimHash near-dup — 64-bit fingerprints, banded into
+    * [[SimHashBands]]×[[SimHashBandBits]]-bit keys (a pair within
+    * Hamming distance maxHamming < bands must collide on ≥1 band by
+    * pigeonhole), verified with `bit_count(xor) <= maxHamming`.
+    */
+  def simhashNearDup(
+      spark: SparkSession,
+      dir: String,
+      maxHamming: Int = SimHashMaxHamming): DataFrame = {
+    require(maxHamming < SimHashBands,
+      "pigeonhole completeness requires maxHamming < number of bands")
+    val mask = (1L << SimHashBandBits) - 1
     val docs = Tables.parallelize(Tables(spark, dir, "documents"))
       .select(col("doc_id"), simhash64(col("text")).as("sh"))
     val bands = docs.select(col("doc_id"), col("sh"),
-        posexplode(expr("transform(sequence(0,3), b -> (sh >> (b * 16)) & 65535)")))
+        posexplode(expr(s"transform(sequence(0, ${SimHashBands - 1}), " +
+          s"b -> (sh >> (b * $SimHashBandBits)) & $mask)")))
       .select(col("doc_id"), col("sh"), col("pos").as("band"), col("col").as("bucket"))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

@@ -39,6 +39,30 @@ class MinHashSpec extends AnyFunSuite {
       new GenericArrayData(Array.empty[Any])) == 0.0)
   }
 
+  test("simhash banding is complete for Hamming distance <= maxHamming (property)") {
+    // q16's candidate generation joins on the disjoint bands declared in
+    // Dedup; by pigeonhole any pair within Hamming distance < bands must
+    // agree on >= 1 band, so banding + exact verify equals the
+    // brute-force pair set (what lets the golden oracle brute-force it).
+    // Derived from the production constants so a layout change re-checks
+    // the precondition here.
+    import graft.pipeline.Dedup.{SimHashBands, SimHashBandBits, SimHashMaxHamming}
+    assert(SimHashMaxHamming < SimHashBands, "pigeonhole precondition broken")
+    assert(SimHashBands * SimHashBandBits == 64, "bands must tile the fingerprint")
+    val mask = (1L << SimHashBandBits) - 1
+    val fpGen = Gen.long
+    val flipsGen = Gen.choose(0, SimHashMaxHamming).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 63)).map(_.distinct))
+    val p = Prop.forAll(fpGen, flipsGen) { (fp, flips) =>
+      val other = flips.foldLeft(fp)((v, b) => v ^ (1L << b))
+      (0 until SimHashBands).exists(b =>
+        ((fp >>> (b * SimHashBandBits)) & mask) ==
+          ((other >>> (b * SimHashBandBits)) & mask))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), p)
+    assert(res.passed, s"scalacheck: ${res.status}")
+  }
+
   test("estJaccard tracks true Jaccard within estimator error (property)") {
     val gramGen = Gen.choose(0, 400).map(i => s"gram$i")
     val setGen = Gen.choose(10, 120).flatMap(n => Gen.listOfN(n, gramGen).map(_.distinct))
