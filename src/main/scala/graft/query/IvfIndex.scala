@@ -9,25 +9,57 @@ import org.apache.spark.sql.functions._
 /** IVF (inverted-file) ANN index — the second scale path for similarity
   * search next to [[AnnIndex]]'s LSH: k-means coarse centroids over
   * L2-normalized vectors, index rows stored parquet-partitioned BY CELL,
-  * queries probe only their `nProbe` nearest cells.
+  * plus one radius row per cell for the query-time completeness bound.
   *
-  * 100 TB shape: the build is one KMeans fit (sampled, seed-fixed) + one
-  * assignment pass + a partitioned write; a query batch touches
-  * `nProbe / nCentroids` of the index files — the partition filter on
-  * `centroid_id` prunes whole directories at the source, which is the
-  * property LSH bucketing cannot give a columnar store. Recall is
-  * probabilistic (a neighbor in an unprobed cell is missed); returned
-  * similarities are exact.
+  * Retrieval is EXACT, not recall-probabilistic: a query probes its
+  * nearest cell(s), takes the running k-th best similarity as a floor,
+  * and then probes only cells whose triangle-inequality bound says they
+  * could still contribute — for any member x of cell c,
+  * `d(q,x) >= d(q,centroid_c) - radius_c`, so on unit vectors
+  * `sim(q,x) <= 1 - max(0, d(q,centroid_c) - radius_c)^2 / 2`. Cells
+  * whose bound cannot beat the floor are skipped wholesale; every probed
+  * candidate is ranked by the exact cosine kernel. On a clustered corpus
+  * the bound prunes most cells; on an adversarially isotropic corpus it
+  * degrades toward a full scan rather than silently dropping neighbors.
+  *
+  * 100 TB shape: the build is one KMeans fit + one assignment pass + a
+  * partitioned write; the per-cell radius aggregation is one tiny
+  * shuffle. A query batch reads only the cells that survive the bound —
+  * the join on the `centroid_id` partition column prunes whole
+  * directories at the source, which is the property LSH bucketing cannot
+  * give a columnar store.
   */
 object IvfIndex {
 
+  /** maxIter=10: the coarse quantizer does not need tight convergence —
+    * centroid quality only moves the probe count (the query bound is
+    * exact for any centroid set), and each Lloyd iteration is a full
+    * distributed pass over the fit input.
+    */
   case class Params(
       nCentroids: Int = 16,
-      maxIter: Int = 20,
+      maxIter: Int = 10,
       seed: Long = 42L)
 
-  /** Fit centroids, assign every vector, persist model + cells
-    * (parquet partitioned by centroid_id).
+  /** Fixed partition count + in-partition sort for the KMeans fit input.
+    * The fit's tree aggregation sums floats in partition/row order, so
+    * centroids (and the cell assignment of boundary vectors) would
+    * otherwise depend on the session's core count — an index built at
+    * local[4] must be bit-identical to one built at local[32] so that
+    * probe-cost characteristics validated on one layout hold on another.
+    * (Correctness never depends on this: the query-time bound is exact
+    * for ANY centroid set.)
+    */
+  val BuildPartitions = 8
+
+  /** Absorbs float-vs-double kernel noise when the stored radius is
+    * reused at query time; padding only adds probes, never drops them.
+    */
+  private val RadiusPad = 1e-6
+
+  /** Fit centroids, assign every vector, persist model + cells (parquet
+    * partitioned by centroid_id) + per-cell radii (the completeness
+    * bound's data).
     */
   def build(
       df: DataFrame,
@@ -36,25 +68,67 @@ object IvfIndex {
       outPath: String,
       params: Params = Params()): KMeansModel = {
     val prep = AnnIndex.prepared(df, idCol, embCol)
+      .repartition(BuildPartitions, col(idCol))
+      .sortWithinPartitions(idCol)
     val model = new KMeans()
       .setK(params.nCentroids)
       .setMaxIter(params.maxIter)
       .setSeed(params.seed)
+      // seeded random init: k-means|| costs several extra distributed
+      // passes per build for marginally better coarse cells — IVF only
+      // needs a reasonable space partition (the query bound is exact for
+      // any centroid set), and random init keeps the build one
+      // iteration-loop of jobs
+      .setInitMode("random")
       .setFeaturesCol("features")
       .setPredictionCol("centroid_id")
       .fit(prep)
-    model.write.overwrite().save(s"$outPath/model")
-    model.transform(prep)
-      .select(col(idCol), col(embCol), col("centroid_id"))
-      .write.partitionBy("centroid_id").mode("overwrite")
-      .parquet(s"$outPath/cells")
+    val assigned = model.transform(prep)
+      .select(col(idCol), col(embCol), col("centroid_id"),
+        org.apache.spark.ml.functions.vector_to_array(col("features"))
+          .cast("array<float>").as("__norm"))
+      .persist()
+    try {
+      assigned
+        .select(col(idCol), col(embCol), col("centroid_id"))
+        .write.partitionBy("centroid_id").mode("overwrite")
+        .parquet(s"$outPath/cells")
+      // one tiny frame per index: each cell's centroid plus the max
+      // distance of a member's normalized vector to it — the radius in
+      // the query-time triangle bound. (The fitted MLlib model is NOT
+      // persisted: retrieval needs only this, and the MLlib writer/reader
+      // round-trip costs more jobs than the rest of the build.)
+      assigned
+        .join(broadcast(centersOf(df.sparkSession, model)), "centroid_id")
+        .withColumn("d", sqrt(graft.functions.l2_dist_sq(col("__norm"), col("center"))))
+        .groupBy("centroid_id")
+        .agg(max(col("d")).as("radius"))
+        .join(broadcast(centersOf(df.sparkSession, model)), "centroid_id")
+        .select(col("centroid_id"), col("center"), col("radius"))
+        .write.mode("overwrite").parquet(s"$outPath/cells_meta")
+    } finally assigned.unpersist()
     model
   }
 
-  /** Batch top-k against a built IVF index: rank centroids per query
-    * (tiny broadcast cross join), probe the top-`nProbe` cells via a
-    * join on the partition column (dynamic partition pruning skips the
-    * rest of the index), verify with exact cosine, window top-k.
+  private def centersOf(spark: SparkSession, model: KMeansModel): DataFrame = {
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("centroid_id", "center")
+  }
+
+  /** Batch top-k against a built IVF index, exact by the cell-radius
+    * bound. `probeWidth` is a cost knob, not a recall knob: the first
+    * pass probes the `probeWidth` nearest cells to seed the k-th-best
+    * floor (wider = tighter floor = fewer second-pass probes for dense
+    * query batches); the second pass probes exactly the cells whose
+    * bound still reaches that floor. Output: (queryIdCol, idCol, sim,
+    * rn) — rn 1..k by descending exact sim, ties broken by ascending id.
+    *
+    * Probe ranking uses the assignment metric (Euclidean distance of
+    * the NORMALIZED query to the centroid): centroids are means of unit
+    * vectors with varying norms, so cosine ranking would probe
+    * different cells than assignment used.
     */
   def queryTopK(
       spark: SparkSession,
@@ -66,37 +140,59 @@ object IvfIndex {
       queryVecCol: String,
       k: Int,
       threshold: Double,
-      nProbe: Int = 4): DataFrame = {
-    val model = KMeansModel.load(s"$indexPath/model")
-    import spark.implicits._
-    val centersDf = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-      .toSeq.toDF("centroid_id", "center")
+      probeWidth: Int = 1): DataFrame = {
+    // (centroid_id, center, radius) — only populated cells have a row,
+    // and only populated cells can produce candidates
+    val cellMeta = broadcast(spark.read.parquet(s"$indexPath/cells_meta"))
 
-    // Probe ranking MUST use the assignment metric: cells were assigned
-    // by Euclidean distance of the NORMALIZED vector to the centroid
-    // (centroids are means of unit vectors, so their norms differ and
-    // cosine ranking would probe different cells than assignment used,
-    // systematically missing neighbors the index contains).
-    val qNorm = graft.query.AnnIndex.prepared(
+    val qNorm = AnnIndex.prepared(
         queries.select(col(queryIdCol), col(queryVecCol).as("__qv")), queryIdCol, "__qv")
       .select(col(queryIdCol), col("__qv").as(queryVecCol),
         org.apache.spark.ml.functions.vector_to_array(col("features"))
           .cast("array<float>").as("__qnorm"))
+
+    // per (query, cell): probe-order distance + completeness bound
     val wCent = Window.partitionBy(col(queryIdCol))
       .orderBy(col("cdist").asc, col("centroid_id").asc)
-    val probes = qNorm.crossJoin(centersDf)
-      .withColumn("cdist", graft.functions.l2_dist_sq(col("__qnorm"), col("center")))
+    val qCells = qNorm.crossJoin(cellMeta)
+      .withColumn("cdist",
+        sqrt(graft.functions.l2_dist_sq(col("__qnorm"), col("center"))))
+      .withColumn("ub_sim",
+        lit(1.0) - pow(
+          greatest(lit(0.0), col("cdist") - col("radius") - lit(RadiusPad)), 2) / 2)
       .withColumn("crank", row_number().over(wCent))
-      .filter(col("crank") <= nProbe)
-      .select(col(queryIdCol), col(queryVecCol), col("centroid_id"))
+      .select(col(queryIdCol), col(queryVecCol), col("centroid_id"),
+        col("ub_sim"), col("crank"))
 
     val cells = spark.read.parquet(s"$indexPath/cells")
+    // probe: candidates of the selected (query, cell) rows, exact-ranked
+    def probe(sel: DataFrame): DataFrame =
+      cells.join(
+          broadcast(sel.select(col(queryIdCol), col(queryVecCol), col("centroid_id"))),
+          "centroid_id")
+        .withColumn("sim", cosine_sim(col(embCol), col(queryVecCol)))
+        .filter(col("sim") > threshold)
+        .select(col(queryIdCol), col(idCol), col("sim"))
+
     val wTop = Window.partitionBy(col(queryIdCol))
       .orderBy(col("sim").desc, col(idCol).asc)
-    cells.join(broadcast(probes), "centroid_id")
-      .withColumn("sim", cosine_sim(col(embCol), col(queryVecCol)))
-      .filter(col("sim") > threshold)
+    val pass1 = probe(qCells.filter(col("crank") <= probeWidth))
+    // per-query floor: the k-th best pass-1 similarity (absent when the
+    // nearest cells held fewer than k candidates -> floor = threshold)
+    val floor = pass1
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === k)
+      .select(col(queryIdCol), col("sim").as("floor_sim"))
+    // second pass: exactly the cells whose bound can still matter. >= on
+    // the floor (not >): a bound-equal cell can hold a tie that wins the
+    // ascending-id tie-break.
+    val pass2 = probe(
+      qCells.filter(col("crank") > probeWidth)
+        .join(floor, Seq(queryIdCol), "left")
+        .filter(col("ub_sim") > threshold &&
+          col("ub_sim") >= coalesce(col("floor_sim"), lit(threshold))))
+
+    pass1.unionByName(pass2)
       .withColumn("rn", row_number().over(wTop).cast("long"))
       .filter(col("rn") <= k)
       .select(col(queryIdCol), col(idCol), col("sim"), col("rn"))

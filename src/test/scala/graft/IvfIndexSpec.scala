@@ -6,31 +6,61 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class IvfIndexSpec extends AnyFunSuite with SharedSpark {
 
-  test("IVF build partitions cells; probed top-k recalls the exact top-k") {
+  private def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select(col("query_id").cast("long"), col("vec_id").cast("long"),
+        col("rn").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("IVF build partitions cells + radii; bounded top-k EQUALS the exact top-k") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
     IvfIndex.build(e, "vec_id", "embedding", dir,
       IvfIndex.Params(nCentroids = 8))
 
-    // partitioned layout on disk
+    // partitioned layout on disk + one radius row per populated cell
     val cellDirs = new java.io.File(s"$dir/cells").listFiles()
       .filter(_.getName.startsWith("centroid_id=")).length
     assert(cellDirs > 1 && cellDirs <= 8)
     assert(spark.read.parquet(s"$dir/cells").count() == e.count())
+    val meta = spark.read.parquet(s"$dir/cells_meta")
+    assert(meta.count() == cellDirs)
+    // single-member cells have radius exactly 0 (centroid == member)
+    assert(meta.filter(col("radius") < 0).isEmpty)
 
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    // the fixture embeddings are near-uniform on the sphere (no cluster
-    // structure), the worst case for IVF — probe 6 of 8 cells for a
-    // stable recall bound; clustered corpora need far fewer probes
+    // the fixture embeddings are near-uniform on the sphere — the worst
+    // case for IVF pruning — and the radius bound must still return the
+    // exact answer (it degrades to probing more cells, never to misses)
     val ivf = IvfIndex.queryTopK(spark, dir, "vec_id", "embedding",
-        queries, "query_id", "qvec", k = 5, threshold = 0.0, nProbe = 6)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      queries, "query_id", "qvec", k = 5, threshold = 0.0)
     val exact = SimilaritySearch.topKBatch(
-        e, "embedding", "vec_id", queries, "query_id", "qvec", k = 5, threshold = 0.0)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      e, "embedding", "vec_id", queries, "query_id", "qvec", k = 5, threshold = 0.0)
+    assert(topkSet(ivf) == topkSet(exact))
+  }
 
-    val recall = ivf.intersect(exact).size.toDouble / exact.size
-    assert(recall >= 0.8, s"IVF recall $recall below bound (got ${ivf.size} hits)")
+  test("clustered corpus: bound stays exact where pruning actually bites") {
+    import spark.implicits._
+    // 4 tight clusters around orthogonal axes: cell radii are small, so
+    // the triangle bound prunes distant cells; the answer must still be
+    // identical to brute force
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 200L).map { i =>
+      val axis = (i % 4).toInt
+      val base = Array.fill(8)(0.0f)
+      base(axis) = 1.0f
+      val v = base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (i, v)
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-clustered").toString
+    IvfIndex.build(e, "vec_id", "embedding", dir, IvfIndex.Params(nCentroids = 4))
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val ivf = IvfIndex.queryTopK(spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 3, threshold = 0.1)
+    val exact = SimilaritySearch.topKBatch(
+      e, "embedding", "vec_id", queries, "query_id", "qvec", k = 3, threshold = 0.1)
+    assert(topkSet(ivf) == topkSet(exact))
   }
 }
