@@ -16,13 +16,19 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
-  /** Shared transform: tumbling 1-hour counts per event type. */
+  /** Shared transform: tumbling 1-hour counts per event type. Groups on
+    * a real event-time `window` (not a formatted string of ts): the
+    * output is identical in batch, and in streaming it is what lets the
+    * watermark actually evict window state and drop late rows — a
+    * string-keyed group would aggregate forever.
+    */
   def hourlyByTypeDf(events: DataFrame): DataFrame =
     events
-      .groupBy(
-        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
-        col("event_type"))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
 
   /** Q8: tumbling 1-hour window counts per event type. */
   def hourlyByType(spark: SparkSession, dir: String): DataFrame =

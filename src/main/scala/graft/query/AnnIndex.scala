@@ -28,11 +28,21 @@ object AnnIndex {
     * (τ=0.35 → dist 1.14) this recalls every qualifying pair on the
     * fixture corpus (validated against the exact q20 oracle at sf0.01 and
     * sf0.1); raise tables for higher recall at lower τ.
+    *
+    * maxBucketOccupancy bounds the quadratic collision blow-up of a hot
+    * (table, bucket) in the self/cross joins: over-cap buckets are
+    * excluded from candidate generation with a logged drop count
+    * ([[graft.util.BucketGuard]]); collapse exact duplicates upstream
+    * first. The batch-retrieval path ([[queryTopK]]) is NOT capped — its
+    * join fan-out is occupancy × matching queries (linear, bounded by
+    * the small query batch), and capping there would silently drop true
+    * neighbors from results.
     */
   case class Params(
       numHashTables: Int = 16,
       bucketLength: Double = 1.0,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      maxBucketOccupancy: Int = 10000)
 
   /** Project (id, array<float>) to (id, embedding, features) where
     * `features` is the L2-normalized MLlib vector the LSH hashes.
@@ -144,8 +154,10 @@ object AnnIndex {
         .select(col(idCol), posexplode(col("hashes")))
         .select(col(idCol), col("pos").as("table"),
           element_at(vector_to_array(col("col")), 1).cast("long").as("bucket"))
-    val collisions = buckets(prepA, idColA).as("a")
-      .join(buckets(prepB, idColB).as("b"), Seq("table", "bucket"))
+    def capped(b: DataFrame, side: String) = graft.util.BucketGuard.capOccupancy(
+      b, Seq("table", "bucket"), params.maxBucketOccupancy, s"AnnIndex.crossJoin $side")
+    val collisions = capped(buckets(prepA, idColA), "left").as("a")
+      .join(capped(buckets(prepB, idColB), "right").as("b"), Seq("table", "bucket"))
       .select(col(s"a.$idColA"), col(s"b.$idColB"))
     collisions
       .join(dfA.select(col(idColA), col(embCol).as("e1")), idColA)
@@ -179,12 +191,14 @@ object AnnIndex {
     val prep = prepared(df, idCol, embCol)
     val model = fit(prep, params)
     // one row per (vector, hash table): the table's bucket id
-    val buckets = model.transform(prep)
-      .select(col(idCol), posexplode(col("hashes")))
-      .select(
-        col(idCol),
-        col("pos").as("table"),
-        element_at(vector_to_array(col("col")), 1).cast("long").as("bucket"))
+    val buckets = graft.util.BucketGuard.capOccupancy(
+      model.transform(prep)
+        .select(col(idCol), posexplode(col("hashes")))
+        .select(
+          col(idCol),
+          col("pos").as("table"),
+          element_at(vector_to_array(col("col")), 1).cast("long").as("bucket")),
+      Seq("table", "bucket"), params.maxBucketOccupancy, "AnnIndex.selfJoin")
     val collisions = buckets.as("a").join(buckets.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col(s"a.$idCol") < col(s"b.$idCol"))

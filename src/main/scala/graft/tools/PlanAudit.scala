@@ -33,10 +33,7 @@ object PlanAudit {
       // instrument the REAL q15 stages (same private[graft] builders the
       // query uses), so the audit cannot drift from the pipeline
       import graft.pipeline.Dedup
-      val docs = Tables.parallelize(Tables(spark, sfDir, "documents"))
-        .select(col("doc_id"), col("text"))
-        .filter(length(col("text")) >= Dedup.GramLen)
-      val sigs = Dedup.minhashSigs(docs)
+      val sigs = Dedup.minhashSigs(spark, sfDir)
       timed("q15 sig compute")(println(s"[audit] sigs: ${sigs.count()}"))
       val collisions = Dedup.minhashCollisions(Dedup.minhashBands(sigs))
       timed("q15 raw band collisions")(println(s"[audit] collisions: ${collisions.count()}"))
@@ -44,7 +41,7 @@ object PlanAudit {
       timed("q15 est-filter survivors")(println(s"[audit] plausible: ${plausible.count()}"))
       println("[audit] q15 plausible plan:")
       plausible.explain("formatted")
-      sigs.unpersist()
+      Dedup.unpersistSigs(spark, sfDir)
     }
 
     if (what == "q25" || what == "all") {

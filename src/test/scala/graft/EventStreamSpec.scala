@@ -65,6 +65,45 @@ class EventStreamSpec extends AnyFunSuite with SharedSpark {
     assert(sortedRows(spark.read.parquet(s"$base/out").collect()) == batch)
   }
 
+  test("watermark drops a late row older than the watermark (update mode)") {
+    // The one B-7 behavior AvailableNow+complete never exercises: state
+    // eviction + late-row drop. Two micro-batches through a memory
+    // source; the second carries a row whose 1-hour window closed before
+    // the watermark (max_ts - 10 min) advanced past it.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = new java.sql.Timestamp(java.time.Instant.parse(s).toEpochMilli)
+
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = EventStream.hourlyByType(
+      input.toDF().toDF("ts", "event_type", "value"), watermark = "10 minutes")
+    val q = agg.writeStream
+      .format("memory").queryName("late_drop").outputMode("update").start()
+    try {
+      // batch 1: advances the watermark to 11:00 - 10 min = 10:50
+      input.addData(
+        (ts("2024-01-01T10:15:00Z"), "click", 1.0),
+        (ts("2024-01-01T11:00:00Z"), "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: 09:30 is late (its [09:00,10:00) window closed before
+      // the 10:50 watermark) and must be DROPPED; 11:30 is on time
+      input.addData(
+        (ts("2024-01-01T09:30:00Z"), "click", 5.0),
+        (ts("2024-01-01T11:30:00Z"), "click", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("late_drop").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(!out.exists(_._1 == "2024-01-01 09:00:00"),
+      s"late row leaked into a closed window: ${out.mkString(", ")}")
+    // the on-time 11:30 row did update its window in the same batch the
+    // late row was dropped from
+    assert(out.contains(("2024-01-01 11:00:00", 2L, 2.0)),
+      s"on-time row missing from update output: ${out.mkString(", ")}")
+  }
+
   test("streaming sliding-window counts equal the batch aggregation (sf0.001)") {
     val stream = EventStream.slidingCounts(EventStream.readEvents(spark, Sf0001))
     EventStream.runToMemory(stream, "stream_sliding")
