@@ -148,9 +148,15 @@ object IngestJob {
   /** Run ingest and persist the index. Fails the job if any document's
     * first section is not `## Context` (A-6, vector-client.ts:161-170).
     */
-  def run(spark: SparkSession, dir: String, outPath: String, cfg: Config = Config()): Unit = {
+  def run(spark: SparkSession, dir: String, outPath: String, cfg: Config = Config()): Unit =
+    run(spark, dir, ParquetSink(outPath), cfg)
+
+  /** [[run]] against any [[IndexSink]] — parquet system of record by
+    * default, JDBC serving table for reference migrations (A-13).
+    */
+  def run(spark: SparkSession, dir: String, sink: IndexSink, cfg: Config): Unit = {
     val bad = MdxSplitter.invalidDocs(sections(spark, dir), "doc_id").limit(1).count()
     require(bad == 0, "validateContext: first chunk must start with '## Context'")
-    index(spark, dir, cfg).write.mode("overwrite").parquet(outPath)
+    sink.write(index(spark, dir, cfg))
   }
 }
