@@ -488,13 +488,18 @@ object Queries {
         |  least(16, n_bytes - t.b * 16)::BIGINT AS frame_bytes
         |FROM m, unnest(range(0, n_blocks, 4)) AS t(b)
         |ORDER BY doc_id, frame_id""".stripMargin,
+    // explicit whitespace class + integer half-up blowup: mirrors
+    // TextAnalysis.BpeTokenPattern / bpeTokenCounts exactly
     "q29_bpe_tokens" ->
-      """SELECT doc_id,
-        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
-        |  round(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) * 1.0
-        |        / len(string_split_regex(trim(text), '\s+')), 6) AS blowup
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r]')) AS BIGINT) AS bpe_tokens
+        |  FROM documents)
+        |SELECT doc_id, ws_tokens, bpe_tokens,
+        |  CAST((bpe_tokens * 2000000 + ws_tokens) // (ws_tokens * 2) AS DOUBLE) / 1000000.0 AS blowup
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // integer half-up frac: mirrors Multimodal.byteHistogram exactly
     "q28_byte_histogram" ->
       """WITH c AS (
         |  SELECT doc_id, octet_length(text::BLOB)::BIGINT AS n_bytes,
@@ -503,7 +508,8 @@ object Queries {
         |  FROM documents)
         |SELECT doc_id, CAST(t.b AS INT) AS bin,
         |  CAST(len(list_filter(codes, c -> c // 16 = t.b)) AS BIGINT) AS n_in_bin,
-        |  round(len(list_filter(codes, c -> c // 16 = t.b)) * 1.0 / n_bytes, 6) AS frac
+        |  CAST((len(list_filter(codes, c -> c // 16 = t.b)) * 2000000 + n_bytes)
+        |       // (n_bytes * 2) AS DOUBLE) / 1000000.0 AS frac
         |FROM c, unnest(range(0, 16)) AS t(b)
         |ORDER BY doc_id, bin""".stripMargin)
 

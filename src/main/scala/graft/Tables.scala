@@ -38,10 +38,30 @@ object Tables {
     * scan already has enough splits (any real corpus); when it fires, the
     * cost is one shuffle of the small input — strictly cheaper than
     * serializing the kernel work behind it.
+    *
+    * The split estimate comes from the scan's file list + sizes, NOT
+    * from `df.rdd.getNumPartitions`: touching `.rdd` compiles the whole
+    * physical plan (non-AQE) just to count splits — wasted planning
+    * work on every call. Non-file sources (memory relations in tests)
+    * are left untouched.
     */
   def parallelize(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val files = df.inputFiles
+    if (files.isEmpty || files.length >= target) return df
+    val estimatedSplits =
+      try {
+        val maxPartBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+        val hadoopConf = spark.sparkContext.hadoopConfiguration
+        files.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val len = p.getFileSystem(hadoopConf).getFileStatus(p).getLen
+          math.max(1L, (len + maxPartBytes - 1) / maxPartBytes)
+        }.sum
+      } catch { case _: Exception => target.toLong } // unknown -> assume enough
+    if (estimatedSplits < target) df.repartition(target) else df
   }
 
   /** Session config every graft entry point should apply. */

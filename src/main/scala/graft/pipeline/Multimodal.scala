@@ -161,6 +161,9 @@ object Multimodal {
         col("doc_id"),
         col("pos").cast("int").as("bin"),
         col("col").as("n_in_bin"),
-        round(col("col").cast("double") / col("n_bytes"), 6).as("frac"))
+        // integer half-up rounding (the q31/q35/q36 tie-divergence fix):
+        // `round(double, 6)` ties land differently in Spark vs DuckDB
+        (expr("cast((col * 2000000 + n_bytes) div (n_bytes * 2) as double)") / 1000000.0)
+          .as("frac"))
       .orderBy("doc_id", "bin")
 }

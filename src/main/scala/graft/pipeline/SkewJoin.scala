@@ -12,12 +12,21 @@ import org.apache.spark.sql.functions._
   * non-key columns — deterministic (no `rand()`, so results are
   * reproducible and retry-safe) while still spreading a hot key across
   * `saltFactor` reducers; the build side is replicated `saltFactor`×.
+  *
+  * Limitation: rows of a hot key that are FULLY duplicated (identical in
+  * every non-key column) hash to one salt and stay on one reducer —
+  * deterministic salting cannot spread indistinguishable rows. Collapse
+  * exact duplicates first, or fall back to AQE's runtime split.
   */
 object SkewJoin {
 
   /** Equi-join `big ⋈ small` on `bigKey == smallKey` with the big side
     * salted and the small side replicated. Semantics identical to the
-    * plain inner join; the shuffle key becomes (key, salt).
+    * plain inner join; the shuffle key becomes (key, salt). Both sides
+    * are aliased (`gsj_b`/`gsj_s`) so the common co-named-key case
+    * (e.g. both sides keyed `orderkey`) resolves unambiguously; like
+    * any `===` join, the output then carries both key columns —
+    * disambiguate downstream with `col("gsj_b.<key>")`.
     */
   def saltedEquiJoin(
       big: DataFrame,
@@ -29,13 +38,13 @@ object SkewJoin {
     val nonKey: Seq[Column] = big.columns.filterNot(_ == bigKey).map(col(_)).toSeq
     val saltExpr =
       if (nonKey.isEmpty) lit(0) else pmod(hash(nonKey: _*), lit(saltFactor))
-    val saltedBig = big.withColumn("__graft_salt_b", saltExpr)
+    val saltedBig = big.withColumn("__graft_salt_b", saltExpr).as("gsj_b")
     val replicatedSmall = small.withColumn("__graft_salt_s",
-      explode(sequence(lit(0), lit(saltFactor - 1))))
+      explode(sequence(lit(0), lit(saltFactor - 1)))).as("gsj_s")
     saltedBig
       .join(replicatedSmall,
-        col(bigKey) === col(smallKey) &&
-          col("__graft_salt_b") === col("__graft_salt_s"))
+        col(s"gsj_b.$bigKey") === col(s"gsj_s.$smallKey") &&
+          col("gsj_b.__graft_salt_b") === col("gsj_s.__graft_salt_s"))
       .drop("__graft_salt_b", "__graft_salt_s")
   }
 }

@@ -136,13 +136,16 @@ object TextAnalysis {
 
   /** BPE-ish pre-tokenization pattern: letter runs, digit runs, and
     * single non-alphanumeric glyphs — the class of regex GPT-style BPE
-    * tokenizers apply before byte-pair merging. ASCII-restricted so the
-    * Java and DuckDB regex engines agree on the fixture corpus.
+    * tokenizers apply before byte-pair merging. The whitespace class is
+    * explicit ([ \t\n\f\r], like [[qualityRatios]]): Java `\s` includes
+    * \x0B where RE2 (DuckDB) `\s` does not, the engine-divergence class
+    * q36 already avoids.
     */
-  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  val BpeTokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\f\\r]"
 
   /** Q29: token counting with the BPE-ish regex vs plain whitespace —
-    * per-doc counts plus the subword blow-up ratio.
+    * per-doc counts plus the subword blow-up ratio (integer half-up
+    * rounded, the q35 tie-divergence fix).
     */
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.parallelize(Tables(spark, dir, "documents"))
@@ -152,7 +155,8 @@ object TextAnalysis {
         size(regexp_extract_all(col("text"), lit(BpeTokenPattern), lit(0)))
           .cast("long").as("bpe_tokens"))
       .withColumn("blowup",
-        round(col("bpe_tokens").cast("double") / col("ws_tokens"), 6))
+        expr("cast((bpe_tokens * 2000000 + ws_tokens) div (ws_tokens * 2) as double)")
+          / 1000000.0)
       .orderBy("doc_id")
 
   /** Q21: document fingerprints — rolling hash + simhash per doc. */
