@@ -48,8 +48,11 @@ object IngestJob {
     val words = split(col(textCol), " ")
     // Spark `/` on ints yields DOUBLE — force integer division
     val q = ((size(words) + 3) / lit(4)).cast("int")
+    // i is a plan-construction-time constant: branch in Scala (a
+    // `when(lit(i) === 3, ...)` builds a literal==literal predicate —
+    // the "trivially true equals" WARN — for the last segment)
     def seg(i: Int): Column =
-      array_join(slice(words, q * i + 1, when(lit(i) === 3, size(words)).otherwise(q)), " ")
+      array_join(slice(words, q * i + 1, if (i == 3) size(words) else q), " ")
     docs.withColumn("mdx",
       concat(
         lit("## Context\n"), seg(0),
