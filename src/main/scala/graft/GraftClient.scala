@@ -61,6 +61,13 @@ final class GraftClient(
       .write.mode("overwrite").parquet(indexPath)
   }
 
+  /** [[ingest]] over a directory of .mdx files — the whole corpus as
+    * one job (file-sharded source, [[graft.sources.MdxDirectorySource]])
+    * instead of the reference's one-document-per-call loop.
+    */
+  def ingestDirectory(mdxDir: String, indexPath: String): Unit =
+    ingest(graft.sources.MdxDirectorySource.read(spark, mdxDir), "doc_id", "mdx", indexPath)
+
   /** `createEmbeddings(question)`: one text to one vector, through the
     * same embedder the ingest path uses (driver-side convenience over a
     * 1-row frame so any [[Embedder]] implementation works).

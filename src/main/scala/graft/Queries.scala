@@ -187,7 +187,8 @@ object Queries {
     "q27_frame_sample" -> (Multimodal.frameSample _),
     "q28_byte_histogram" -> (Multimodal.byteHistogram _),
     "q38_ann_index_topk" -> (q38AnnIndexTopK _),
-    "q39_ivf_topk" -> (q39IvfTopK _))
+    "q39_ivf_topk" -> (q39IvfTopK _),
+    "q40_stateful_sessions" -> (graft.streaming.StatefulSessionizer.q40 _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -350,6 +351,8 @@ object Queries {
     // strict-> vs window-overlap semantics could differ)
     "q8c_session_window" -> sessionizeOracle,
     "q8b_sessionize" -> sessionizeOracle,
+    // custom flatMapGroups state machine, same session semantics
+    "q40_stateful_sessions" -> sessionizeOracle,
     "q9_cosine_topk" -> cosineTopKOracle,
     // The persisted-index paths must return the identical top-k as the
     // exact scan: the index only routes candidates, exact cosine ranks.

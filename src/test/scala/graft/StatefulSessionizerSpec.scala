@@ -1,0 +1,59 @@
+package graft
+
+import graft.pipeline.Events
+import graft.streaming.StatefulSessionizer
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StatefulSessionizerSpec extends AnyFunSuite with SharedSpark {
+
+  test("batch stateful sessionization equals the gaps-and-islands query (sf0.001)") {
+    val stateful = StatefulSessionizer.q40(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    val windowed = Events.sessionize(spark, Sf0001)
+      .collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    assert(stateful == windowed)
+  }
+
+  test("streaming state carries sessions across micro-batches and flushes on timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = new java.sql.Timestamp(java.time.Instant.parse(s).toEpochMilli)
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sessions = StatefulSessionizer.sessionizeStream(
+      input.toDF().toDF("user_id", "ts", "value").withWatermark("ts", "10 minutes"))
+    val q = sessions.writeStream
+      .format("memory").queryName("stateful_sessions").outputMode("append").start()
+    try {
+      // batch 1: user 1 starts a session (2 events, 10 min apart)
+      input.addData((1L, ts("2024-01-01T10:00:00Z"), 1.0),
+        (1L, ts("2024-01-01T10:10:00Z"), 2.0))
+      q.processAllAvailable()
+      // batch 2: user 1 continues the SAME session (20 min gap — under
+      // the 30 min rule, even across the micro-batch boundary), then a
+      // 40-min gap starts a second session -> the first must emit
+      input.addData((1L, ts("2024-01-01T10:30:00Z"), 4.0),
+        (1L, ts("2024-01-01T11:10:00Z"), 8.0))
+      q.processAllAvailable()
+      // two watermark-advancing batches: the first moves the watermark
+      // past 11:10 + 30 min, the second gives the engine a trigger in
+      // which the now-expired timeout fires and flushes user 1's open
+      // session
+      input.addData((99L, ts("2024-01-01T12:30:00Z"), 0.0))
+      q.processAllAvailable()
+      input.addData((99L, ts("2024-01-01T13:30:00Z"), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("stateful_sessions")
+      .filter($"user_id" === 1L)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set(
+      // batch-1 events + batch-2 continuation merged into ONE session
+      ("2024-01-01 10:00:00", 3L, 7.0),
+      // the 11:10 event opened a new session, closed by the timeout
+      ("2024-01-01 11:10:00", 1L, 8.0)))
+  }
+}
