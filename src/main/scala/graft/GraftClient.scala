@@ -52,13 +52,22 @@ final class GraftClient(
     * @param docs one row per document, with an id column and an MDX
     *             string column
     */
-  def ingest(docs: DataFrame, docIdCol: String, mdxCol: String, indexPath: String): Unit = {
+  def ingest(docs: DataFrame, docIdCol: String, mdxCol: String, indexPath: String): Unit =
+    ingest(docs, docIdCol, mdxCol, graft.ingest.ParquetSink(indexPath))
+
+  /** [[ingest]] against any [[graft.ingest.IndexSink]] — e.g. a
+    * [[graft.ingest.JdbcSink]] serving table for reference migrations.
+    */
+  def ingest(
+      docs: DataFrame,
+      docIdCol: String,
+      mdxCol: String,
+      sink: graft.ingest.IndexSink): Unit = {
     val secs = MdxSplitter.split(docs, docIdCol, mdxCol)
       .withColumnRenamed(docIdCol, "doc_id")
     val bad = MdxSplitter.invalidDocs(secs, "doc_id").limit(1).count()
     require(bad == 0, "validateContext: first chunk must start with '## Context'")
-    IngestJob.indexFrom(IngestJob.chunkSections(secs, ingestCfg, embedder))
-      .write.mode("overwrite").parquet(indexPath)
+    sink.write(IngestJob.indexFrom(IngestJob.chunkSections(secs, ingestCfg, embedder)))
   }
 
   /** [[ingest]] over a directory of .mdx files — the whole corpus as
