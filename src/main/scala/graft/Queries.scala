@@ -188,7 +188,8 @@ object Queries {
     "q28_byte_histogram" -> (Multimodal.byteHistogram _),
     "q38_ann_index_topk" -> (q38AnnIndexTopK _),
     "q39_ivf_topk" -> (q39IvfTopK _),
-    "q40_stateful_sessions" -> (graft.streaming.StatefulSessionizer.q40 _))
+    "q40_stateful_sessions" -> (graft.streaming.StatefulSessionizer.q40 _),
+    "q41_clean_corpus" -> ((s: SparkSession, d: String) => Dedup.cleanCorpus(s, d)))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -395,6 +396,7 @@ object Queries {
     "q14_ngram_jaccard" -> ngramJaccardOracle,
     "q15_minhash_neardup" -> ngramJaccardOracle,
     "q32_dedup_clusters" -> dedupClustersOracle,
+    "q41_clean_corpus" -> cleanCorpusOracle,
     "q36_quality_ratios" -> qualityRatiosOracle,
     // resized payload = every 2nd byte; ASCII fixture => char == byte,
     // so DuckDB reconstructs the strided string and hashes it
@@ -581,7 +583,11 @@ object Queries {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
-  private lazy val dedupClustersOracle: String =
+  /** Shared recursive-CTE prefix computing per-node min-label cluster
+    * ids over the n-gram-Jaccard near-dup graph (full corpus) — used by
+    * the q32 and q41 oracles.
+    */
+  private lazy val clusterLabelsCte: String =
     """WITH RECURSIVE g AS (
       |  SELECT doc_id,
       |    unnest(list_distinct(list_transform(range(1, length(text) - 4),
@@ -602,10 +608,28 @@ object Queries {
       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
       |  UNION
       |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
-      |labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
-      |SELECT l.node AS doc_id, l.cluster_id,
-      |  count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
-      |FROM labels l ORDER BY doc_id""".stripMargin
+      |labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
+  private lazy val dedupClustersOracle: String =
+    clusterLabelsCte + "\n" +
+      """SELECT l.node AS doc_id, l.cluster_id,
+        |  count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+        |FROM labels l ORDER BY doc_id""".stripMargin
+
+  /** Cleaned corpus: exact-group representatives that are also their
+    * near-dup cluster's minimum (clusters computed over the FULL corpus
+    * — identical texts have identical gram sets, so this equals the
+    * engine's clusters-over-representatives; see Dedup.cleanCorpus).
+    */
+  private lazy val cleanCorpusOracle: String =
+    clusterLabelsCte + ",\n" +
+      """exact AS (
+        |  SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |  FROM documents GROUP BY text)
+        |SELECT e.doc_id, e.n_copies
+        |FROM exact e LEFT JOIN labels l ON e.doc_id = l.node
+        |WHERE l.node IS NULL OR l.cluster_id = e.doc_id
+        |ORDER BY e.doc_id""".stripMargin
 
   private lazy val ngramJaccardOracle: String =
     """WITH g AS (

@@ -192,14 +192,19 @@ object Dedup {
     * collides) = (1-0.25)^64 < 1e-8); the wide gram payload is shuffled
     * only for the estimator-survivor set.
     */
-  def minhashNearDup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val docs = minhashDocs(spark, dir)
-    val sigs = minhashSigs(spark, dir)
+  /** LSH candidate generation + exact verification over ANY
+    * (doc_id, text) frame with matching signatures — the core shared by
+    * q15 (full corpus) and q41 (exact-dedup survivors). Output:
+    * (d1, d2, jac), unordered.
+    */
+  private[graft] def nearDupPairs(
+      docs: DataFrame,
+      sigs: DataFrame,
+      threshold: Double): DataFrame = {
     val plausible = minhashPlausible(minhashCollisions(minhashBands(sigs)), sigs, threshold)
-
     // Exact verification: real character grams computed only for the
     // survivor pairs.
-    val withGrams = plausible
+    plausible
       .join(docs.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
       .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
       .withColumn("g1", charGramsOf(col("t1")))
@@ -208,11 +213,13 @@ object Dedup {
       .withColumn("jac",
         col("i").cast("double") /
           (size(col("g1")).cast("long") + size(col("g2")).cast("long") - col("i")))
-    withGrams
       .filter(col("jac") >= threshold)
       .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
-      .orderBy("d1", "d2")
   }
+
+  def minhashNearDup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
+    nearDupPairs(minhashDocs(spark, dir), minhashSigs(spark, dir), threshold)
+      .orderBy("d1", "d2")
 
   /** SimHash banding layout — shared with the completeness property test
     * so a change here is checked against the pigeonhole precondition
@@ -316,6 +323,46 @@ object Dedup {
         col("node").as("doc_id"),
         col("label").as("cluster_id"),
         col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Q41: the end-to-end corpus-cleaning composition a training-data
+    * pipeline actually runs — EXACT dedup first (collapses identical
+    * payloads, which is also what keeps duplicate clusters out of the
+    * LSH occupancy cap), then MinHash-LSH near-dup clustering over the
+    * surviving representatives, keeping each cluster's canonical
+    * (minimum-id) document. Output: the kept doc ids + how many exact
+    * copies each absorbed.
+    *
+    * Correctness note: clustering the representatives equals clustering
+    * the full corpus — exact duplicates have IDENTICAL gram sets, so
+    * every near-dup edge through a dropped copy exists through its
+    * representative too, and each text group's representative is the
+    * group minimum, so cluster minima agree.
+    *
+    * Scale: stage 1 shuffles 32-byte sha keys; stage 2 runs the banded
+    * LSH machinery on the (smaller) deduplicated corpus; the final keep
+    * filter is a left join against the (tiny) clustered-node label set.
+    */
+  def cleanCorpus(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val docs = Tables.parallelize(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val reps = docs
+      .groupBy(sha2(col("text"), 256).as("content_sha"))
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
+      .join(docs, "doc_id") // re-attach the representative's text
+      .select("doc_id", "n_copies", "text")
+    // signatures: reuse the session-shared full-corpus frame, restricted
+    // to the representatives (sigs exist only for gram-able texts)
+    val repSigs = minhashSigs(spark, dir)
+      .join(reps.select("doc_id"), "doc_id")
+    val pairs = nearDupPairs(reps.select("doc_id", "text"), repSigs, threshold)
+      .select("d1", "d2")
+    val labels = connectedComponents(pairs)
+    reps
+      .join(labels, reps("doc_id") === labels("node"), "left")
+      .filter(col("node").isNull || col("label") === col("doc_id"))
+      .select(col("doc_id"), col("n_copies"))
       .orderBy("doc_id")
   }
 
