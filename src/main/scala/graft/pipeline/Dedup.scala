@@ -347,15 +347,23 @@ object Dedup {
   def cleanCorpus(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = Tables.parallelize(Tables(spark, dir, "documents"))
       .select(col("doc_id"), col("text"))
+    // materialized once (eager localCheckpoint): the representative set
+    // feeds the signature restriction, BOTH sides of the verify join,
+    // and the final keep filter — recomputing the sha-group + text
+    // re-join per consumer would quadruple the heaviest shuffle here
     val reps = docs
       .groupBy(sha2(col("text"), 256).as("content_sha"))
       .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
       .join(docs, "doc_id") // re-attach the representative's text
       .select("doc_id", "n_copies", "text")
+      .localCheckpoint()
     // signatures: reuse the session-shared full-corpus frame, restricted
-    // to the representatives (sigs exist only for gram-able texts)
+    // to the representatives (sigs exist only for gram-able texts);
+    // materialized for the same multi-consumer reason as reps (bands,
+    // occupancy accounting, both estimator sides)
     val repSigs = minhashSigs(spark, dir)
       .join(reps.select("doc_id"), "doc_id")
+      .localCheckpoint()
     val pairs = nearDupPairs(reps.select("doc_id", "text"), repSigs, threshold)
       .select("d1", "d2")
     val labels = connectedComponents(pairs)
