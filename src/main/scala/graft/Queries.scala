@@ -189,7 +189,9 @@ object Queries {
     "q38_ann_index_topk" -> (q38AnnIndexTopK _),
     "q39_ivf_topk" -> (q39IvfTopK _),
     "q40_stateful_sessions" -> (graft.streaming.StatefulSessionizer.q40 _),
-    "q41_clean_corpus" -> ((s: SparkSession, d: String) => Dedup.cleanCorpus(s, d)))
+    "q41_clean_corpus" -> ((s: SparkSession, d: String) => Dedup.cleanCorpus(s, d)),
+    "q42_part_type_revenue" -> (Relational.q42PartTypeRevenue _),
+    "q43_length_quantiles" -> (Relational.q43LengthQuantiles _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -397,6 +399,21 @@ object Queries {
     "q15_minhash_neardup" -> ngramJaccardOracle,
     "q32_dedup_clusters" -> dedupClustersOracle,
     "q41_clean_corpus" -> cleanCorpusOracle,
+    "q42_part_type_revenue" ->
+      """WITH l AS (
+        |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, p_type,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS rev_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT ship_month, p_type, count(*) AS n_items,
+        |  CAST(sum(rev_cents) AS BIGINT) / 100.0 AS revenue
+        |FROM l GROUP BY ship_month, p_type
+        |ORDER BY ship_month, p_type""".stripMargin,
+    "q43_length_quantiles" ->
+      """SELECT source, count(*) AS n_docs,
+        |  round(quantile_cont(n_chars, 0.5), 4) AS p50,
+        |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
+        |  round(quantile_cont(n_chars, 0.99), 4) AS p99
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q36_quality_ratios" -> qualityRatiosOracle,
     // resized payload = every 2nd byte; ASCII fixture => char == byte,
     // so DuckDB reconstructs the strided string and hashes it

@@ -186,4 +186,44 @@ object Relational {
         coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
         col("sum_qty"), col("n"))
       .orderBy("rflag", "lstatus")
+
+  /** Q42: monthly revenue by part type — the fact⋈dimension join over
+    * `part` (the remaining fixture table). Revenue in exact integer
+    * cents (the q31/q35 discipline); the join is AQE-decided — `part`
+    * is a classic broadcastable dimension at any scale where it fits,
+    * and a shuffled hash join beyond that.
+    */
+  def q42PartTypeRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "part"), col("l_partkey") === col("p_partkey"))
+      .select(
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        col("p_type"),
+        // extendedprice*(1-discount) is one IEEE multiply on both
+        // engines; rounding THAT to cents before the sum keeps the
+        // aggregation associative (long adds) instead of
+        // order-dependent (double adds)
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long").as("rev_cents"))
+      .groupBy("ship_month", "p_type")
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum("rev_cents").cast("double") / 100.0).as("revenue"))
+      .orderBy("ship_month", "p_type")
+
+  /** Q43: document-length quantiles per source — the length-distribution
+    * profile a training-data pipeline computes before choosing filter
+    * cutoffs. Exact interpolated percentiles (Spark `percentile` ==
+    * DuckDB `quantile_cont` semantics), rounded to absorb last-ulp
+    * interpolation differences between engines.
+    */
+  def q43LengthQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(percentile(col("n_chars"), lit(0.5)), 4).as("p50"),
+        round(percentile(col("n_chars"), lit(0.9)), 4).as("p90"),
+        round(percentile(col("n_chars"), lit(0.99)), 4).as("p99"))
+      .orderBy("source")
 }
