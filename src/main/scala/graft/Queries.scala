@@ -17,9 +17,8 @@ object Queries {
     */
   def q9CosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
-    SimilaritySearch.topKBatch(e, "embedding", "vec_id", q, "query_id", "qvec", k = 5, threshold = 0.0)
+    SimilaritySearch.topKBatch(e, "embedding", "vec_id",
+        queryBatch(e), "query_id", "qvec", k = 5, threshold = 0.0)
       .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
       .orderBy("query_id", "rn")
   }
@@ -29,7 +28,11 @@ object Queries {
     */
   private def indexWorkDir(kind: String, dir: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_index_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
+      dir.replaceAll("[^A-Za-z0-9]", "_") +
+      // per-process suffix: a deterministic shared path would let a
+      // concurrent JVM's rebuild delete index files another JVM's
+      // query is scanning (Verify + Bench overlap in this harness)
+      s"_${ProcessHandle.current().pid()}"
 
   /** Build-once-per-JVM gate for the persisted indexes: every process
     * that runs q38/q39 exercises the build at least once (so the

@@ -11,11 +11,21 @@ import org.apache.spark.sql.functions._
   * per-row INSERT loop.
   */
 trait IndexSink {
-  def write(index: DataFrame, mode: SaveMode = SaveMode.Overwrite): Unit
+  /** The mode a full ingest run uses when none is given — OVERWRITE for
+    * the parquet system of record (rebuilds are the contract), APPEND
+    * for JDBC: Spark's JDBC overwrite DROPs and recreates the target
+    * with inferred column types, which on a user's live serving table
+    * would destroy the vector column type, indexes and grants. Callers
+    * who really want a destructive JDBC rebuild must say so.
+    */
+  def defaultMode: SaveMode
+  def write(index: DataFrame, mode: SaveMode): Unit
+  final def write(index: DataFrame): Unit = write(index, defaultMode)
 }
 
 /** Default sink: the parquet index table (system of record). */
 final case class ParquetSink(path: String) extends IndexSink {
+  override def defaultMode: SaveMode = SaveMode.Overwrite
   override def write(index: DataFrame, mode: SaveMode): Unit =
     index.write.mode(mode).parquet(path)
 }
@@ -37,6 +47,8 @@ final case class JdbcSink(
   require(JdbcSink.isValidTableName(table),
     s"invalid table identifier '$table': expected [schema.]name of " +
       "letters/digits/underscores starting with a letter or underscore")
+
+  override def defaultMode: SaveMode = SaveMode.Append
 
   override def write(index: DataFrame, mode: SaveMode): Unit =
     JdbcSink.serialized(index).write

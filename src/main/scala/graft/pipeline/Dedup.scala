@@ -100,13 +100,18 @@ object Dedup {
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private[graft] def minhashSigs(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def minhashSigs(spark: SparkSession, dir: String): DataFrame = {
+    // evict entries of stopped sessions: their cached blocks died with
+    // the context, and keeping the key would pin the whole session
+    // object graph for the JVM's lifetime
+    sigCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     sigCache.computeIfAbsent((spark, dir), { key: (SparkSession, String) =>
       minhashDocs(key._1, key._2).select(
           col("doc_id"),
           graft.functions.minhash_text(col("text"), lit(GramLen), lit(NumHashes)).as("sig"))
         .persist()
     })
+  }
 
   /** Release the shared signature cache for one corpus (tests, audits,
     * long-lived sessions that are done deduplicating it).
@@ -244,11 +249,14 @@ object Dedup {
     val mask = (1L << SimHashBandBits) - 1
     val docs = Tables.parallelize(Tables(spark, dir, "documents"))
       .select(col("doc_id"), simhash64(col("text")).as("sh"))
+    // localCheckpoint: the simhash kernel pass feeds the occupancy
+    // accounting and both sides of the band self-join
     val bands = graft.util.BucketGuard.capOccupancy(
       docs.select(col("doc_id"), col("sh"),
           posexplode(expr(s"transform(sequence(0, ${SimHashBands - 1}), " +
             s"b -> (sh >> (b * $SimHashBandBits)) & $mask)")))
-        .select(col("doc_id"), col("sh"), col("pos").as("band"), col("col").as("bucket")),
+        .select(col("doc_id"), col("sh"), col("pos").as("band"), col("col").as("bucket"))
+        .localCheckpoint(),
       Seq("band", "bucket"), maxOccupancy, "simhash LSH")
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

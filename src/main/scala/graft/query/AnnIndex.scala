@@ -154,8 +154,11 @@ object AnnIndex {
         .select(col(idCol), posexplode(col("hashes")))
         .select(col(idCol), col("pos").as("table"),
           element_at(vector_to_array(col("col")), 1).cast("long").as("bucket"))
+    // localCheckpoint: each side's hashing pass feeds the occupancy
+    // accounting AND the collision join — materialize it once
     def capped(b: DataFrame, side: String) = graft.util.BucketGuard.capOccupancy(
-      b, Seq("table", "bucket"), params.maxBucketOccupancy, s"AnnIndex.crossJoin $side")
+      b.localCheckpoint(), Seq("table", "bucket"), params.maxBucketOccupancy,
+      s"AnnIndex.crossJoin $side")
     val collisions = capped(buckets(prepA, idColA), "left").as("a")
       .join(capped(buckets(prepB, idColB), "right").as("b"), Seq("table", "bucket"))
       .select(col(s"a.$idColA"), col(s"b.$idColB"))
@@ -190,14 +193,17 @@ object AnnIndex {
     require(simThreshold > -1.0 && simThreshold < 1.0, "simThreshold in (-1, 1)")
     val prep = prepared(df, idCol, embCol)
     val model = fit(prep, params)
-    // one row per (vector, hash table): the table's bucket id
+    // one row per (vector, hash table): the table's bucket id.
+    // localCheckpoint: the hashing pass feeds the occupancy accounting
+    // and BOTH sides of the collision self-join — materialize it once
     val buckets = graft.util.BucketGuard.capOccupancy(
       model.transform(prep)
         .select(col(idCol), posexplode(col("hashes")))
         .select(
           col(idCol),
           col("pos").as("table"),
-          element_at(vector_to_array(col("col")), 1).cast("long").as("bucket")),
+          element_at(vector_to_array(col("col")), 1).cast("long").as("bucket"))
+        .localCheckpoint(),
       Seq("table", "bucket"), params.maxBucketOccupancy, "AnnIndex.selfJoin")
     val collisions = buckets.as("a").join(buckets.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&

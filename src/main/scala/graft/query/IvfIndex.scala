@@ -176,7 +176,10 @@ object IvfIndex {
 
     val wTop = Window.partitionBy(col(queryIdCol))
       .orderBy(col("sim").desc, col(idCol).asc)
-    val pass1 = probe(qCells.filter(col("crank") <= probeWidth))
+    // materialized once: the pass-1 candidates feed the floor AND the
+    // final union — without this the probed cells are re-scanned and
+    // re-ranked per consumer (2-3x the first-pass cost)
+    val pass1 = probe(qCells.filter(col("crank") <= probeWidth)).localCheckpoint()
     // per-query floor: the k-th best pass-1 similarity (absent when the
     // nearest cells held fewer than k candidates -> floor = threshold)
     val floor = pass1

@@ -23,12 +23,24 @@ object MdxDirectorySource {
       dir: String,
       pattern: String = "*.mdx",
       extraOptions: Map[String, String] = Map.empty): DataFrame =
-    spark.read
-      .option("wholetext", "true")
-      .options(extraOptions)
-      .text(s"$dir/$pattern")
-      .select(
-        // file name stem: last path segment, extension stripped
-        regexp_extract(input_file_name(), "([^/]+?)(?:\\.[^./]+)?$", 1).as("doc_id"),
-        col("value").as("mdx"))
+    projectDocs(
+      spark.read
+        .option("wholetext", "true")
+        .options(extraOptions)
+        .text(s"$dir/$pattern"))
+
+  /** (value, input_file_name) -> (doc_id, mdx). Shared by the batch
+    * reader and [[graft.streaming.IngestStream]] so the two paths
+    * cannot derive different doc ids for the same file. `doc_id` is the
+    * PERCENT-DECODED file name stem (`input_file_name` returns a
+    * URI-encoded path, so "release notes.mdx" must not become
+    * "release%20notes"). Caveat: the stem alone — two same-named files
+    * in different subdirectories of a recursive listing collapse into
+    * one doc_id; disambiguate such trees before ingest.
+    */
+  private[graft] def projectDocs(raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    raw.select(
+      call_function("url_decode",
+        regexp_extract(input_file_name(), "([^/]+?)(?:\\.[^./]+)?$", 1)).as("doc_id"),
+      col("value").as("mdx"))
 }

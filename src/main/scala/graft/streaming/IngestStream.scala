@@ -48,10 +48,8 @@ object IngestStream {
       .option("wholetext", "true")
       .option("pathGlobFilter", "*.mdx")
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val docs = reader.text(mdxDir)
-      .select(
-        regexp_extract(input_file_name(), "([^/]+?)(?:\\.[^./]+)?$", 1).as("doc_id"),
-        col("value").as("mdx"))
+    // same projection as the batch source — doc ids cannot drift
+    val docs = graft.sources.MdxDirectorySource.projectDocs(reader.text(mdxDir))
     docs.writeStream
       .option("checkpointLocation", checkpointPath)
       .trigger(trigger)

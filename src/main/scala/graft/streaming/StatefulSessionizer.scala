@@ -12,26 +12,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * [[graft.pipeline.Events.sessionize]] so the output is verified
   * against the same DuckDB oracle (q40 vs q8b's oracle).
   *
-  * Two entry points over one shared fold:
-  *  - [[sessionizeBatch]]: `flatMapGroups` — each group is complete, so
-  *    every session (including the last open one) is emitted.
-  *  - [[sessionizeStream]]: `flatMapGroupsWithState` with event-time
-  *    timeout — closed sessions are emitted as they close; the open
-  *    session per user is carried as state and flushed when the
-  *    watermark passes its last event + gap. State is bounded: one
-  *    [[Open]] record per active user.
+  * Core model: a session is an interval [startUs, lastUs] with counts;
+  * events (and carried state) are merged with gap-tolerant INTERVAL
+  * MERGING, so out-of-order arrivals — including a late event that
+  * precedes every session seen so far, or one that bridges two
+  * previously-separate sessions — land correctly regardless of arrival
+  * order. Streaming emits a session only once the watermark has passed
+  * `last + gap` (no event still admitted by the watermark can extend
+  * it), carrying every younger session as state; batch groups are
+  * complete, so everything merges then emits. Both modes share one
+  * merge function and cannot drift.
   *
   * Scale notes: typed operators run outside whole-stage codegen (one
   * ser/deser per row), so the NATIVE `session_window` path (q8c) is the
   * default; this operator exists for the semantics that path cannot
-  * host. The per-group sort is bounded by one user's events per
-  * micro-batch (streaming) or per corpus (batch) — the same bound any
-  * per-user sessionizer carries.
+  * host. State is bounded: the open sessions of one user inside the
+  * watermark horizon.
   */
 object StatefulSessionizer {
 
   case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class Open(startUs: Long, lastUs: Long, n: Long, sum: Double)
+  case class OpenList(sessions: List[Open])
   case class Session(user_id: Long, session_start: String, n_events: Long, sum_value: Double)
 
   val DefaultGapMinutes = 30L
@@ -52,30 +54,24 @@ object StatefulSessionizer {
       // q40 matches the q8b oracle bit-for-bit
       BigDecimal(s.sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
 
-  /** Fold a user's NEW events (any order) into the open session carried
-    * in, emitting every session that closes. Shared by both modes —
-    * batch and streaming sessionization cannot drift.
+  /** Gap-tolerant interval merge of existing sessions + new events, in
+    * start order. Order-insensitive by construction — the one merge
+    * rule both batch and streaming sessionization run.
     */
-  private def fold(
-      events: Iterator[Ev],
-      open0: Option[Open],
-      gapUs: Long): (Seq[Open], Option[Open]) = {
-    val sorted = events.toArray.sortBy(e => us(e.ts))
-    val closed = Seq.newBuilder[Open]
-    var open = open0
-    for (e <- sorted) {
-      val t = us(e.ts)
-      open = open match {
-        case Some(s) if t - s.lastUs > gapUs =>
-          closed += s
-          Some(Open(t, t, 1, e.value))
-        case Some(s) =>
-          Some(Open(s.startUs, math.max(s.lastUs, t), s.n + 1, s.sum + e.value))
-        case None =>
-          Some(Open(t, t, 1, e.value))
+  private def merged(existing: List[Open], events: Iterator[Ev], gapUs: Long): List[Open] = {
+    val all = (existing ++ events.map(e => Open(us(e.ts), us(e.ts), 1L, e.value)))
+      .sortBy(_.startUs)
+    val out = scala.collection.mutable.ListBuffer.empty[Open]
+    for (s <- all) {
+      out.lastOption match {
+        case Some(prev) if s.startUs - prev.lastUs <= gapUs =>
+          out.update(out.length - 1,
+            Open(prev.startUs, math.max(prev.lastUs, s.lastUs),
+              prev.n + s.n, prev.sum + s.sum))
+        case _ => out += s
       }
     }
-    (closed.result(), open)
+    out.toList
   }
 
   private def typedEvents(events: DataFrame): Dataset[Ev] = {
@@ -84,7 +80,7 @@ object StatefulSessionizer {
       .as[Ev]
   }
 
-  /** Batch mode: groups are complete, emit everything. */
+  /** Batch mode: groups are complete, merge then emit everything. */
   def sessionizeBatch(
       events: DataFrame,
       gapMinutes: Long = DefaultGapMinutes): Dataset[Session] = {
@@ -93,14 +89,15 @@ object StatefulSessionizer {
     typedEvents(events)
       .groupByKey(_.user_id)
       .flatMapGroups { (userId: Long, events: Iterator[Ev]) =>
-        val (closed, open) = fold(events, None, gapUs)
-        (closed ++ open).map(toSession(userId, _)).iterator
+        merged(Nil, events, gapUs).map(toSession(userId, _)).iterator
       }
   }
 
-  /** Streaming mode: requires a watermark on `ts`; emits sessions as
-    * they close (append semantics), flushes idle open sessions via
-    * event-time timeout once the watermark passes last event + gap.
+  /** Streaming mode: requires a watermark on `ts`. A session is emitted
+    * exactly when `last + gap < watermark` — the first moment no
+    * admissible event can extend or bridge it; younger sessions ride in
+    * state. Event-time timeout re-invokes idle keys so their sessions
+    * flush as the watermark advances.
     */
   def sessionizeStream(
       events: DataFrame,
@@ -109,32 +106,25 @@ object StatefulSessionizer {
     val gapUs = gapMinutes * 60L * 1000000L
     typedEvents(events)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[Open, Session](
+      .flatMapGroupsWithState[OpenList, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, events: Iterator[Ev], state: GroupState[Open]) =>
-          if (state.hasTimedOut) {
-            // watermark passed lastUs + gap with no new events: the open
-            // session can never be extended — close it
-            val done = state.get
-            state.remove()
-            Iterator(toSession(userId, done))
-          } else {
-            val (closed, open) = fold(events, state.getOption, gapUs)
-            open match {
-              case Some(s) =>
-                state.update(s)
-                // timeout once the watermark passes the gap horizon; the
-                // horizon may already be older than the watermark when
-                // this key's last event lags the stream (a just-late
-                // session) — clamp forward so the timeout fires on the
-                // next trigger instead of throwing
-                state.setTimeoutTimestamp(
-                  math.max(s.lastUs / 1000L + gapMinutes * 60L * 1000L,
-                    state.getCurrentWatermarkMs() + 1))
-              case None => state.remove()
-            }
-            closed.map(toSession(userId, _)).iterator
+        (userId: Long, events: Iterator[Ev], state: GroupState[OpenList]) =>
+          val sessions = merged(
+            state.getOption.map(_.sessions).getOrElse(Nil), events, gapUs)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (done, open) = sessions.partition(s => s.lastUs + gapUs < wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenList(open))
+            // wake this key when the oldest open session's horizon
+            // passes the watermark; clamp forward so a lagging key's
+            // already-expired horizon fires next trigger instead of
+            // throwing
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.lastUs).min / 1000L + gapMinutes * 60L * 1000L,
+                state.getCurrentWatermarkMs() + 1))
           }
+          done.map(toSession(userId, _)).iterator
       }
   }
 

@@ -48,7 +48,13 @@ object BucketGuard {
         s"$what: excluding ${overRows.length} bucket(s) over occupancy cap $cap " +
           s"($members member rows) from candidate generation; run exact dedup " +
           "upstream to collapse duplicate/boilerplate clusters before LSH")
-      rows.join(broadcast(over.select(keys: _*)), keyCols, "left_anti")
+      // exclusion filter built from the ALREADY-collected keys: an
+      // anti-join against `over` would re-run the occupancy aggregation
+      // (and its whole upstream lineage) inside the candidate plan
+      val excluded = overRows
+        .map(r => keyCols.map(c => col(c) === lit(r.getAs[Any](c))).reduce(_ && _))
+        .reduce(_ || _)
+      rows.filter(!excluded)
     }
   }
 }

@@ -26,6 +26,15 @@ class MdxDirectorySourceSpec extends AnyFunSuite with SharedSpark {
     assert(rows.forall(_.getString(1).startsWith("## Context")))
   }
 
+  test("file names with URI-reserved characters keep their real stem") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mdx-enc")
+    writeMdx(dir, "release notes 1%.mdx", "## Context\nSpaced name body.")
+    val rows = MdxDirectorySource.read(spark, dir.toString).collect()
+    // input_file_name() is URI-encoded ("release%20notes%201%25");
+    // doc_id must be the decoded stem
+    assert(rows.map(_.getString(0)).toSeq == Seq("release notes 1%"))
+  }
+
   test("directory ingest builds a queryable index end-to-end") {
     val out = java.nio.file.Files.createTempDirectory("graft-mdx-idx").toString + "/idx"
     val client = new GraftClient(spark,

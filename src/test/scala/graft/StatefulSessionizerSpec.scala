@@ -56,4 +56,43 @@ class StatefulSessionizerSpec extends AnyFunSuite with SharedSpark {
       // the 11:10 event opened a new session, closed by the timeout
       ("2024-01-01 11:10:00", 1L, 8.0)))
   }
+
+  test("late events that precede or bridge carried sessions merge correctly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = new java.sql.Timestamp(java.time.Instant.parse(s).toEpochMilli)
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    // 2-hour watermark: the late arrivals below stay admissible, so the
+    // operator (not the watermark filter) must place them
+    val sessions = StatefulSessionizer.sessionizeStream(
+      input.toDF().toDF("user_id", "ts", "value").withWatermark("ts", "2 hours"))
+    val q = sessions.writeStream
+      .format("memory").queryName("late_sessions").outputMode("append").start()
+    try {
+      input.addData((2L, ts("2024-01-01T10:00:00Z"), 1.0),
+        (2L, ts("2024-01-01T10:10:00Z"), 1.0))
+      q.processAllAvailable()
+      // 09:00 precedes the carried session beyond the gap (own session);
+      // 10:05 lands inside its span (merges)
+      input.addData((2L, ts("2024-01-01T09:00:00Z"), 1.0),
+        (2L, ts("2024-01-01T10:05:00Z"), 1.0))
+      q.processAllAvailable()
+      // 09:30 bridges the 09:00 session and the 10:00 session (30 min
+      // to each side, and an exact-gap distance stays one session)
+      input.addData((2L, ts("2024-01-01T09:30:00Z"), 1.0))
+      q.processAllAvailable()
+      // watermark-advancing sentinels to flush
+      input.addData((99L, ts("2024-01-01T13:00:00Z"), 0.0))
+      q.processAllAvailable()
+      input.addData((99L, ts("2024-01-01T15:30:00Z"), 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val out = spark.table("late_sessions")
+      .filter($"user_id" === 2L)
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(out == Set(("2024-01-01 09:00:00", 5L, 5.0)))
+  }
 }
