@@ -194,7 +194,8 @@ object Queries {
     "q40_stateful_sessions" -> (graft.streaming.StatefulSessionizer.q40 _),
     "q41_clean_corpus" -> ((s: SparkSession, d: String) => Dedup.cleanCorpus(s, d)),
     "q42_part_type_revenue" -> (Relational.q42PartTypeRevenue _),
-    "q43_length_quantiles" -> (Relational.q43LengthQuantiles _))
+    "q43_length_quantiles" -> (Relational.q43LengthQuantiles _),
+    "q44_source_centroids" -> (TextAnalysis.sourceCentroids _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -417,6 +418,16 @@ object Queries {
         |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
         |  round(quantile_cont(n_chars, 0.99), 4) AS p99
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // parallel unnest zips component with its index in DuckDB
+    "q44_source_centroids" ->
+      """WITH x AS (
+        |  SELECT d.source,
+        |    unnest(em.embedding) AS e,
+        |    unnest(range(len(em.embedding))) AS dim
+        |  FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id)
+        |SELECT source, CAST(dim AS INT) AS dim, count(*) AS n_vecs,
+        |  round(avg(e), 4) AS centroid
+        |FROM x GROUP BY source, dim ORDER BY source, dim""".stripMargin,
     "q36_quality_ratios" -> qualityRatiosOracle,
     // resized payload = every 2nd byte; ASCII fixture => char == byte,
     // so DuckDB reconstructs the strided string and hashes it

@@ -159,6 +159,25 @@ object TextAnalysis {
           / 1000000.0)
       .orderBy("doc_id")
 
+  /** Q44: per-source embedding centroids — the vector aggregation a
+    * pipeline runs to build class/source prototypes (cluster seeding,
+    * drift monitoring, nearest-centroid labeling). Shape: explode to
+    * (source, dim, component) rows, one hash aggregation — fully
+    * distributed, no array buffers on the driver; the output is tiny
+    * (sources × dims).
+    */
+  def sourceCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "source")
+    val e = Tables(spark, dir, "embeddings")
+    docs.join(e, col("doc_id") === col("vec_id"))
+      .select(col("source"), posexplode(col("embedding")))
+      .groupBy(col("source"), col("pos").cast("int").as("dim"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg(col("col")), 4).as("centroid"))
+      .orderBy("source", "dim")
+  }
+
   /** Q21: document fingerprints — rolling hash + simhash per doc. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.parallelize(Tables(spark, dir, "documents"))

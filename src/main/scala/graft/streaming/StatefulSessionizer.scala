@@ -56,9 +56,10 @@ object StatefulSessionizer {
 
   /** Gap-tolerant interval merge of existing sessions + new events, in
     * start order. Order-insensitive by construction — the one merge
-    * rule both batch and streaming sessionization run.
+    * rule both batch and streaming sessionization run (pinned by the
+    * batching-invariance property in `StatefulSessionizerSpec`).
     */
-  private def merged(existing: List[Open], events: Iterator[Ev], gapUs: Long): List[Open] = {
+  private[graft] def merged(existing: List[Open], events: Iterator[Ev], gapUs: Long): List[Open] = {
     val all = (existing ++ events.map(e => Open(us(e.ts), us(e.ts), 1L, e.value)))
       .sortBy(_.startUs)
     val out = scala.collection.mutable.ListBuffer.empty[Open]

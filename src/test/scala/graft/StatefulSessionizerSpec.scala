@@ -2,10 +2,37 @@ package graft
 
 import graft.pipeline.Events
 import graft.streaming.StatefulSessionizer
+import graft.streaming.StatefulSessionizer.{Ev, Open}
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
 class StatefulSessionizerSpec extends AnyFunSuite with SharedSpark {
+
+  test("property: session merge is invariant to event order and batch split") {
+    // the invariant the streaming path depends on: folding events in ANY
+    // arrival order, split across ANY micro-batch boundaries, yields the
+    // sessions of one complete sorted pass
+    val gapUs = 10L * 1000000L
+    val evGen = Gen.listOfN(14,
+      Gen.chooseNum(0L, 200L).map(s =>
+        Ev(1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)), 1.0)))
+    val prop = Prop.forAll(evGen, Gen.chooseNum(1, 4), Gen.long) {
+      (events, nBatches, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val shuffled = rnd.shuffle(events)
+        val batches = (0 until nBatches)
+          .map(i => shuffled.zipWithIndex.collect {
+            case (e, j) if j % nBatches == i => e
+          })
+        val incremental = batches.foldLeft(List.empty[Open]) { (state, batch) =>
+          StatefulSessionizer.merged(state, batch.iterator, gapUs)
+        }
+        incremental == StatefulSessionizer.merged(Nil, events.iterator, gapUs)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, s"scalacheck: ${res.status}")
+  }
 
   test("batch stateful sessionization equals the gaps-and-islands query (sf0.001)") {
     val stateful = StatefulSessionizer.q40(spark, Sf0001)
