@@ -44,6 +44,14 @@ object Queries {
     */
   private val builtIndexes =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  // per-PID dirs don't get overwritten by later runs, so delete what
+  // this JVM built on exit or repeated runs litter the temp filesystem
+  sys.addShutdownHook {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    builtIndexes.keySet().forEach(p => rm(new java.io.File(p)))
+  }
   private def buildOnce(work: String)(build: => Unit): Unit =
     builtIndexes.computeIfAbsent(work, _ => { build; java.lang.Boolean.TRUE })
 

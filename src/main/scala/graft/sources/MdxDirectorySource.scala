@@ -40,7 +40,12 @@ object MdxDirectorySource {
     */
   private[graft] def projectDocs(raw: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
     raw.select(
+      // PERCENT-only decoding: url_decode is form-urlencoded and would
+      // turn a literal '+' (legal in URI paths, left as-is by
+      // input_file_name) into a space — protect it first
       call_function("url_decode",
-        regexp_extract(input_file_name(), "([^/]+?)(?:\\.[^./]+)?$", 1)).as("doc_id"),
+        regexp_replace(
+          regexp_extract(input_file_name(), "([^/]+?)(?:\\.[^./]+)?$", 1),
+          "\\+", "%2B")).as("doc_id"),
       col("value").as("mdx"))
 }

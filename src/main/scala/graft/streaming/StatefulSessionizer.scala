@@ -21,7 +21,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `last + gap` (no event still admitted by the watermark can extend
   * it), carrying every younger session as state; batch groups are
   * complete, so everything merges then emits. Both modes share one
-  * merge function and cannot drift.
+  * merge function: session boundaries and counts are identical by
+  * construction; value sums agree up to fp associativity (different
+  * arrival grouping reorders double additions — ULP-level, absorbed by
+  * the 4-decimal emission rounding except exactly on a rounding
+  * boundary, the acceptance every double-sum aggregate here makes).
   *
   * Scale notes: typed operators run outside whole-stage codegen (one
   * ser/deser per row), so the NATIVE `session_window` path (q8c) is the

@@ -48,13 +48,22 @@ object BucketGuard {
         s"$what: excluding ${overRows.length} bucket(s) over occupancy cap $cap " +
           s"($members member rows) from candidate generation; run exact dedup " +
           "upstream to collapse duplicate/boilerplate clusters before LSH")
-      // exclusion filter built from the ALREADY-collected keys: an
-      // anti-join against `over` would re-run the occupancy aggregation
-      // (and its whole upstream lineage) inside the candidate plan
-      val excluded = overRows
-        .map(r => keyCols.map(c => col(c) === lit(r.getAs[Any](c))).reduce(_ && _))
-        .reduce(_ || _)
-      rows.filter(!excluded)
+      // exclusion via a LITERAL frame built from the already-collected
+      // keys: re-joining `over` would re-run the occupancy aggregation
+      // lineage inside the candidate plan, and an Or-reduced filter
+      // predicate would nest O(#buckets) deep (driver stack / codegen
+      // blow-up in exactly the adversarial case this guard exists for).
+      // Anti-join null semantics are safe here: a null bucket key never
+      // matches the downstream equi-join either, so keeping such rows
+      // cannot create collisions.
+      val spark = rows.sparkSession
+      val keySchema = org.apache.spark.sql.types.StructType(
+        over.schema.fields.filter(f => keyCols.contains(f.name)))
+      val overDf = spark.createDataFrame(
+        java.util.Arrays.asList(overRows.map(r =>
+          org.apache.spark.sql.Row(keyCols.map(c => r.getAs[Any](c)): _*)): _*),
+        keySchema)
+      rows.join(broadcast(overDf), keyCols, "left_anti")
     }
   }
 }

@@ -12,11 +12,15 @@ class StatefulSessionizerSpec extends AnyFunSuite with SharedSpark {
   test("property: session merge is invariant to event order and batch split") {
     // the invariant the streaming path depends on: folding events in ANY
     // arrival order, split across ANY micro-batch boundaries, yields the
-    // sessions of one complete sorted pass
+    // sessions of one complete sorted pass. Boundaries and counts must
+    // be identical; the value SUM is only associative up to fp rounding
+    // (different grouping -> ULP differences), so it gets a tolerance —
+    // the same acceptance the double-sum aggregations make.
     val gapUs = 10L * 1000000L
     val evGen = Gen.listOfN(14,
-      Gen.chooseNum(0L, 200L).map(s =>
-        Ev(1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)), 1.0)))
+      Gen.zip(Gen.chooseNum(0L, 200L), Gen.chooseNum(1, 99999)).map { case (s, v) =>
+        Ev(1L, java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(s)), v / 100.0)
+      })
     val prop = Prop.forAll(evGen, Gen.chooseNum(1, 4), Gen.long) {
       (events, nBatches, seed) =>
         val rnd = new scala.util.Random(seed)
@@ -28,7 +32,12 @@ class StatefulSessionizerSpec extends AnyFunSuite with SharedSpark {
         val incremental = batches.foldLeft(List.empty[Open]) { (state, batch) =>
           StatefulSessionizer.merged(state, batch.iterator, gapUs)
         }
-        incremental == StatefulSessionizer.merged(Nil, events.iterator, gapUs)
+        val oneShot = StatefulSessionizer.merged(Nil, events.iterator, gapUs)
+        incremental.map(s => (s.startUs, s.lastUs, s.n)) ==
+          oneShot.map(s => (s.startUs, s.lastUs, s.n)) &&
+          incremental.zip(oneShot).forall { case (a, b) =>
+            math.abs(a.sum - b.sum) < 1e-9
+          }
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
     assert(res.passed, s"scalacheck: ${res.status}")
