@@ -426,7 +426,10 @@ object Queries {
         |  round(quantile_cont(n_chars, 0.9), 4) AS p90,
         |  round(quantile_cont(n_chars, 0.99), 4) AS p99
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
-    // parallel unnest zips component with its index in DuckDB
+    // parallel unnest zips component with its index in DuckDB; components
+    // quantized to micro-unit integers pre-sum so the aggregate is
+    // order-independent and the final double is bit-identical (see
+    // TextAnalysis.sourceCentroids scaladoc)
     "q44_source_centroids" ->
       """WITH x AS (
         |  SELECT d.source,
@@ -434,7 +437,8 @@ object Queries {
         |    unnest(range(len(em.embedding))) AS dim
         |  FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id)
         |SELECT source, CAST(dim AS INT) AS dim, count(*) AS n_vecs,
-        |  round(avg(e), 4) AS centroid
+        |  CAST(sum(CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT)
+        |    / CAST(count(*) AS DOUBLE) / 1000000.0 AS centroid
         |FROM x GROUP BY source, dim ORDER BY source, dim""".stripMargin,
     "q36_quality_ratios" -> qualityRatiosOracle,
     // resized payload = every 2nd byte; ASCII fixture => char == byte,

@@ -165,6 +165,17 @@ object TextAnalysis {
     * (source, dim, component) rows, one hash aggregation — fully
     * distributed, no array buffers on the driver; the output is tiny
     * (sources × dims).
+    *
+    * Each component is quantized to an exact micro-unit integer
+    * (`floor(x * 1e6)` — float→double cast, one IEEE multiply, floor:
+    * every step bit-deterministic in any engine) BEFORE the sum, so the
+    * aggregate is an order-independent integer and the final centroid
+    * (two IEEE divisions on identical inputs) is bit-identical no matter
+    * how partitions combine. A raw `round(avg(float), 4)` is NOT: double
+    * summation is order-dependent, and a sum landing on a rounding
+    * boundary flips the 4th decimal between engines (observed at sf0.01
+    * in round 3). Quantization error is < 1e-6 per component — noise for
+    * a prototype vector.
     */
   def sourceCentroids(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents").select("doc_id", "source")
@@ -174,7 +185,12 @@ object TextAnalysis {
       .groupBy(col("source"), col("pos").cast("int").as("dim"))
       .agg(
         count(lit(1)).as("n_vecs"),
-        round(avg(col("col")), 4).as("centroid"))
+        sum(floor(col("col").cast("double") * lit(1000000.0)).cast("long"))
+          .as("sum_micro"))
+      .select(
+        col("source"), col("dim"), col("n_vecs"),
+        (col("sum_micro").cast("double") / col("n_vecs").cast("double")
+          / lit(1000000.0)).as("centroid"))
       .orderBy("source", "dim")
   }
 

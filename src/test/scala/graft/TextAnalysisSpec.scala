@@ -24,6 +24,37 @@ class TextAnalysisSpec extends AnyFunSuite with SharedSpark {
     assert(out == Seq("und", "en", "es"))
   }
 
+  test("sourceCentroids is bit-deterministic across partitionings (q44 r3 fix)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-centroid").toString
+    // components chosen so the true mean sits ON a 1e-4 rounding boundary
+    // (0.00005 + tiny float noise) — the case where round(avg(float), 4)
+    // flipped between engines in round 3
+    Seq(
+      (0L, "a", "en", "s1", 1L), (1L, "b", "en", "s1", 1L),
+      (2L, "c", "en", "s1", 1L), (3L, "d", "en", "s2", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq(
+      (0L, Array(0.0001f, 0.1f)), (1L, Array(0.0f, 0.2f)),
+      (2L, Array(0.00005f, 0.3f)), (3L, Array(-0.25f, 0.5f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val a = TextAnalysis.sourceCentroids(spark, dir).collect()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      val b = TextAnalysis.sourceCentroids(spark, dir).collect()
+      assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    // s1 dim 0: nearest-float values of 1e-4 and 5e-5 sit just BELOW the
+    // decimals, so the quantized micros are 99 + 0 + 49 → sum 148, /3/1e6
+    val s1d0 = a.find(r => r.getString(0) == "s1" && r.getInt(1) == 0).get
+    assert(s1d0.getDouble(3) == 148L.toDouble / 3.0 / 1000000.0)
+    // s2 dim 0: floor(-0.25 * 1e6) = -250000 exactly
+    val s2d0 = a.find(r => r.getString(0) == "s2" && r.getInt(1) == 0).get
+    assert(s2d0.getDouble(3) == -0.25)
+  }
+
   test("quality metrics on a crafted document") {
     val dir = java.nio.file.Files.createTempDirectory("graft-quality").toString
     Seq((0L, "aa bb aa cc", "en", "t", 11L))
