@@ -203,7 +203,8 @@ object Queries {
     "q41_clean_corpus" -> ((s: SparkSession, d: String) => Dedup.cleanCorpus(s, d)),
     "q42_part_type_revenue" -> (Relational.q42PartTypeRevenue _),
     "q43_length_quantiles" -> (Relational.q43LengthQuantiles _),
-    "q44_source_centroids" -> (TextAnalysis.sourceCentroids _))
+    "q44_source_centroids" -> (TextAnalysis.sourceCentroids _),
+    "q45_asof_attribution" -> (Events.purchaseAttribution _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -440,6 +441,24 @@ object Queries {
         |  CAST(sum(CAST(floor(CAST(e AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT)
         |    / CAST(count(*) AS DOUBLE) / 1000000.0 AS centroid
         |FROM x GROUP BY source, dim ORDER BY source, dim""".stripMargin,
+    // DuckDB's native ASOF JOIN is the oracle for the union+window
+    // formulation; right side deduped identically (arg_max == max_by)
+    // so tie-breaks cannot diverge
+    "q45_asof_attribution" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, max(event_id) AS attr_event_id,
+        |         arg_max(event_type, event_id) AS attr_type
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  c.attr_event_id, c.attr_type,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS attr_ts,
+        |  CAST(epoch_ns(p.ts) // 1000000000
+        |       - epoch_ns(c.ts) // 1000000000 AS BIGINT) AS gap_s
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
+        |ORDER BY purchase_id""".stripMargin,
     "q36_quality_ratios" -> qualityRatiosOracle,
     // resized payload = every 2nd byte; ASCII fixture => char == byte,
     // so DuckDB reconstructs the strided string and hashes it

@@ -89,4 +89,42 @@ object Events {
   /** Sliding-window event counts — used by the streaming equivalence test. */
   def slidingCounts(spark: SparkSession, dir: String): DataFrame =
     slidingCountsDf(Tables(spark, dir, "events")).orderBy("w_start", "event_type")
+
+  /** Q45: last-touch purchase attribution via [[AsofJoin.backward]] —
+    * each purchase joined to the same user's most recent strictly-earlier
+    * click/view. Strict (`<`) so a touch at the exact purchase instant
+    * doesn't attribute to itself-in-time; left-outer, so first-session
+    * purchases surface with null attribution instead of vanishing.
+    *
+    * The right side is deduped to one row per (user, ts) with `max_by`
+    * on event_id BEFORE the join — [[AsofJoin.backward]]'s uniqueness
+    * contract, and the same dedup the DuckDB `ASOF JOIN` oracle applies
+    * (`arg_max`), so tie-breaks can never diverge between engines.
+    *
+    * The gap is computed in whole epoch seconds with integral division
+    * on both sides: the fixture is ns-resolution, Spark works at µs, and
+    * floor-to-seconds is the resolution both engines agree on exactly.
+    */
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+    val touches = e.filter(col("event_type").isin("click", "view"))
+      .groupBy("user_id", "ts")
+      .agg(
+        max("event_id").as("attr_event_id"),
+        max_by(col("event_type"), col("event_id")).as("attr_type"))
+    AsofJoin
+      .backward(purchases, touches, "user_id", "ts",
+        Seq("attr_event_id", "attr_type", "ts"), strict = true)
+      .select(
+        col("purchase_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        col("asof.attr_event_id").as("attr_event_id"),
+        col("asof.attr_type").as("attr_type"),
+        date_format(col("asof.ts"), "yyyy-MM-dd HH:mm:ss").as("attr_ts"),
+        (expr("unix_micros(ts) div 1000000")
+          - expr("unix_micros(asof.ts) div 1000000")).cast("long").as("gap_s"))
+      .orderBy("purchase_id")
+  }
 }
