@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.IngestJob
-import graft.pipeline.{Dedup, Events, Multimodal, Relational, TextAnalysis}
+import graft.pipeline.{Dedup, Events, Multimodal, RangeJoin, Relational, TextAnalysis}
 import graft.query.{AnnIndex, ContextAssembler, IvfIndex, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -204,7 +204,8 @@ object Queries {
     "q42_part_type_revenue" -> (Relational.q42PartTypeRevenue _),
     "q43_length_quantiles" -> (Relational.q43LengthQuantiles _),
     "q44_source_centroids" -> (TextAnalysis.sourceCentroids _),
-    "q45_asof_attribution" -> (Events.purchaseAttribution _))
+    "q45_asof_attribution" -> (Events.purchaseAttribution _),
+    "q46_range_join" -> (RangeJoin.errorPurchaseCorrelation _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -459,6 +460,26 @@ object Queries {
         |       - epoch_ns(c.ts) // 1000000000 AS BIGINT) AS gap_s
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts > c.ts
         |ORDER BY purchase_id""".stripMargin,
+    // the oracle is the naive inequality join the binned operator must
+    // exactly reproduce; coordinates floored to whole epoch seconds on
+    // both sides
+    "q46_range_join" ->
+      """WITH err AS (
+        |  SELECT event_id AS error_id, user_id, ts,
+        |         epoch_ns(ts) // 1000000000 AS es
+        |  FROM events WHERE event_type = 'error'),
+        |pur AS (
+        |  SELECT event_id AS purchase_id, user_id, ts,
+        |         epoch_ns(ts) // 1000000000 AS ps
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e.error_id, e.user_id, p.purchase_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS error_ts,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  CAST(e.es - p.ps AS BIGINT) AS delta_s
+        |FROM err e JOIN pur p
+        |  ON e.user_id = p.user_id
+        | AND e.es >= p.ps - 7200 AND e.es < p.ps + 7200
+        |ORDER BY error_id, purchase_id""".stripMargin,
     "q36_quality_ratios" -> qualityRatiosOracle,
     // resized payload = every 2nd byte; ASCII fixture => char == byte,
     // so DuckDB reconstructs the strided string and hashes it
