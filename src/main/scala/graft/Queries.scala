@@ -205,7 +205,8 @@ object Queries {
     "q43_length_quantiles" -> (Relational.q43LengthQuantiles _),
     "q44_source_centroids" -> (TextAnalysis.sourceCentroids _),
     "q45_asof_attribution" -> (Events.purchaseAttribution _),
-    "q46_range_join" -> (RangeJoin.errorPurchaseCorrelation _))
+    "q46_range_join" -> (RangeJoin.errorPurchaseCorrelation _),
+    "q47_distinctive_terms" -> ((s: SparkSession, d: String) => TextAnalysis.distinctiveTerms(s, d)))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -480,6 +481,26 @@ object Queries {
         |  ON e.user_id = p.user_id
         | AND e.es >= p.ps - 7200 AND e.es < p.ps + 7200
         |ORDER BY error_id, purchase_id""".stripMargin,
+    // same tokenization as q18/q19; score = tf/df is one IEEE division
+    // of two exact integers (no log — libm isn't bit-stable across
+    // engines), rank totally ordered by (score DESC, term)
+    "q47_distinctive_terms" ->
+      """WITH t AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT tf.source, tf.term,
+        |    CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+        |    CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) AS score,
+        |    row_number() OVER (
+        |      PARTITION BY tf.source
+        |      ORDER BY CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) DESC,
+        |               tf.term) AS rank
+        |  FROM tf JOIN df USING (term))
+        |SELECT source, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+        |FROM s WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     "q36_quality_ratios" -> qualityRatiosOracle,
     // resized payload = every 2nd byte; ASCII fixture => char == byte,
     // so DuckDB reconstructs the strided string and hashes it

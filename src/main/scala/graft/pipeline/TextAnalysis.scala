@@ -3,6 +3,7 @@ package graft.pipeline
 import graft.Tables
 import graft.functions.{rolling_hash, simhash64}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` (SURVEY §2 B-5 + the mandated
@@ -192,6 +193,36 @@ object TextAnalysis {
         (col("sum_micro").cast("double") / col("n_vecs").cast("double")
           / lit(1000000.0)).as("centroid"))
       .orderBy("source", "dim")
+  }
+
+  /** Q47: distinctive terms per source — the TF-IDF-style profiling a
+    * corpus pipeline runs to characterize/diagnose sources (what makes
+    * src7 different?). tf = term count within the source, df = number of
+    * sources containing the term, score = tf/df: plain rarity-weighted
+    * frequency. Deliberately NOT `log`-scaled — `ln` is a libm call with
+    * no cross-engine bit guarantee, while one IEEE division of two exact
+    * integers is bit-identical everywhere, and log is monotone in 1/df
+    * so per-source ranking by tf/df equals ranking by tf·log-idf only
+    * when tf ties don't interleave — the tf/df contract is the one we
+    * pin. Two hash aggregations + one join on term + one per-source
+    * top-k window: every stage partial-aggregates before shuffling, and
+    * the top-k window input is already collapsed to (source, term) rows.
+    */
+  def distinctiveTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val terms = Tables.parallelize(Tables(spark, dir, "documents"))
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    // tf rows are unique per (source, term), so counting rows per term
+    // IS the number of sources containing the term
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .withColumn("score", col("tf").cast("double") / col("df").cast("double"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("source", "rank", "term", "tf", "df", "score")
+      .orderBy("source", "rank")
   }
 
   /** Q21: document fingerprints — rolling hash + simhash per doc. */
