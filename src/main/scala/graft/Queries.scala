@@ -206,7 +206,9 @@ object Queries {
     "q44_source_centroids" -> (TextAnalysis.sourceCentroids _),
     "q45_asof_attribution" -> (Events.purchaseAttribution _),
     "q46_range_join" -> (RangeJoin.errorPurchaseCorrelation _),
-    "q47_distinctive_terms" -> ((s: SparkSession, d: String) => TextAnalysis.distinctiveTerms(s, d)))
+    "q47_distinctive_terms" -> ((s: SparkSession, d: String) => TextAnalysis.distinctiveTerms(s, d)),
+    "q48_pivot" -> (Relational.q48Pivot _),
+    "q49_grouping_sets" -> (Relational.q49GroupingSets _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -501,6 +503,39 @@ object Queries {
         |  FROM tf JOIN df USING (term))
         |SELECT source, CAST(rank AS BIGINT) AS rank, term, tf, df, score
         |FROM s WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    // pivot == one FILTERed aggregate per explicit year column; empty
+    // combinations are NULL in both engines
+    "q48_pivot" -> {
+      val yearCols = (1995 to 2001)
+        .map(y => s"  CAST(sum(cents) FILTER (WHERE yr = $y) AS BIGINT) / 100.0 AS y$y")
+        .mkString(",\n")
+      s"""WITH j AS (
+         |  SELECT n.n_name, year(o.o_orderdate) AS yr,
+         |         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+         |  FROM orders o
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN nation n ON c.c_nationkey = n.n_nationkey)
+         |SELECT n_name,
+         |$yearCols
+         |FROM j GROUP BY n_name ORDER BY n_name""".stripMargin
+    },
+    // grouped-out nulls coalesced to the 'ALL' sentinel (q13 convention)
+    // so cross-engine NULL ordering never matters
+    "q49_grouping_sets" ->
+      """WITH j AS (
+        |  SELECT r.r_name, o.o_orderpriority,
+        |         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey)
+        |SELECT coalesce(r_name, 'ALL') AS region,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(sum(cents) AS BIGINT) / 100.0 AS revenue
+        |FROM j
+        |GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name), ())
+        |ORDER BY region, priority""".stripMargin,
     "q36_quality_ratios" -> qualityRatiosOracle,
     // resized payload = every 2nd byte; ASCII fixture => char == byte,
     // so DuckDB reconstructs the strided string and hashes it

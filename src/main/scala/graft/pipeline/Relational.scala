@@ -226,4 +226,61 @@ object Relational {
         round(percentile(col("n_chars"), lit(0.9)), 4).as("p90"),
         round(percentile(col("n_chars"), lit(0.99)), 4).as("p99"))
       .orderBy("source")
+
+  /** Q48: order revenue pivoted to one column per year — the wide
+    * reporting shape. The year values are passed EXPLICITLY to
+    * `pivot`: without them Spark runs a distinct-values discovery job
+    * first (an extra scan + collect of unbounded cardinality at 100 TB)
+    * and the output schema becomes data-dependent. Cents discipline as
+    * everywhere; combinations with no orders stay null (both engines'
+    * empty-aggregate result).
+    */
+  def q48Pivot(spark: SparkSession, dir: String): DataFrame = {
+    val years = 1995 to 2001
+    val o = Tables(spark, dir, "orders")
+      .select(
+        col("o_custkey"),
+        year(col("o_orderdate")).as("yr"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val c = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val n = Tables(spark, dir, "nation").select("n_nationkey", "n_name")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .pivot("yr", years.map(y => y: Integer))
+      .agg(sum("cents"))
+      .select(col("n_name") +: years.map(y =>
+        (col(y.toString).cast("double") / 100.0).as(s"y$y")): _*)
+      .orderBy("n_name")
+  }
+
+  /** Q49: mixed GROUPING SETS — (region, priority), (region), () in one
+    * aggregate. Spark plans a single Expand + hash aggregate (one
+    * shuffle, rows replicated only 3×), not three scans unioned.
+    * Grouped-out nulls are disambiguated the q13 way (coalesce to an
+    * 'ALL' sentinel) so cross-engine null ordering never matters.
+    */
+  def q49GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(
+        col("o_custkey"), col("o_orderpriority"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val c = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val n = Tables(spark, dir, "nation").select("n_nationkey", "n_regionkey")
+    val r = Tables(spark, dir, "region").select("r_regionkey", "r_name")
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("o_orderpriority")), Seq(col("r_name")), Seq()),
+        col("r_name"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (sum("cents").cast("double") / 100.0).as("revenue"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("revenue"))
+      .orderBy("region", "priority")
+  }
 }
