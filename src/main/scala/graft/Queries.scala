@@ -99,6 +99,60 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** Q50: revenue by priority through [[graft.pipeline.SkewJoin]] — the
+    * explicit salted formulation, gate-verified against the plain-join
+    * oracle, so "salting preserves join semantics exactly" is a checked
+    * row, not a claim. The shuffle key becomes (orderkey, salt): a hot
+    * order's lineitems spread over 8 reducers while the orders side
+    * replicates 8×.
+    */
+  def q50SkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long").as("rev_cents"))
+    val o = Tables(spark, dir, "orders").select("o_orderkey", "o_orderpriority")
+    graft.pipeline.SkewJoin.saltedEquiJoin(li, o, "l_orderkey", "o_orderkey")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum("rev_cents").cast("double") / 100.0).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Q51: the same join semantics through the BUCKETED layout
+    * ([[graft.pipeline.Bucketing]]): both sides persisted bucketed+sorted
+    * on the join key once per JVM (the production shape — pay the
+    * shuffle at write time), after which the join itself plans
+    * exchange-free (asserted in BucketingSpec); this row gate-checks the
+    * layout path end-to-end against the plain-join oracle.
+    */
+  def q51BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val liT = s"q51_li_$suffix"
+    val oT = s"q51_o_$suffix"
+    buildOnce(s"${Tables.warehouseDir}/$liT") {
+      graft.pipeline.Bucketing.writeBucketed(
+        Tables(spark, dir, "lineitem")
+          .select("l_orderkey", "l_extendedprice", "l_discount"),
+        liT, "l_orderkey", buckets = 8)
+      graft.pipeline.Bucketing.writeBucketed(
+        Tables(spark, dir, "orders").select("o_orderkey", "o_orderstatus"),
+        oT, "o_orderkey", buckets = 8)
+    }
+    graft.pipeline.Bucketing.bucketedJoin(spark, liT, "l_orderkey", oT, "o_orderkey")
+      .select(
+        col("o_orderstatus"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long").as("rev_cents"))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum("rev_cents").cast("double") / 100.0).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Q12: MDX header-split sections (A-2..A-6) — synthetic-MDX render +
     * regex section split + neighbor window, oracle re-derives the same
     * construction arithmetically in DuckDB.
@@ -208,7 +262,9 @@ object Queries {
     "q46_range_join" -> (RangeJoin.errorPurchaseCorrelation _),
     "q47_distinctive_terms" -> ((s: SparkSession, d: String) => TextAnalysis.distinctiveTerms(s, d)),
     "q48_pivot" -> (Relational.q48Pivot _),
-    "q49_grouping_sets" -> (Relational.q49GroupingSets _))
+    "q49_grouping_sets" -> (Relational.q49GroupingSets _),
+    "q50_skew_join" -> (q50SkewJoin _),
+    "q51_bucketed_join" -> (q51BucketedJoin _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -536,6 +592,21 @@ object Queries {
         |FROM j
         |GROUP BY GROUPING SETS ((r_name, o_orderpriority), (r_name), ())
         |ORDER BY region, priority""".stripMargin,
+    // q50/q51 run the salted and bucketed formulations against the SAME
+    // plain-join semantics — the oracle checks the optimization changed
+    // nothing
+    "q50_skew_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+        |    AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q51_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+        |    AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q36_quality_ratios" -> qualityRatiosOracle,
     // resized payload = every 2nd byte; ASCII fixture => char == byte,
     // so DuckDB reconstructs the strided string and hashes it

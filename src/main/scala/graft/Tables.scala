@@ -64,10 +64,28 @@ object Tables {
     if (estimatedSplits < target) df.repartition(target) else df
   }
 
+  /** Per-process warehouse for managed tables (bucketed-join layouts):
+    * tmp-dir so `saveAsTable` never litters the repo working directory,
+    * per-PID so concurrent JVMs (Verify + Bench overlap in the harness)
+    * cannot clobber each other's table files; removed on JVM exit.
+    */
+  lazy val warehouseDir: String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_" +
+      ProcessHandle.current().pid()
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+    }
+    dir
+  }
+
   /** Session config every graft entry point should apply. */
   def configure(builder: SparkSession.Builder): SparkSession.Builder =
     builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", warehouseDir)
 }
