@@ -2,7 +2,7 @@ package graft
 
 import graft.ingest.IngestJob
 import graft.pipeline.{Dedup, Events, Multimodal, RangeJoin, Relational, TextAnalysis}
-import graft.query.{AnnIndex, ContextAssembler, IvfIndex, SimilaritySearch}
+import graft.query.{AnnIndex, ContextAssembler, IvfIndex, QuantizedSearch, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -153,6 +153,19 @@ object Queries {
       .orderBy("o_orderstatus")
   }
 
+  /** Q52: batch top-k scored on int8-quantized codes
+    * ([[graft.query.QuantizedSearch]]) — the 4×-smaller retrieval path;
+    * same 10-query batch as q9/q38/q39, its own exact oracle (DuckDB
+    * reproduces the quantization + integer dot + sqrt cosine
+    * bit-for-bit).
+    */
+  def q52QuantizedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    QuantizedSearch.topKBatch(e, "vec_id", "embedding",
+        queryBatch(e), "query_id", "qvec", k = 5)
+      .orderBy("query_id", "rn")
+  }
+
   /** Q12: MDX header-split sections (A-2..A-6) — synthetic-MDX render +
     * regex section split + neighbor window, oracle re-derives the same
     * construction arithmetically in DuckDB.
@@ -264,7 +277,8 @@ object Queries {
     "q48_pivot" -> (Relational.q48Pivot _),
     "q49_grouping_sets" -> (Relational.q49GroupingSets _),
     "q50_skew_join" -> (q50SkewJoin _),
-    "q51_bucketed_join" -> (q51BucketedJoin _))
+    "q51_bucketed_join" -> (q51BucketedJoin _),
+    "q52_quantized_topk" -> (q52QuantizedTopK _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -607,6 +621,46 @@ object Queries {
         |    AS BIGINT)) AS BIGINT) / 100.0 AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // int8 quantization reproduced in DuckDB: floor max-abs scaling,
+    // exact integer dots via parallel unnest zip, sqrt cosine (sqrt is
+    // IEEE correctly-rounded in both engines)
+    "q52_quantized_topk" ->
+      """WITH m AS (
+        |  SELECT vec_id,
+        |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS ma,
+        |    embedding
+        |  FROM embeddings),
+        |qv AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma = 0 THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+        |         ELSE list_transform(embedding,
+        |                x -> CAST(floor(CAST(x AS DOUBLE) * 127.0 / ma) AS BIGINT))
+        |    END AS q
+        |  FROM m),
+        |pairs AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+        |    unnest(a.q) AS xa, unnest(b.q) AS xb
+        |  FROM qv a, qv b WHERE a.vec_id < 10),
+        |d AS (
+        |  SELECT query_id, vec_id,
+        |    CAST(sum(xa * xb) AS BIGINT) AS dot,
+        |    CAST(sum(xa * xa) AS BIGINT) AS nq,
+        |    CAST(sum(xb * xb) AS BIGINT) AS nc
+        |  FROM pairs GROUP BY 1, 2),
+        |s0 AS (
+        |  SELECT query_id, vec_id,
+        |    CASE WHEN nq = 0 OR nc = 0 THEN 0.0
+        |         ELSE CAST(dot AS DOUBLE)
+        |              / (sqrt(CAST(nq AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
+        |    END AS qsim
+        |  FROM d),
+        |s AS (
+        |  SELECT query_id, vec_id, qsim,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY qsim DESC, vec_id) AS rn
+        |  FROM s0)
+        |SELECT query_id, vec_id, qsim, CAST(rn AS BIGINT) AS rn
+        |FROM s WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     "q36_quality_ratios" -> qualityRatiosOracle,
     // resized payload = every 2nd byte; ASCII fixture => char == byte,
     // so DuckDB reconstructs the strided string and hashes it
