@@ -78,6 +78,49 @@ object EventStream {
   def sessionize(events: DataFrame, watermark: String = "10 minutes"): DataFrame =
     Events.sessionWindowDf(events.withWatermark("ts", watermark))
 
+  /** Streaming exact dedup with bounded state: duplicates arriving
+    * within the watermark horizon are dropped; state for ids older than
+    * the watermark is evicted (a duplicate arriving later than the
+    * watermark is NOT caught — that is the documented contract of
+    * `dropDuplicatesWithinWatermark`, and the price of finite state on
+    * an unbounded stream; run a batch [[graft.pipeline.Dedup.exact]]
+    * compaction downstream when end-to-end exactness is required).
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      idCols: Seq[String] = Seq("event_id"),
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
+  /** Stream-stream interval join: errors × purchases of the same user
+    * within ±2 h — the streaming form of
+    * [[graft.pipeline.RangeJoin.errorPurchaseCorrelation]] (q46), pinned
+    * to identical output by the equivalence spec. Two condition layers:
+    * the RAW event-time bounds (±2h ±1s) are what Spark's state manager
+    * uses (with both sides' watermarks) to evict buffered rows, and the
+    * floored-whole-second bounds reproduce q46's exact semantics at the
+    * boundary. Both sides must be watermarked BEFORE calling.
+    */
+  def errorPurchaseJoinDf(errors: DataFrame, purchases: DataFrame): DataFrame = {
+    val e = errors.select(
+      col("event_id").as("error_id"), col("user_id").as("e_user"),
+      col("ts").as("e_ts"), expr("unix_micros(ts) div 1000000").as("es"))
+    val p = purchases.select(
+      col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+      col("ts").as("p_ts"), expr("unix_micros(ts) div 1000000").as("ps"))
+    e.join(p, expr(
+        """e_user = p_user
+          |AND e_ts >= p_ts - INTERVAL 2 HOURS - INTERVAL 1 SECOND
+          |AND e_ts <= p_ts + INTERVAL 2 HOURS + INTERVAL 1 SECOND
+          |AND es >= ps - 7200 AND es < ps + 7200""".stripMargin))
+      .select(
+        col("error_id"), col("e_user").as("user_id"), col("purchase_id"),
+        date_format(col("e_ts"), "yyyy-MM-dd HH:mm:ss").as("error_ts"),
+        date_format(col("p_ts"), "yyyy-MM-dd HH:mm:ss").as("purchase_ts"),
+        (col("es") - col("ps")).cast("long").as("delta_s"))
+  }
+
   /** Run a streaming aggregation to an in-memory table until the source
     * is exhausted; returns the query (caller reads `spark.table(name)`).
     * Complete output mode: every trigger emits the full aggregate, which

@@ -104,6 +104,50 @@ class EventStreamSpec extends AnyFunSuite with SharedSpark {
       s"on-time row missing from update output: ${out.mkString(", ")}")
   }
 
+  test("stream-stream interval join equals the binned batch range join (sf0.001)") {
+    val errors = EventStream.readEvents(spark, Sf0001)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "error")
+      .withWatermark("ts", "10 minutes")
+    val purchases = EventStream.readEvents(spark, Sf0001)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+      .withWatermark("ts", "10 minutes")
+    val joined = EventStream.errorPurchaseJoinDf(errors, purchases)
+    EventStream.runToMemory(joined, "stream_rangejoin", outputMode = "append")
+    val streamed = sortedRows(spark.table("stream_rangejoin").collect())
+    val batch = sortedRows(
+      graft.pipeline.RangeJoin.errorPurchaseCorrelation(spark, Sf0001).collect())
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("dropDuplicatesWithinWatermark dedups across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = new java.sql.Timestamp(java.time.Instant.parse(s).toEpochMilli)
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val deduped = EventStream.dedupWithinWatermark(
+      input.toDF().toDF("event_id", "ts", "payload"), Seq("event_id"))
+    val q = deduped.writeStream
+      .format("memory").queryName("stream_dedup").outputMode("append").start()
+    try {
+      // batch 1: id 1 twice in one batch, id 2 once
+      input.addData(
+        (1L, ts("2024-01-01T10:00:00Z"), "a"),
+        (1L, ts("2024-01-01T10:00:30Z"), "a-dup-same-batch"),
+        (2L, ts("2024-01-01T10:01:00Z"), "b"))
+      q.processAllAvailable()
+      // batch 2: id 1 again within the watermark horizon -> dropped;
+      // id 3 is new
+      input.addData(
+        (1L, ts("2024-01-01T10:02:00Z"), "a-dup-next-batch"),
+        (3L, ts("2024-01-01T10:03:00Z"), "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ids = spark.table("stream_dedup").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids == Seq(1L, 2L, 3L), s"expected one row per id, got $ids")
+  }
+
   test("streaming sliding-window counts equal the batch aggregation (sf0.001)") {
     val stream = EventStream.slidingCounts(EventStream.readEvents(spark, Sf0001))
     EventStream.runToMemory(stream, "stream_sliding")
