@@ -32,20 +32,30 @@ package object functions {
   def byte_stride(bin: Column, stride: Column): Column =
     Bridge.column(ByteStride(b(bin.cast("binary")), b(stride.cast("int"))))
 
+  /** Single source of the SQL-name → expression-builder table, shared by
+    * [[registerAll]] (imperative, current-session) and
+    * [[graft.GraftExtensions]] (config-driven, at session build).
+    */
+  private[graft] val sqlBuilders: Seq[
+      (String, Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression)] = Seq(
+    "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
+    "dot_product" -> (es => DotProduct(es(0), es(1))),
+    "l2_dist_sq" -> (es => L2Distance(es(0), es(1))),
+    "l2_norm" -> (es => L2Norm(es.head)),
+    "hash_embed" -> (es => HashEmbed(es(0), es(1))),
+    "simhash64" -> (es => SimHash64(es.head)),
+    "rolling_hash" -> (es => RollingHash(es.head)),
+    "minhash_sig" -> (es => MinHashSignature(es(0), es(1))),
+    "sig_jaccard_est" -> (es => SigJaccardEst(es(0), es(1))),
+    "minhash_text" -> (es => MinHashText(es(0), es(1), es(2))),
+    "chunk_text" -> (es => ChunkText(es(0), es(1), es(2))),
+    "byte_histogram" -> (es => ByteHistogram(es(0), es(1))),
+    "byte_stride" -> (es => ByteStride(es(0), es(1))))
+
   /** Register all graft functions for SQL text / `call_function`. */
-  def registerAll(spark: SparkSession): Unit = {
-    Bridge.register(spark, "cosine_sim", es => CosineSimilarity(es(0), es(1)))
-    Bridge.register(spark, "dot_product", es => DotProduct(es(0), es(1)))
-    Bridge.register(spark, "l2_dist_sq", es => L2Distance(es(0), es(1)))
-    Bridge.register(spark, "l2_norm", es => L2Norm(es.head))
-    Bridge.register(spark, "hash_embed", es => HashEmbed(es(0), es(1)))
-    Bridge.register(spark, "simhash64", es => SimHash64(es.head))
-    Bridge.register(spark, "rolling_hash", es => RollingHash(es.head))
-    Bridge.register(spark, "minhash_sig", es => MinHashSignature(es(0), es(1)))
-    Bridge.register(spark, "sig_jaccard_est", es => SigJaccardEst(es(0), es(1)))
-    Bridge.register(spark, "minhash_text", es => MinHashText(es(0), es(1), es(2)))
-    Bridge.register(spark, "chunk_text", es => ChunkText(es(0), es(1), es(2)))
-    Bridge.register(spark, "byte_histogram", es => ByteHistogram(es(0), es(1)))
-    Bridge.register(spark, "byte_stride", es => ByteStride(es(0), es(1)))
-  }
+  def registerAll(spark: SparkSession): Unit =
+    sqlBuilders.foreach { case (name, builder) =>
+      Bridge.register(spark, name, builder)
+    }
 }
