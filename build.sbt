@@ -28,3 +28,18 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// GraftExtensionsSpec needs to CREATE its SparkContext (spark.sql.extensions
+// is a static conf — applied only at context build, silently ignored on the
+// suite-shared context), so it runs in its own forked JVM.
+Test / testGrouping := {
+  val opts = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector)
+  val (iso, rest) = (Test / definedTests).value
+    .partition(_.name.endsWith("GraftExtensionsSpec"))
+  Seq(
+    Tests.Group("extensions-isolated", iso, Tests.SubProcess(opts)),
+    Tests.Group("shared-context", rest, Tests.SubProcess(opts)),
+  ).filter(_.tests.nonEmpty)
+}
+// groups = forked JVMs; run them one at a time (each holds a local[4]
+// SparkContext and the default 8g heap)
+Test / parallelExecution := false
