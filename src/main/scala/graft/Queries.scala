@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.IngestJob
-import graft.pipeline.{Dedup, Events, Multimodal, RangeJoin, Relational, TextAnalysis}
+import graft.pipeline.{Dedup, Events, Multimodal, RangeJoin, Relational, Sampling, TextAnalysis}
 import graft.query.{AnnIndex, ContextAssembler, IvfIndex, QuantizedSearch, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -278,7 +278,10 @@ object Queries {
     "q49_grouping_sets" -> (Relational.q49GroupingSets _),
     "q50_skew_join" -> (q50SkewJoin _),
     "q51_bucketed_join" -> (q51BucketedJoin _),
-    "q52_quantized_topk" -> (q52QuantizedTopK _))
+    "q52_quantized_topk" -> (q52QuantizedTopK _),
+    "q53_stratified_sample" -> (Sampling.stratifiedSample _),
+    "q54_signup_funnel" -> (Events.signupFunnel _),
+    "q55_trailing_window" -> (Events.trailingActivity _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -661,6 +664,48 @@ object Queries {
         |  FROM s0)
         |SELECT query_id, vec_id, qsim, CAST(rn AS BIGINT) AS rn
         |FROM s WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // Knuth multiplicative hash in exact BIGINT arithmetic — both
+    // engines compute the identical keep decision per row
+    "q53_stratified_sample" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    ((doc_id * 2654435761) % 4294967296) % 1000 AS bucket,
+        |    100 + (CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 3)
+        |      * 200 AS rate_mille
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(rate_mille AS BIGINT) AS rate_mille
+        |FROM d WHERE bucket < rate_mille ORDER BY doc_id""".stripMargin,
+    "q54_signup_funnel" ->
+      """WITH s AS (
+        |  SELECT user_id, min(epoch_ns(ts) // 1000000000) AS signup_sec
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |p AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000000000 AS sec
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT s.user_id, CAST(s.signup_sec AS BIGINT) AS signup_sec,
+        |  CAST(min(p.sec) AS BIGINT) AS purchase_sec,
+        |  CAST(min(p.sec) - s.signup_sec AS BIGINT) AS gap_s,
+        |  min(p.sec) IS NOT NULL AS converted
+        |FROM s LEFT JOIN p
+        |  ON s.user_id = p.user_id AND p.sec > s.signup_sec
+        |GROUP BY s.user_id, s.signup_sec
+        |ORDER BY s.user_id""".stripMargin,
+    // RANGE frame on integer epoch seconds; frame sum in exact cents
+    "q55_trailing_window" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, ts,
+        |    epoch_ns(ts) // 1000000000 AS sec,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+        |  count(*) OVER w AS n_24h,
+        |  CAST(sum(cents) OVER w AS BIGINT) / 100.0 AS value_24h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec
+        |             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "q36_quality_ratios" -> qualityRatiosOracle,
     // resized payload = every 2nd byte; ASCII fixture => char == byte,
     // so DuckDB reconstructs the strided string and hashes it

@@ -90,6 +90,57 @@ object Events {
   def slidingCounts(spark: SparkSession, dir: String): DataFrame =
     slidingCountsDf(Tables(spark, dir, "events")).orderBy("w_start", "event_type")
 
+  /** Q54: signup→purchase funnel — per user: first signup, first
+    * purchase strictly after it, conversion gap. The sequential-pattern
+    * staple (activation analysis). Two hash aggregations and one join on
+    * user_id — no per-user sort beyond the aggregates' own shuffles;
+    * at scale both aggregates partial-combine map-side. Non-converted
+    * users surface with null purchase/gap (left join), so the funnel
+    * denominator is part of the output.
+    */
+  def signupFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .withColumn("sec", expr("unix_micros(ts) div 1000000"))
+    val signups = e.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("sec").as("signup_sec"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("sec"))
+    signups
+      .join(purchases,
+        col("user_id") === col("p_user") && col("sec") > col("signup_sec"),
+        "left")
+      .groupBy("user_id", "signup_sec")
+      .agg(min("sec").as("purchase_sec"))
+      .select(
+        col("user_id"),
+        col("signup_sec"),
+        col("purchase_sec"),
+        (col("purchase_sec") - col("signup_sec")).as("gap_s"),
+        col("purchase_sec").isNotNull.as("converted"))
+      .orderBy("user_id")
+  }
+
+  /** Q55: trailing-24h activity per event via a RANGE window frame
+    * (`rangeBetween` on epoch seconds) — the time-based moving
+    * aggregate `ROWS` frames cannot express (peers at equal timestamps
+    * and irregular spacing are handled by value, not by row count).
+    * The frame sum is exact integer cents, so in-frame accumulation
+    * order cannot flip a bit.
+    */
+  def trailingActivity(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("sec")
+      .rangeBetween(-86400L, 0L)
+    Tables(spark, dir, "events")
+      .withColumn("sec", expr("unix_micros(ts) div 1000000"))
+      .withColumn("value_cents", round(col("value") * 100, 0).cast("long"))
+      .select(
+        col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("event_ts"),
+        count(lit(1)).over(w).as("n_24h"),
+        (sum("value_cents").over(w).cast("double") / 100.0).as("value_24h"))
+      .orderBy("event_id")
+  }
+
   /** Q45: last-touch purchase attribution via [[AsofJoin.backward]] —
     * each purchase joined to the same user's most recent strictly-earlier
     * click/view. Strict (`<`) so a touch at the exact purchase instant
