@@ -280,6 +280,7 @@ object Queries {
     "q51_bucketed_join" -> (q51BucketedJoin _),
     "q52_quantized_topk" -> (q52QuantizedTopK _),
     "q53_stratified_sample" -> (Sampling.stratifiedSample _),
+    "q56_data_quality" -> (graft.pipeline.DataQuality.q56Report _),
     "q54_signup_funnel" -> (Events.signupFunnel _),
     "q55_trailing_window" -> (Events.trailingActivity _))
 
@@ -706,6 +707,39 @@ object Queries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY sec
         |             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q56_data_quality" ->
+      """WITH base AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) AS doc_text_empty,
+        |    sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS doc_nchars_wrong,
+        |    sum(CASE WHEN lang NOT IN ('en','es','de','fr','zh') THEN 1 ELSE 0 END) AS doc_lang_unknown,
+        |    sum(CASE WHEN doc_id IS NULL OR text IS NULL OR lang IS NULL
+        |             OR source IS NULL THEN 1 ELSE 0 END) AS doc_null_field,
+        |    count(*) - count(DISTINCT doc_id) AS doc_id_duplicates
+        |  FROM documents),
+        |rowchecks AS (
+        |  SELECT 'doc_text_empty' AS check_name, doc_text_empty AS v, n FROM base
+        |  UNION ALL SELECT 'doc_nchars_wrong', doc_nchars_wrong, n FROM base
+        |  UNION ALL SELECT 'doc_lang_unknown', doc_lang_unknown, n FROM base
+        |  UNION ALL SELECT 'doc_null_field', doc_null_field, n FROM base
+        |  UNION ALL SELECT 'doc_id_duplicates', doc_id_duplicates, n FROM base),
+        |fks AS (
+        |  SELECT 'fk_lineitem_orders' AS check_name,
+        |    (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+        |       ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS v,
+        |    (SELECT count(*) FROM lineitem) AS n
+        |  UNION ALL SELECT 'fk_orders_customer',
+        |    (SELECT count(*) FROM orders o LEFT JOIN customer c
+        |       ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL),
+        |    (SELECT count(*) FROM orders)
+        |  UNION ALL SELECT 'fk_embeddings_documents',
+        |    (SELECT count(*) FROM embeddings e LEFT JOIN documents d
+        |       ON e.vec_id = d.doc_id WHERE d.doc_id IS NULL),
+        |    (SELECT count(*) FROM embeddings))
+        |SELECT check_name, CAST(v AS BIGINT) AS n_violations,
+        |  CAST(n AS BIGINT) AS n_rows, v = 0 AS pass
+        |FROM (SELECT * FROM rowchecks UNION ALL SELECT * FROM fks)
+        |ORDER BY check_name""".stripMargin,
     "q36_quality_ratios" -> qualityRatiosOracle,
     // resized payload = every 2nd byte; ASCII fixture => char == byte,
     // so DuckDB reconstructs the strided string and hashes it
