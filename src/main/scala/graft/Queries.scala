@@ -281,6 +281,7 @@ object Queries {
     "q52_quantized_topk" -> (q52QuantizedTopK _),
     "q53_stratified_sample" -> (Sampling.stratifiedSample _),
     "q56_data_quality" -> (graft.pipeline.DataQuality.q56Report _),
+    "q57_source_outliers" -> ((s: SparkSession, d: String) => TextAnalysis.sourceOutliers(s, d)),
     "q54_signup_funnel" -> (Events.signupFunnel _),
     "q55_trailing_window" -> (Events.trailingActivity _))
 
@@ -740,6 +741,30 @@ object Queries {
         |  CAST(n AS BIGINT) AS n_rows, v = 0 AS pass
         |FROM (SELECT * FROM rowchecks UNION ALL SELECT * FROM fks)
         |ORDER BY check_name""".stripMargin,
+    // distances in exact kilo-quantized integers (centroid never
+    // materializes as a float); n² divides out in one final double op
+    "q57_source_outliers" ->
+      """WITH x AS (
+        |  SELECT d.source, em.vec_id,
+        |    unnest(list_transform(em.embedding,
+        |      v -> CAST(floor(CAST(v AS DOUBLE) * 1000.0) AS BIGINT))) AS xk,
+        |    unnest(range(len(em.embedding))) AS dim
+        |  FROM documents d JOIN embeddings em ON d.doc_id = em.vec_id),
+        |s AS (
+        |  SELECT source, dim, count(*) AS n, CAST(sum(xk) AS BIGINT) AS sm
+        |  FROM x GROUP BY 1, 2),
+        |v AS (
+        |  SELECT x.vec_id, x.source, s.n,
+        |    CAST(sum((x.xk * s.n - s.sm) * (x.xk * s.n - s.sm)) AS BIGINT)
+        |      AS dist2_scaled
+        |  FROM x JOIN s ON x.source = s.source AND x.dim = s.dim
+        |  GROUP BY 1, 2, 3)
+        |SELECT vec_id, source, CAST(n AS BIGINT) AS n_vecs, dist2_scaled,
+        |  CAST(dist2_scaled AS DOUBLE)
+        |    / CAST(n * n * 64 * 1000000 AS DOUBLE) AS msd,
+        |  CAST(dist2_scaled AS DOUBLE)
+        |    / CAST(n * n * 64 * 1000000 AS DOUBLE) > 0.0165 AS is_outlier
+        |FROM v ORDER BY vec_id""".stripMargin,
     "q36_quality_ratios" -> qualityRatiosOracle,
     // resized payload = every 2nd byte; ASCII fixture => char == byte,
     // so DuckDB reconstructs the strided string and hashes it

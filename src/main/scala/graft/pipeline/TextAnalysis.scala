@@ -225,6 +225,45 @@ object TextAnalysis {
       .orderBy("source", "rank")
   }
 
+  /** Q57: embedding outliers vs the source centroid — the quality
+    * filter that catches mislabeled/contaminated vectors before
+    * training (drop or re-route documents far from their class
+    * prototype). All distance arithmetic is EXACT integers: components
+    * kilo-quantized (`floor(x·1000)`, the q44/q52 discipline), and the
+    * per-vector score is Σ_dims (xk·n − Σxk)² — the centroid never
+    * materializes as a float, the n² factor divides out at the end in
+    * one deterministic double division. Exact for corpora up to ~190k
+    * vectors per source (the Σd² long bound at |xk| ≤ 1000, 64 dims);
+    * beyond that, shard sources before scoring.
+    *
+    * Shape: explode → one (source, dim) aggregation → broadcastable
+    * (sources × dims) sum table joined back → per-vector aggregation.
+    * Two shuffles total, both on collapsed keys.
+    */
+  def sourceOutliers(spark: SparkSession, dir: String,
+      msdThreshold: Double = 0.0165): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "source")
+    val e = Tables(spark, dir, "embeddings")
+    val xk = docs.join(e, col("doc_id") === col("vec_id"))
+      .select(col("vec_id"), col("source"), posexplode(col("embedding")))
+      .select(col("vec_id"), col("source"), col("pos").cast("int").as("dim"),
+        floor(col("col").cast("double") * lit(1000.0)).cast("long").as("xk"))
+    val sums = xk.groupBy("source", "dim")
+      .agg(count(lit(1)).as("n"), sum("xk").as("sm"))
+    xk.join(sums, Seq("source", "dim"))
+      .withColumn("d", col("xk") * col("n") - col("sm"))
+      .groupBy("vec_id", "source", "n")
+      .agg(sum(col("d") * col("d")).as("dist2_scaled"))
+      .select(
+        col("vec_id"), col("source"), col("n").as("n_vecs"),
+        col("dist2_scaled"),
+        (col("dist2_scaled").cast("double")
+          / (col("n") * col("n") * lit(64L) * lit(1000000L)).cast("double"))
+          .as("msd"))
+      .withColumn("is_outlier", col("msd") > msdThreshold)
+      .orderBy("vec_id")
+  }
+
   /** Q21: document fingerprints — rolling hash + simhash per doc. */
   def fingerprints(spark: SparkSession, dir: String): DataFrame =
     Tables.parallelize(Tables(spark, dir, "documents"))
