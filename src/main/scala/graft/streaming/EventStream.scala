@@ -102,7 +102,10 @@ object EventStream {
     * floored-whole-second bounds reproduce q46's exact semantics at the
     * boundary. Both sides must be watermarked BEFORE calling.
     */
-  def errorPurchaseJoinDf(errors: DataFrame, purchases: DataFrame): DataFrame = {
+  def errorPurchaseJoinDf(
+      errors: DataFrame,
+      purchases: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val e = errors.select(
       col("event_id").as("error_id"), col("user_id").as("e_user"),
       col("ts").as("e_ts"), expr("unix_micros(ts) div 1000000").as("es"))
@@ -113,7 +116,8 @@ object EventStream {
         """e_user = p_user
           |AND e_ts >= p_ts - INTERVAL 2 HOURS - INTERVAL 1 SECOND
           |AND e_ts <= p_ts + INTERVAL 2 HOURS + INTERVAL 1 SECOND
-          |AND es >= ps - 7200 AND es < ps + 7200""".stripMargin))
+          |AND es >= ps - 7200 AND es < ps + 7200""".stripMargin),
+        joinType)
       .select(
         col("error_id"), col("e_user").as("user_id"), col("purchase_id"),
         date_format(col("e_ts"), "yyyy-MM-dd HH:mm:ss").as("error_ts"),

@@ -119,6 +119,44 @@ class EventStreamSpec extends AnyFunSuite with SharedSpark {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("left-outer stream-stream join emits null-matched rows after the watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = new java.sql.Timestamp(java.time.Instant.parse(s).toEpochMilli)
+
+    val errs = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val purs = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val joined = EventStream.errorPurchaseJoinDf(
+      errs.toDF().toDF("event_id", "ts", "user_id").withWatermark("ts", "1 minute"),
+      purs.toDF().toDF("event_id", "ts", "user_id").withWatermark("ts", "1 minute"),
+      joinType = "left_outer")
+    val q = joined.writeStream
+      .format("memory").queryName("stream_outer_join").outputMode("append").start()
+    try {
+      // user 3 matches inside the window; user 1's error never will
+      errs.addData((100L, ts("2024-01-01T10:00:00Z"), 1L),
+        (101L, ts("2024-01-01T10:05:00Z"), 3L))
+      purs.addData((200L, ts("2024-01-01T10:10:00Z"), 3L))
+      q.processAllAvailable()
+      // advance BOTH watermarks far past 10:00 + 2h + 1s so the state
+      // manager can prove user 1's error is unmatchable and emit it
+      errs.addData((102L, ts("2024-01-01T20:00:00Z"), 9L))
+      purs.addData((201L, ts("2024-01-01T20:00:00Z"), 8L))
+      q.processAllAvailable()
+      errs.addData((103L, ts("2024-01-02T10:00:00Z"), 9L))
+      purs.addData((202L, ts("2024-01-02T10:00:00Z"), 8L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("stream_outer_join").collect()
+      .map(r => (r.getLong(0), Option(r.get(2)).map(_.toString)))
+      .toSet
+    assert(rows.contains((101L, Some("200"))),
+      s"matched pair missing: $rows")
+    assert(rows.contains((100L, None)),
+      s"unmatched error not emitted with nulls after watermark: $rows")
+  }
+
   test("dropDuplicatesWithinWatermark dedups across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
