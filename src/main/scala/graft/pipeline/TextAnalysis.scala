@@ -244,10 +244,15 @@ object TextAnalysis {
       msdThreshold: Double = 0.0165): DataFrame = {
     val docs = Tables(spark, dir, "documents").select("doc_id", "source")
     val e = Tables(spark, dir, "embeddings")
+    // materialized once: xk feeds BOTH the (source, dim) sums and the
+    // join-back side, and Spark has no cross-subtree CSE — without this
+    // the scan+explode of the whole corpus runs twice (same pattern as
+    // cleanCorpus/IvfIndex)
     val xk = docs.join(e, col("doc_id") === col("vec_id"))
       .select(col("vec_id"), col("source"), posexplode(col("embedding")))
       .select(col("vec_id"), col("source"), col("pos").cast("int").as("dim"),
         floor(col("col").cast("double") * lit(1000.0)).cast("long").as("xk"))
+      .localCheckpoint()
     val sums = xk.groupBy("source", "dim")
       .agg(count(lit(1)).as("n"), sum("xk").as("sm"))
     xk.join(sums, Seq("source", "dim"))
