@@ -282,6 +282,7 @@ object Queries {
     "q53_stratified_sample" -> (Sampling.stratifiedSample _),
     "q56_data_quality" -> (graft.pipeline.DataQuality.q56Report _),
     "q57_source_outliers" -> ((s: SparkSession, d: String) => TextAnalysis.sourceOutliers(s, d)),
+    "q58_star_join" -> (Relational.q58StarJoin _),
     "q54_signup_funnel" -> (Events.signupFunnel _),
     "q55_trailing_window" -> (Events.trailingActivity _))
 
@@ -765,6 +766,17 @@ object Queries {
         |  CAST(dist2_scaled AS DOUBLE)
         |    / CAST(n * n * 64 * 1000000 AS DOUBLE) > 0.0165 AS is_outlier
         |FROM v ORDER BY vec_id""".stripMargin,
+    "q58_star_join" ->
+      """SELECT r_name, n_name, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+        |    AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name IN ('ASIA', 'EUROPE')
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
     "q36_quality_ratios" -> qualityRatiosOracle,
     // resized payload = every 2nd byte; ASCII fixture => char == byte,
     // so DuckDB reconstructs the strided string and hashes it

@@ -227,6 +227,37 @@ object Relational {
         round(percentile(col("n_chars"), lit(0.99)), 4).as("p99"))
       .orderBy("source")
 
+  /** Q58: the 5-way star join (TPC-H Q5 shape) — lineitem ⋈ orders ⋈
+    * customer ⋈ nation ⋈ region with a region filter, revenue per
+    * nation. The join-reorder/broadcast stress query: Catalyst + AQE
+    * should broadcast the three dimension tables and leave one shuffled
+    * join between the two fact-scale sides; the region filter prunes
+    * 4/5 of the customer side before it ever reaches lineitem.
+    */
+  def q58StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+          .cast("long").as("rev_cents"))
+    val o = Tables(spark, dir, "orders").select("o_orderkey", "o_custkey")
+    val c = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
+    val n = Tables(spark, dir, "nation")
+      .select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables(spark, dir, "region")
+      .filter(col("r_name").isin("ASIA", "EUROPE"))
+      .select("r_regionkey", "r_name")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        count(lit(1)).as("n_items"),
+        (sum("rev_cents").cast("double") / 100.0).as("revenue"))
+      .orderBy("r_name", "n_name")
+  }
+
   /** Q48: order revenue pivoted to one column per year — the wide
     * reporting shape. The year values are passed EXPLICITLY to
     * `pivot`: without them Spark runs a distinct-values discovery job
