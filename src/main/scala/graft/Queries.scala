@@ -283,6 +283,8 @@ object Queries {
     "q56_data_quality" -> (graft.pipeline.DataQuality.q56Report _),
     "q57_source_outliers" -> ((s: SparkSession, d: String) => TextAnalysis.sourceOutliers(s, d)),
     "q58_star_join" -> (Relational.q58StarJoin _),
+    "q59_json_props" -> (Events.jsonPropsStats _),
+    "q60_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
     "q54_signup_funnel" -> (Events.signupFunnel _),
     "q55_trailing_window" -> (Events.trailingActivity _))
 
@@ -777,6 +779,42 @@ object Queries {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name IN ('ASIA', 'EUROPE')
         |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q59_json_props" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+        |  CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  CAST(sum(k) AS BIGINT) / CAST(count(k) AS DOUBLE) AS avg_k
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // exact cross-corpus n-gram Jaccard (old = id < 250, new = id >= 250),
+    // best match per new doc ranked by the SAME rounded jac both engines
+    // produce (q14-proven equal)
+    "q60_incremental_dedup" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, length(text) - 4),
+        |      i -> substr(text, CAST(i AS INT), 6)))) AS gram
+        |  FROM documents WHERE length(text) >= 6),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM g GROUP BY doc_id),
+        |inter AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        |  FROM g a JOIN g b
+        |    ON a.gram = b.gram AND a.doc_id < 250 AND b.doc_id >= 250
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT d1, d2, round(i * 1.0 / (s1.sz + s2.sz - i), 6) AS jac
+        |  FROM inter JOIN sizes s1 ON d1 = s1.doc_id
+        |              JOIN sizes s2 ON d2 = s2.doc_id
+        |  WHERE i * 1.0 / (s1.sz + s2.sz - i) >= 0.5),
+        |best AS (
+        |  SELECT d2, d1, jac,
+        |    row_number() OVER (PARTITION BY d2 ORDER BY jac DESC, d1) AS rn
+        |  FROM j)
+        |SELECT d2 AS new_id, d1 AS dup_of, jac
+        |FROM best WHERE rn = 1 ORDER BY new_id""".stripMargin,
     "q36_quality_ratios" -> qualityRatiosOracle,
     // resized payload = every 2nd byte; ASCII fixture => char == byte,
     // so DuckDB reconstructs the strided string and hashes it

@@ -382,6 +382,32 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Q60: incremental dedup — new documents (id ≥ cutoff) checked
+    * against the existing corpus (id < cutoff), the shape every
+    * continuously-trained pipeline runs on each incoming batch ("is
+    * this already in the training set?"). Reuses the full banded
+    * machinery and the session-shared signature cache; the cross
+    * restriction is a filter on the (d1 < d2) pair stream, so old×old
+    * and new×new pairs never reach exact verification. Each new doc
+    * reports its best match (highest verified Jaccard, ties to the
+    * lowest old id) — the row a dedup policy acts on.
+    */
+  def incrementalDedup(
+      spark: SparkSession,
+      dir: String,
+      cutoff: Long = 250,
+      threshold: Double = 0.5): DataFrame = {
+    val cross = nearDupPairs(minhashDocs(spark, dir), minhashSigs(spark, dir), threshold)
+      .filter(col("d1") < cutoff && col("d2") >= cutoff)
+    val best = org.apache.spark.sql.expressions.Window
+      .partitionBy("d2").orderBy(col("jac").desc, col("d1").asc)
+    cross
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("d2").as("new_id"), col("d1").as("dup_of"), col("jac"))
+      .orderBy("new_id")
+  }
+
   /** Q25: embedding-cosine near-dup via the LSH-bucketed ANN join (B-3/B-4
     * scale path) — same output contract as [[cosineNearDup]] and verified
     * against the same exact DuckDB oracle; candidates come from hash

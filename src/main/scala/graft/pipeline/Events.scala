@@ -141,6 +141,27 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Q59: semi-structured column handling — the `props` JSON payload
+    * parsed and aggregated per event type. JSON-path extraction
+    * (`get_json_object`) keeps the plan codegen'd; all stats are exact
+    * integers plus one final IEEE division. At 100 TB the parse cost is
+    * the story: extraction happens once in the scan projection, not per
+    * aggregate, and a production schema would promote hot keys to
+    * typed columns at ingest (`from_json` with an explicit schema).
+    */
+  def jsonPropsStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        count("k").as("n_with_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"),
+        sum("k").as("sum_k"),
+        (sum("k").cast("double") / count("k").cast("double")).as("avg_k"))
+      .orderBy("event_type")
+
   /** Q45: last-touch purchase attribution via [[AsofJoin.backward]] —
     * each purchase joined to the same user's most recent strictly-earlier
     * click/view. Strict (`<`) so a touch at the exact purchase instant
