@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale properties asserted on the OPTIMIZED PLAN, not just the
+  * results — the shapes that make these queries survive 100× data:
+  * a regression that silently un-pushes a filter or flips a broadcast
+  * to a sort-merge join fails here long before it times out a bench.
+  */
+class PlanShapeSpec extends AnyFunSuite with SharedSpark {
+
+  test("q60's cross-corpus cutoff filters push below the LSH band join") {
+    val plan = graft.pipeline.Dedup
+      .incrementalDedup(spark, Sf0001)
+      .queryExecution.optimizedPlan.toString
+    // both restrictions must appear as source-side filters (they occur
+    // once per consumer of each side), not one residual post-filter
+    assert(plan.split("< 250").length > 2,
+      "old-side cutoff not pushed to multiple inputs:\n" + plan.take(2000))
+    assert(plan.split(">= 250").length > 2,
+      "new-side cutoff not pushed to multiple inputs:\n" + plan.take(2000))
+    graft.pipeline.Dedup.unpersistSigs(spark, Sf0001)
+  }
+
+  test("q58's dimension joins all broadcast at fixture scale") {
+    val plan = graft.pipeline.Relational
+      .q58StarJoin(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"),
+      "a star-join side fell back to sort-merge:\n" + plan.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 3,
+      "expected the dimension tables to broadcast:\n" + plan.take(2000))
+  }
+
+  test("q1's date predicate reaches the parquet scan") {
+    val plan = graft.pipeline.Relational
+      .q1Filter(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), plan.take(1500))
+    assert(plan.contains("IsNotNull(l_shipdate)"), plan.take(1500))
+  }
+}
