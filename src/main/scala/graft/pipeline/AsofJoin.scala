@@ -57,9 +57,15 @@ object AsofJoin {
     // t == left.t is visible), after it for strict
     val rightTag = if (strict) 1 else -1
     val payload: Column = struct(payloadCols.map(col): _*)
-    val r = right.select(
-      col(key).as("__k"), col(time).as("__t"),
-      lit(rightTag).as("__s"), payload.as("__p"))
+    // a null right time/key must match NOTHING — unfiltered, a null-time
+    // row sorts FIRST in the ascending window and its (non-null) payload
+    // would be served as the running last() to every left row with no
+    // earlier real match
+    val r = right
+      .filter(col(key).isNotNull && col(time).isNotNull)
+      .select(
+        col(key).as("__k"), col(time).as("__t"),
+        lit(rightTag).as("__s"), payload.as("__p"))
     val payloadType = r.schema("__p").dataType
     val l = left
       .withColumn("__k", col(key))

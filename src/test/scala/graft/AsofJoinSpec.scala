@@ -40,6 +40,19 @@ class AsofJoinSpec extends AnyFunSuite with SharedSpark {
     assert(out.columns.toSeq == Seq("lid", "k", "t", "asof"))
   }
 
+  test("null right times/keys match nothing; null left times match nothing") {
+    val l = Seq((1L, Some("a"), Some(10L)), (2L, Some("a"), None))
+      .toDF("lid", "k", "t")
+    val r = Seq((Some("a"), None: Option[Long], "null-time"),
+        (None: Option[String], Some(5L), "null-key"))
+      .toDF("k", "t", "v")
+    val out = AsofJoin.backward(l, r, "k", "t", Seq("v"))
+      .select(col("lid"), col("asof.v")).as[(Long, Option[String])]
+      .collect().toMap
+    assert(out(1L).isEmpty, "null-time right row leaked as a match")
+    assert(out(2L).isEmpty, "null-time left row matched something")
+  }
+
   test("multi-column payload keeps field names") {
     val r2 = right.withColumn("w", col("t") * 2)
     val row = AsofJoin.backward(left, r2, "k", "t", Seq("v", "w"))
