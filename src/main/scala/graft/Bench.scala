@@ -69,6 +69,9 @@ object Bench {
     val total = results.map(_._2).sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // caller-owned persist lifecycle: release the session-shared dedup
+    // caches (minhash signatures + verified pairs) before stopping
+    graft.pipeline.Dedup.unpersistSigs(spark, sfDir)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

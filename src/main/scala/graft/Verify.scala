@@ -61,6 +61,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // caller-owned persist lifecycle: release the session-shared dedup
+    // caches (minhash signatures + verified pairs) before stopping
+    graft.pipeline.Dedup.unpersistSigs(spark, sfDir)
     spark.stop()
   }
 }

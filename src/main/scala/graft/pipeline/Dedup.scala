@@ -113,11 +113,16 @@ object Dedup {
     })
   }
 
-  /** Release the shared signature cache for one corpus (tests, audits,
-    * long-lived sessions that are done deduplicating it).
+  /** Release the shared signature cache (and the derived verified-pair
+    * frames) for one corpus — tests, audits, and long-lived sessions
+    * that are done deduplicating it. Verify and Bench call this before
+    * stopping their session so the persist lifecycle is caller-owned,
+    * not leaked to context teardown.
     */
-  def unpersistSigs(spark: SparkSession, dir: String): Unit =
+  def unpersistSigs(spark: SparkSession, dir: String): Unit = {
     Option(sigCache.remove((spark, dir))).foreach(_.unpersist())
+    pairCache.keySet.removeIf(k => k._1 == spark && k._2 == dir)
+  }
 
   /** (band, bucket) rows per document — the LSH shuffle key. */
   private[graft] def minhashBands(sigs: DataFrame): DataFrame = {
@@ -222,8 +227,34 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
   }
 
+  /** Session-shared VERIFIED near-dup pair frames, one materialized
+    * (eager localCheckpoint) frame per (session, dir, threshold). The
+    * LSH machinery (band explode → multi-million-row collision join →
+    * estimator filter → exact gram verification) distills the corpus to
+    * a few hundred pairs; q15 reports them and q32 clusters them, so
+    * recomputing the collision join per caller repeats the bench's most
+    * expensive shuffle for no new information. Checkpointed output is
+    * tiny (pairs × 3 columns) — same build-once-query-many pattern as
+    * the q38/q51 index builds; [[unpersistSigs]] drops it with the
+    * signature cache.
+    */
+  private val pairCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
+
+  private[graft] def verifiedNearDupPairs(
+      spark: SparkSession,
+      dir: String,
+      threshold: Double): DataFrame = {
+    pairCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    pairCache.computeIfAbsent((spark, dir, threshold),
+      { key: (SparkSession, String, Double) =>
+        nearDupPairs(minhashDocs(key._1, key._2), minhashSigs(key._1, key._2), key._3)
+          .localCheckpoint()
+      })
+  }
+
   def minhashNearDup(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame =
-    nearDupPairs(minhashDocs(spark, dir), minhashSigs(spark, dir), threshold)
+    verifiedNearDupPairs(spark, dir, threshold)
       .orderBy("d1", "d2")
 
   /** SimHash banding layout — shared with the completeness property test
@@ -323,7 +354,8 @@ object Dedup {
     * `doc_id == cluster_id`.
     */
   def dedupClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashNearDup(spark, dir, threshold).select("d1", "d2")
+    // shares q15's verified pair frame (and skips its output sort)
+    val pairs = verifiedNearDupPairs(spark, dir, threshold).select("d1", "d2")
     val labels = connectedComponents(pairs)
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, "label")
