@@ -1,7 +1,7 @@
 package graft
 
 import graft.ingest.IngestJob
-import graft.pipeline.{Dedup, Events, Multimodal, RangeJoin, Relational, Sampling, TextAnalysis}
+import graft.pipeline.{Decontamination, Dedup, Events, Multimodal, RangeJoin, Relational, Sampling, SequencePacker, TextAnalysis}
 import graft.query.{AnnIndex, ContextAssembler, IvfIndex, QuantizedSearch, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -286,7 +286,17 @@ object Queries {
     "q59_json_props" -> (Events.jsonPropsStats _),
     "q60_incremental_dedup" -> ((s: SparkSession, d: String) => Dedup.incrementalDedup(s, d)),
     "q54_signup_funnel" -> (Events.signupFunnel _),
-    "q55_trailing_window" -> (Events.trailingActivity _))
+    "q55_trailing_window" -> (Events.trailingActivity _),
+    "q61_repetition" -> (TextAnalysis.repetition _),
+    "q62_gopher_gate" -> (TextAnalysis.gopherGate _),
+    "q63_decontamination" ->
+      ((s: SparkSession, d: String) => Decontamination.contaminated(s, d)),
+    "q64_sequence_packing" ->
+      ((s: SparkSession, d: String) => SequencePacker.pack(s, d)),
+    "q65_temperature_mix" -> (Sampling.temperatureMix _),
+    "q66_set_ops" -> (Relational.q66SetOps _),
+    "q67_window_family" -> (Relational.q67WindowFamily _),
+    "q68_stat_moments" -> (Relational.q68StatMoments _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -816,6 +826,189 @@ object Queries {
         |SELECT d2 AS new_id, d1 AS dup_of, jac
         |FROM best WHERE rn = 1 ORDER BY new_id""".stripMargin,
     "q36_quality_ratios" -> qualityRatiosOracle,
+    // DuckDB range(a, b) is empty when b <= a, so the short-doc n-gram
+    // guard Spark needs (sequence descends) is implicit here
+    "q61_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, toks,
+        |    list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1]) AS g2,
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id,
+        |    len(toks)::BIGINT AS n_words,
+        |    (len(toks) - len(list_distinct(toks)))::BIGINT AS n_dup_words,
+        |    len(g2)::BIGINT AS n_2grams,
+        |    (len(g2) - len(list_distinct(g2)))::BIGINT AS n_dup_2grams,
+        |    len(g3)::BIGINT AS n_3grams,
+        |    (len(g3) - len(list_distinct(g3)))::BIGINT AS n_dup_3grams
+        |  FROM g),
+        |tw AS (
+        |  SELECT doc_id, max(c)::BIGINT AS top_word_count FROM (
+        |    SELECT doc_id, w, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(toks) AS w FROM t)
+        |    GROUP BY doc_id, w)
+        |  GROUP BY doc_id)
+        |SELECT c.doc_id, n_words,
+        |  CASE WHEN n_words = 0 THEN 0.0 ELSE
+        |    CAST((n_dup_words * 2000000 + n_words) // (n_words * 2) AS DOUBLE) / 1000000.0
+        |  END AS dup_word_frac,
+        |  CASE WHEN n_2grams = 0 THEN 0.0 ELSE
+        |    CAST((n_dup_2grams * 2000000 + n_2grams) // (n_2grams * 2) AS DOUBLE) / 1000000.0
+        |  END AS dup_2gram_frac,
+        |  CASE WHEN n_3grams = 0 THEN 0.0 ELSE
+        |    CAST((n_dup_3grams * 2000000 + n_3grams) // (n_3grams * 2) AS DOUBLE) / 1000000.0
+        |  END AS dup_3gram_frac,
+        |  top_word_count,
+        |  CASE WHEN n_words = 0 THEN 0.0 ELSE
+        |    CAST((top_word_count * 2000000 + n_words) // (n_words * 2) AS DOUBLE) / 1000000.0
+        |  END AS top_word_frac
+        |FROM c JOIN tw ON c.doc_id = tw.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q66_set_ops" ->
+      """SELECT 'both' AS op, custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |UNION ALL
+        |SELECT 'only_1995' AS op, custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |UNION ALL
+        |SELECT 'only_1996' AS op, custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995)
+        |ORDER BY op, custkey""".stripMargin,
+    // unique custkey in the ORDER BY keeps every rank function totally
+    // ordered; percent_rank/cume_dist are single divisions of exact ints
+    "q67_window_family" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin,
+    // exact HUGEINT second moments; floats only in the final fixed-shape
+    // expression (mirrors the Spark DECIMAL(38,0) computation)
+    "q68_stat_moments" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100, 0) AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag,
+        |    count(*)::HUGEINT AS n,
+        |    sum(q)::HUGEINT AS sq, sum(p)::HUGEINT AS sp,
+        |    sum(q * q)::HUGEINT AS sq2, sum(p * p)::HUGEINT AS sp2,
+        |    sum(q * p)::HUGEINT AS spq
+        |  FROM s GROUP BY l_returnflag)
+        |SELECT l_returnflag, n::BIGINT AS n_rows,
+        |  (n * sq2 - sq * sq)::DOUBLE / (n * (n - 1))::DOUBLE / 10000.0 AS var_qty,
+        |  (n * sp2 - sp * sp)::DOUBLE / (n * (n - 1))::DOUBLE / 10000.0 AS var_price,
+        |  (n * spq - sq * sp)::DOUBLE /
+        |    (sqrt((n * sq2 - sq * sq)::DOUBLE) * sqrt((n * sp2 - sp * sp)::DOUBLE))
+        |    AS corr_qp
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    // eval split + gram length must mirror Decontamination's constants;
+    // range(1, len-2) emits i = 1..len-3, i.e. every 4-gram start
+    "q63_decontamination" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))
+         |    AS gram
+         |  FROM t),
+         |tr AS (SELECT * FROM g
+         |       WHERE doc_id % ${pipeline.Decontamination.EvalMod} <> ${pipeline.Decontamination.EvalRem}),
+         |ev AS (SELECT doc_id AS eval_id, gram FROM g
+         |       WHERE doc_id % ${pipeline.Decontamination.EvalMod} = ${pipeline.Decontamination.EvalRem})
+         |SELECT tr.doc_id, count(DISTINCT tr.gram)::BIGINT AS n_shared_grams,
+         |  count(DISTINCT ev.eval_id)::BIGINT AS n_eval_docs
+         |FROM tr JOIN ev ON tr.gram = ev.gram
+         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // the packing recurrence as a recursive CTE: the frontier advances
+    // one row_number per source per iteration, carrying the running fill
+    "q64_sequence_packing" ->
+      s"""WITH RECURSIVE d AS (
+         |  SELECT source, doc_id,
+         |    len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens,
+         |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+         |  FROM documents),
+         |p AS (
+         |  SELECT source, doc_id, n_tokens, rn,
+         |    0::BIGINT AS seq_id, 0::BIGINT AS offset_in_seq, n_tokens AS fill
+         |  FROM d WHERE rn = 1
+         |  UNION ALL
+         |  SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+         |    CASE WHEN p.fill + d.n_tokens > ${pipeline.SequencePacker.Budget}
+         |      THEN p.seq_id + 1 ELSE p.seq_id END,
+         |    CASE WHEN p.fill + d.n_tokens > ${pipeline.SequencePacker.Budget}
+         |      THEN 0::BIGINT ELSE p.fill END,
+         |    CASE WHEN p.fill + d.n_tokens > ${pipeline.SequencePacker.Budget}
+         |      THEN d.n_tokens ELSE p.fill + d.n_tokens END
+         |  FROM d JOIN p ON d.source = p.source AND d.rn = p.rn + 1)
+         |SELECT source, doc_id, n_tokens, seq_id, offset_in_seq
+         |FROM p ORDER BY source, doc_id""".stripMargin,
+    // integer-exact mixing rates: floor(sqrt(n)*1000) milli-weights
+    // (IEEE sqrt is correctly rounded in both engines), one BIGINT
+    // division for the ppm rate, Knuth-hash ppm bucket for the keep
+    "q65_temperature_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*)::BIGINT AS n_src FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n_src,
+        |    CAST(floor(sqrt(n_src::DOUBLE) * 1000) AS BIGINT) AS w_milli
+        |  FROM c),
+        |t AS (
+        |  SELECT sum(n_src)::BIGINT AS n_total, sum(w_milli)::BIGINT AS w_total
+        |  FROM w),
+        |r AS (
+        |  SELECT source, n_src,
+        |    least(1000000::BIGINT,
+        |      (w_milli * (n_total // 2) * 1000000) // (w_total * n_src)) AS rate_ppm
+        |  FROM w, t)
+        |SELECT d.doc_id, d.source, r.n_src, r.rate_ppm,
+        |  ((d.doc_id * 2654435761) % 4294967296) % 1000000 AS bucket
+        |FROM documents d JOIN r ON d.source = r.source
+        |WHERE ((d.doc_id * 2654435761) % 4294967296) % 1000000 < r.rate_ppm
+        |ORDER BY d.doc_id""".stripMargin,
+    "q62_gopher_gate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    len(toks)::BIGINT AS n_words,
+         |    list_aggregate(list_transform(toks, t -> length(t)), 'sum')::BIGINT
+         |      AS sum_word_len,
+         |    len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))::BIGINT
+         |      AS n_alpha_words,
+         |    len(list_distinct(toks))::BIGINT AS n_distinct_words
+         |  FROM t)
+         |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_distinct_words,
+         |  (n_words >= ${TextAnalysis.GateMinWords}
+         |    AND n_words <= ${TextAnalysis.GateMaxWords}) AS flag_words,
+         |  (sum_word_len >= ${TextAnalysis.GateMinMeanLen} * n_words
+         |    AND sum_word_len <= ${TextAnalysis.GateMaxMeanLen} * n_words) AS flag_mean_len,
+         |  (n_alpha_words * 10 >= n_words * 9) AS flag_alpha,
+         |  (n_distinct_words * 2 >= n_words) AS flag_ttr,
+         |  ((n_words >= ${TextAnalysis.GateMinWords}
+         |     AND n_words <= ${TextAnalysis.GateMaxWords})
+         |   AND (sum_word_len >= ${TextAnalysis.GateMinMeanLen} * n_words
+         |     AND sum_word_len <= ${TextAnalysis.GateMaxMeanLen} * n_words)
+         |   AND (n_alpha_words * 10 >= n_words * 9)
+         |   AND (n_distinct_words * 2 >= n_words)) AS keep
+         |FROM c ORDER BY doc_id""".stripMargin,
     // resized payload = every 2nd byte; ASCII fixture => char == byte,
     // so DuckDB reconstructs the strided string and hashes it
     "q37_media_resize" ->

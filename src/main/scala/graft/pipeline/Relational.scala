@@ -314,4 +314,83 @@ object Relational {
         col("n_orders"), col("revenue"))
       .orderBy("region", "priority")
   }
+
+  /** Q66: set operations — INTERSECT / EXCEPT over the 1995 vs 1996
+    * customer-order populations (which customers ordered in both years,
+    * which churned, which are new). Spark plans both as joins
+    * (left-semi/left-anti over distinct inputs), so they shuffle once
+    * on the key like any equi-join — no materialized temp sets.
+    */
+  def q66SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+    val y95 = o.filter(col("yr") === 1995).select("o_custkey").distinct()
+    val y96 = o.filter(col("yr") === 1996).select("o_custkey").distinct()
+    y95.intersect(y96).withColumn("op", lit("both"))
+      .unionAll(y95.except(y96).withColumn("op", lit("only_1995")))
+      .unionAll(y96.except(y95).withColumn("op", lit("only_1996")))
+      .select(col("op"), col("o_custkey").as("custkey"))
+      .orderBy("op", "custkey")
+  }
+
+  /** Q67: distribution-rank window family — ntile(4), percent_rank,
+    * cume_dist per market segment by account balance. The ORDER BY
+    * includes the unique custkey so every rank function is totally
+    * ordered (ties on acctbal would otherwise make ntile assignment
+    * engine-dependent). percent_rank and cume_dist are single IEEE
+    * divisions of exact integers — bit-identical across engines.
+    */
+  def q67WindowFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables(spark, dir, "customer")
+      .select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+  }
+
+  /** Q68: exact second-moment aggregates — sample variance of quantity
+    * and price plus their correlation, per return flag. The built-in
+    * `var_samp`/`corr` sum DOUBLES, whose order-dependent rounding makes
+    * cross-engine (and cross-partitioning!) results drift in the last
+    * bits — the q44 failure class. Instead every sum here is an exact
+    * DECIMAL(38,0) of integer cents (order-independent by construction),
+    * and the float enters only in the FINAL fixed-shape expression
+    * (casts, one sqrt·sqrt product, one division — all IEEE-deterministic
+    * on identical inputs). Same one-shuffle hash-aggregate plan as any
+    * grouped sum.
+    */
+  def q68StatMoments(spark: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    Tables(spark, dir, "lineitem")
+      .select(
+        col("l_returnflag"),
+        round(col("l_quantity") * 100, 0).cast(dec).as("q"),
+        round(col("l_extendedprice") * 100, 0).cast(dec).as("p"))
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).cast(dec).as("n"),
+        sum(col("q")).as("sq"),
+        sum(col("p")).as("sp"),
+        sum(col("q") * col("q")).as("sq2"),
+        sum(col("p") * col("p")).as("sp2"),
+        sum(col("q") * col("p")).as("spq"))
+      .select(
+        col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        ((col("n") * col("sq2") - col("sq") * col("sq")).cast("double") /
+          (col("n") * (col("n") - lit(1))).cast("double") / lit(10000.0))
+          .as("var_qty"),
+        ((col("n") * col("sp2") - col("sp") * col("sp")).cast("double") /
+          (col("n") * (col("n") - lit(1))).cast("double") / lit(10000.0))
+          .as("var_price"),
+        ((col("n") * col("spq") - col("sq") * col("sp")).cast("double") /
+          (sqrt((col("n") * col("sq2") - col("sq") * col("sq")).cast("double")) *
+            sqrt((col("n") * col("sp2") - col("sp") * col("sp")).cast("double"))))
+          .as("corr_qp"))
+      .orderBy("l_returnflag")
+  }
 }

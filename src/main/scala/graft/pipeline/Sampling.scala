@@ -51,4 +51,52 @@ object Sampling {
         rate.cast("long").as("rate_mille"))
       .orderBy("doc_id")
   }
+
+  /** Per-million keep bucket — same Knuth hash as [[keepBucket]], finer
+    * granularity for per-source mixing rates.
+    */
+  def keepBucketPpm(key: Column): Column =
+    pmod((key * lit(2654435761L)) % lit(4294967296L), lit(1000000L))
+
+  /** Q65: temperature-weighted corpus mixing (α = 0.5) — the standard
+    * source-rebalancing pass before training (multilingual/multi-source
+    * sampling à la GPT-3 §2.2 / XLM-R): each source's share of the
+    * output is proportional to `N_s^α`, flattening the head sources and
+    * boosting the tail, at an overall target of half the corpus.
+    *
+    * Determinism discipline: the per-source rate is computed ENTIRELY
+    * in exact integer arithmetic — `w_s = floor(sqrt(N_s)·1000)` (sqrt
+    * is IEEE-correctly-rounded in both engines; floor to integer
+    * milli-units BEFORE any sum, the q44 lesson), then
+    * `rate_ppm = (w_s·T·10⁶) div (Σw·N_s)` as one BIGINT expression,
+    * and the keep decision is the Knuth-hash ppm bucket against that
+    * rate. No float survives into the decision, so a retried task, a
+    * re-run, or a different partitioning yields the identical corpus.
+    *
+    * Scale shape: one count-by-source aggregation (tiny result), the
+    * per-source rate frame broadcast back onto the doc scan — the
+    * corpus itself is touched in exactly one narrow filter pass.
+    */
+  def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id", "source")
+    val counts = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_src"))
+      .withColumn("w_milli",
+        floor(sqrt(col("n_src").cast("double")) * lit(1000.0)).cast("long"))
+    val totals = counts.agg(
+      sum(col("n_src")).as("n_total"),
+      sum(col("w_milli")).as("w_total"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .withColumn("target_total", expr("n_total div 2"))
+      .withColumn("rate_ppm",
+        least(lit(1000000L),
+          expr("(w_milli * target_total * 1000000) div (w_total * n_src)")))
+      .select("source", "n_src", "rate_ppm")
+    docs.join(broadcast(rates), "source")
+      .withColumn("bucket", keepBucketPpm(col("doc_id")))
+      .filter(col("bucket") < col("rate_ppm"))
+      .select(col("doc_id"), col("source"), col("n_src"), col("rate_ppm"),
+        col("bucket"))
+      .orderBy("doc_id")
+  }
 }

@@ -277,4 +277,110 @@ object TextAnalysis {
         rolling_hash(col("text")).as("content_fp"),
         simhash64(col("text")).as("simhash"))
       .orderBy("doc_id")
+
+  /** Word n-grams of a token-array column, joined with single spaces.
+    * Guarded like [[graft.pipeline.Dedup.charGramsOf]]: fewer than `n`
+    * tokens produces an empty array (Spark `sequence(1, 0)` would
+    * otherwise DESCEND and fabricate grams).
+    */
+  private def wordGrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Q61: word-level repetition metrics — the Gopher-style repetition
+    * filters (Rae et al. 2021 §A1.1, adapted to the fixtures' word-salad
+    * single-line texts: line-level fractions are meaningless here, so
+    * the signals are word- and word-n-gram-level). Per document:
+    * duplicate word / 2-gram / 3-gram fractions and the most-frequent
+    * word's share of all words.
+    *
+    * Scale: gram fractions are row-local array ops inside one narrow
+    * pass; the top-word share needs true per-(doc, word) counts, which
+    * is one explode + hash aggregation keyed by doc_id — partial
+    * (map-side) aggregation collapses the per-doc word multiset before
+    * the shuffle, so shuffled volume is distinct words per doc, not
+    * words. All fractions use the integer half-up rounding discipline
+    * ((2k·10^6 + n) div 2n — the q35 tie-divergence fix).
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelize(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .localCheckpoint() // feeds the row-local pass AND the top-word agg
+    def ratio6(k: String, n: String): Column =
+      when(col(n) === 0L, lit(0.0)).otherwise(
+        expr(s"cast(($k * 2000000 + $n) div ($n * 2) as double)") / 1000000.0)
+    val rowLocal = docs
+      .withColumn("g2", wordGrams(col("toks"), 2))
+      .withColumn("g3", wordGrams(col("toks"), 3))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        (size(col("toks")) - size(array_distinct(col("toks")))).cast("long")
+          .as("n_dup_words"),
+        size(col("g2")).cast("long").as("n_2grams"),
+        (size(col("g2")) - size(array_distinct(col("g2")))).cast("long")
+          .as("n_dup_2grams"),
+        size(col("g3")).cast("long").as("n_3grams"),
+        (size(col("g3")) - size(array_distinct(col("g3")))).cast("long")
+          .as("n_dup_3grams"))
+    val topWord = docs
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_word_count"))
+    rowLocal.join(topWord, "doc_id")
+      .select(
+        col("doc_id"), col("n_words"),
+        ratio6("n_dup_words", "n_words").as("dup_word_frac"),
+        ratio6("n_dup_2grams", "n_2grams").as("dup_2gram_frac"),
+        ratio6("n_dup_3grams", "n_3grams").as("dup_3gram_frac"),
+        col("top_word_count").cast("long").as("top_word_count"),
+        ratio6("top_word_count", "n_words").as("top_word_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Q62 thresholds — tuned to the fixture distribution (words 10–99,
+    * mean word length 3.7–5.3) so the gate actually splits the corpus;
+    * a production pipeline would configure these per corpus.
+    */
+  val GateMinWords = 30L
+  val GateMaxWords = 10000L
+  val GateMinMeanLen = 4L
+  val GateMaxMeanLen = 10L
+
+  /** Q62: Gopher-style document quality gate (Rae et al. 2021 §A1.1) —
+    * word-count bounds, mean-word-length bounds, alpha-word fraction,
+    * and type-token repetition, folded into one keep flag. Every check
+    * is ROW-LOCAL (array ops over the token split inside a single
+    * narrow scan — no shuffle, no join: the point of a cheap gate that
+    * runs before expensive scoring at 100 TB), and every comparison is
+    * integer cross-multiplication (`10·alpha ≥ 9·n` instead of
+    * `alpha/n ≥ 0.9`), so no float ever enters the decision.
+    */
+  def gopherGate(spark: SparkSession, dir: String): DataFrame = {
+    Tables.parallelize(Tables(spark, dir, "documents"))
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        expr("aggregate(transform(toks, t -> length(t)), 0L, (a, x) -> a + x)")
+          .as("sum_word_len"),
+        size(filter(col("toks"), t => t.rlike("[A-Za-z]"))).cast("long")
+          .as("n_alpha_words"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_words"))
+      .withColumn("flag_words",
+        col("n_words") >= GateMinWords && col("n_words") <= GateMaxWords)
+      .withColumn("flag_mean_len",
+        col("sum_word_len") >= lit(GateMinMeanLen) * col("n_words") &&
+          col("sum_word_len") <= lit(GateMaxMeanLen) * col("n_words"))
+      .withColumn("flag_alpha",
+        col("n_alpha_words") * 10L >= col("n_words") * 9L)
+      .withColumn("flag_ttr", col("n_distinct_words") * 2L >= col("n_words"))
+      .withColumn("keep",
+        col("flag_words") && col("flag_mean_len") &&
+          col("flag_alpha") && col("flag_ttr"))
+      .orderBy("doc_id")
+  }
 }
