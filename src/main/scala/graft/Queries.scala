@@ -296,7 +296,8 @@ object Queries {
     "q65_temperature_mix" -> (Sampling.temperatureMix _),
     "q66_set_ops" -> (Relational.q66SetOps _),
     "q67_window_family" -> (Relational.q67WindowFamily _),
-    "q68_stat_moments" -> (Relational.q68StatMoments _))
+    "q68_stat_moments" -> (Relational.q68StatMoments _),
+    "q69_zorder_layout" -> (graft.pipeline.ZOrder.clustered _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -917,6 +918,7 @@ object Queries {
         |    (sqrt((n * sq2 - sq * sq)::DOUBLE) * sqrt((n * sp2 - sp * sp)::DOUBLE))
         |    AS corr_qp
         |FROM a ORDER BY l_returnflag""".stripMargin,
+    "q69_zorder_layout" -> zorderOracle,
     // eval split + gram length must mirror Decontamination's constants;
     // range(1, len-2) emits i = 1..len-3, i.e. every 4-gram start
     "q63_decontamination" ->
@@ -1175,6 +1177,29 @@ object Queries {
     * TextAnalysis.qualityRatios — `round(double, 6)` ties diverge
     * between engines).
     */
+  /** Q69 oracle: the Morton interleave as generated bit arithmetic —
+    * identical formula to [[graft.pipeline.ZOrder.interleave]], so the
+    * bucket envelopes must match bit-for-bit.
+    */
+  private lazy val zorderOracle: String = {
+    val bits = pipeline.ZOrder.DimBits
+    val inter = (0 until bits).map(i =>
+      s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    (ntile(${1 << bits}) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber) - 1)::BIGINT AS xb,
+       |    (ntile(${1 << bits}) OVER (ORDER BY l_suppkey, l_orderkey, l_linenumber) - 1)::BIGINT AS yb
+       |  FROM lineitem),
+       |z AS (
+       |  SELECT l_partkey, l_suppkey, ($inter) AS z FROM t)
+       |SELECT z >> ${pipeline.ZOrder.BucketShift} AS bucket,
+       |  count(*)::BIGINT AS n_rows,
+       |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   private lazy val qualityRatiosOracle: String = {
     val stop = TextAnalysis.EnStopwords.map(w => s"'$w'").mkString("[", ",", "]")
     s"""WITH s AS (

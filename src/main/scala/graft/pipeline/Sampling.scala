@@ -79,14 +79,20 @@ object Sampling {
     */
   def temperatureMix(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents").select("doc_id", "source")
+    // totals via an unpartitioned window over the per-source frame (a
+    // handful of rows) rather than a separate aggregate: a second
+    // consumer of `counts` would re-run the corpus scan — Spark has no
+    // cross-subtree CSE (the q41 lesson, pinned by PlanShapeSpec)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(Long.MinValue, Long.MaxValue)
     val counts = docs.groupBy("source")
       .agg(count(lit(1)).as("n_src"))
       .withColumn("w_milli",
         floor(sqrt(col("n_src").cast("double")) * lit(1000.0)).cast("long"))
-    val totals = counts.agg(
-      sum(col("n_src")).as("n_total"),
-      sum(col("w_milli")).as("w_total"))
-    val rates = counts.crossJoin(broadcast(totals))
+    val rates = counts
+      .withColumn("n_total", sum(col("n_src")).over(w))
+      .withColumn("w_total", sum(col("w_milli")).over(w))
       .withColumn("target_total", expr("n_total div 2"))
       .withColumn("rate_ppm",
         least(lit(1000000L),

@@ -39,4 +39,38 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(plan.contains("PushedFilters: ["), plan.take(1500))
     assert(plan.contains("IsNotNull(l_shipdate)"), plan.take(1500))
   }
+
+  test("q63's eval gram set broadcasts; the train side never sort-merges") {
+    val plan = graft.pipeline.Decontamination
+      .contaminated(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "eval side not broadcast:\n" + plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "gram join fell back to sort-merge:\n" + plan.take(2000))
+  }
+
+  test("q65's rate frame broadcasts onto a single corpus scan") {
+    val qe = graft.pipeline.Sampling
+      .temperatureMix(spark, Sf0001).queryExecution
+    val plan = qe.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "rate frame not broadcast:\n" + plan.take(2000))
+    // the corpus must be scanned exactly twice: once for the per-source
+    // counts, once for the filtered output — NOT once per source or any
+    // other multiple
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans == 2, s"expected 2 document scans, saw $scans:\n" + plan.take(2000))
+  }
+
+  test("q64 packing shuffles once on the shard key before the typed fold") {
+    val qe = graft.pipeline.SequencePacker.pack(spark, Sf0001).queryExecution
+    val plan = qe.executedPlan.toString
+    // one hash-partitioning exchange for groupByKey; the only other
+    // exchange is the output sort's range partitioning
+    val hashEx = "hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx >= 1, "groupByKey exchange missing:\n" + plan.take(2000))
+    assert("rangepartitioning".r.findAllIn(plan).size <= 1,
+      "unexpected extra range exchange:\n" + plan.take(2000))
+  }
 }
