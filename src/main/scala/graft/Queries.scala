@@ -297,7 +297,8 @@ object Queries {
     "q66_set_ops" -> (Relational.q66SetOps _),
     "q67_window_family" -> (Relational.q67WindowFamily _),
     "q68_stat_moments" -> (Relational.q68StatMoments _),
-    "q69_zorder_layout" -> (graft.pipeline.ZOrder.clustered _))
+    "q69_zorder_layout" -> (graft.pipeline.ZOrder.clustered _),
+    "q70_mmr_rerank" -> (graft.query.MmrRerank.q70 _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -919,6 +920,10 @@ object Queries {
         |    AS corr_qp
         |FROM a ORDER BY l_returnflag""".stripMargin,
     "q69_zorder_layout" -> zorderOracle,
+    "q70_mmr_rerank" ->
+      """SELECT query_id, "rank", vec_id, score
+        |FROM '/root/repo/golden/q70_mmr_rerank.parquet'
+        |ORDER BY query_id, "rank"""".stripMargin,
     // eval split + gram length must mirror Decontamination's constants;
     // range(1, len-2) emits i = 1..len-3, i.e. every 4-gram start
     "q63_decontamination" ->

@@ -297,8 +297,62 @@ def main():
     })
     pq.write_table(q16, f"{out_dir}/q16_simhash_neardup.parquet")
 
+    # q70: MMR re-rank — independent greedy fold over the fixture
+    # vectors. Mirrors the published MMR definition with the SAME
+    # deterministic conventions the Scala engine documents (ascending
+    # candidate-id iteration, strict > argmax, redundancy 0 for the
+    # first pick), NOT the Scala code: a divergence in either fold
+    # fails the gate.
+    import math
+
+    def cosine(x, y):
+        d = nx = ny = 0.0
+        for xi, yi in zip(x, y):
+            d += xi * yi
+            nx += xi * xi
+            ny += yi * yi
+        if nx == 0.0 or ny == 0.0:
+            return 0.0
+        return d / math.sqrt(nx * ny)
+
+    emb = con.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' "
+        "ORDER BY vec_id").fetchall()
+    vecs = [(int(vid), [float(c) for c in v]) for vid, v in emb]
+    vmap = dict(vecs)
+    LAM, CAND_K, SEL_K = 0.7, 20, 10
+    mmr_rows = []
+    for qid in range(10):
+        qvec = vecs[qid][1]
+        sims = [(vid, cosine(v, qvec)) for vid, v in vecs]
+        top = sorted(sims, key=lambda t: (-t[1], t[0]))[:CAND_K]
+        remaining = {vid: (s, vmap[vid]) for vid, s in sorted(top)}
+        selected = []
+        rank = 0
+        while len(selected) < SEL_K and remaining:
+            best_id, best_score = None, None
+            for vid, (sim_q, v) in remaining.items():  # ascending vec_id
+                if selected:
+                    red = max(cosine(v, s) for s in selected)
+                else:
+                    red = 0.0
+                score = LAM * sim_q - (1 - LAM) * red
+                if best_score is None or score > best_score:
+                    best_id, best_score = vid, score
+            sim_q, v = remaining.pop(best_id)
+            selected.append(v)
+            rank += 1
+            mmr_rows.append((qid, rank, best_id, best_score))
+    q70 = pa.table({
+        "query_id": pa.array([r[0] for r in mmr_rows], pa.int64()),
+        "rank": pa.array([r[1] for r in mmr_rows], pa.int64()),
+        "vec_id": pa.array([r[2] for r in mmr_rows], pa.int64()),
+        "score": pa.array([r[3] for r in mmr_rows], pa.float64()),
+    })
+    pq.write_table(q70, f"{out_dir}/q70_mmr_rerank.parquet")
+
     print(f"golden: q12b/q22 rows={len(all_rows)}, q21 rows={len(fps)}, "
-          f"q16 pairs={len(pairs)} -> {out_dir}")
+          f"q16 pairs={len(pairs)}, q70 rows={len(mmr_rows)} -> {out_dir}")
 
 
 if __name__ == "__main__":
