@@ -2,7 +2,7 @@ package graft
 
 import graft.ingest.IngestJob
 import graft.pipeline.{Decontamination, Dedup, Events, Multimodal, RangeJoin, Relational, Sampling, SequencePacker, TextAnalysis}
-import graft.query.{AnnIndex, ContextAssembler, IvfIndex, QuantizedSearch, SimilaritySearch}
+import graft.query.{AnnIndex, ContextAssembler, IvfIndex, LexicalSearch, QuantizedSearch, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -166,6 +166,51 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** Shared lexical query batch for q71/q72: query_id = doc_id for the
+    * first ten documents (the SAME ids as the vector batch, so hybrid
+    * fusion fuses aligned channels), terms = each query doc's first 8
+    * whitespace tokens, distinct.
+    */
+  private def lexicalQueryBatch(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(LexicalSearch.tokens(col("text")), 1, 8)).as("term"))
+      .distinct()
+
+  /** Q71: BM25-style lexical top-k ([[graft.query.LexicalSearch]]) —
+    * the keyword retrieval channel, integer-exact scoring (quantized
+    * rational idf × cleared-denominator tf saturation; contract in the
+    * module doc), DuckDB oracle reproduces the arithmetic bit-for-bit.
+    */
+  def q71Bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    LexicalSearch.bm25TopK(
+        Tables.parallelize(Tables(spark, dir, "documents")), "doc_id", "text",
+        lexicalQueryBatch(spark, dir), "query_id", "term", k = 10)
+      .orderBy("query_id", "rank")
+
+  /** Q72: hybrid retrieval — Reciprocal Rank Fusion of the exact-cosine
+    * vector channel (q9's semantics, k'=20) and the BM25 lexical channel
+    * (q71's semantics, k'=20), fused in exact micro-units
+    * ([[graft.query.LexicalSearch.rrfFuse]]). doc_id == vec_id in the
+    * fixtures, so the channels share an id space the way a production
+    * index does.
+    */
+  def q72HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val vec = SimilaritySearch.topKBatch(e, "embedding", "vec_id",
+        queryBatch(e), "query_id", "qvec", k = 20, threshold = 0.0)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rn").as("rank"))
+    val lex = LexicalSearch.bm25TopK(
+        Tables.parallelize(Tables(spark, dir, "documents")), "doc_id", "text",
+        lexicalQueryBatch(spark, dir), "query_id", "term", k = 20)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+    LexicalSearch.rrfFuse(vec, lex, "query_id", "doc_id", "rank", k = 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_micro"),
+        col("a_rank").as("vec_rank"), col("b_rank").as("lex_rank"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Q12: MDX header-split sections (A-2..A-6) — synthetic-MDX render +
     * regex section split + neighbor window, oracle re-derives the same
     * construction arithmetically in DuckDB.
@@ -298,7 +343,9 @@ object Queries {
     "q67_window_family" -> (Relational.q67WindowFamily _),
     "q68_stat_moments" -> (Relational.q68StatMoments _),
     "q69_zorder_layout" -> (graft.pipeline.ZOrder.clustered _),
-    "q70_mmr_rerank" -> (graft.query.MmrRerank.q70 _))
+    "q70_mmr_rerank" -> (graft.query.MmrRerank.q70 _),
+    "q71_bm25_topk" -> (q71Bm25TopK _),
+    "q72_hybrid_rrf" -> (q72HybridRrf _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -924,6 +971,53 @@ object Queries {
       """SELECT query_id, "rank", vec_id, score
         |FROM '/root/repo/golden/q70_mmr_rerank.parquet'
         |ORDER BY query_id, "rank"""".stripMargin,
+    // same tokenization as q47; idf/saturation arithmetic is pure BIGINT
+    // (// = integer division) mirroring LexicalSearch's contract exactly
+    "q71_bm25_topk" -> bm25Oracle(k = 10,
+      select = "query_id, CAST(\"rank\" AS BIGINT) AS \"rank\", doc_id, score",
+      suffix = "ORDER BY query_id, \"rank\""),
+    // fusion = integer micro-unit reciprocal ranks over the two channels'
+    // FULL OUTER join; channel ranks re-derived with q9's exact-cosine
+    // CTE (k'=20) and q71's BM25 CTE (k'=20)
+    "q72_hybrid_rrf" ->
+      s"""WITH q AS (
+         |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id < 10),
+         |s AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+         |  FROM embeddings e CROSS JOIN q),
+         |vr0 AS (
+         |  SELECT query_id, vec_id AS doc_id,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id)
+         |      AS vrank
+         |  FROM s WHERE sim > 0.0),
+         |vr AS (SELECT * FROM vr0 WHERE vrank <= 20),
+         |${bm25Cte}
+         |lr AS (
+         |  SELECT query_id, doc_id, lrank FROM (
+         |    SELECT query_id, doc_id,
+         |      row_number() OVER (PARTITION BY query_id
+         |                         ORDER BY score DESC, doc_id) AS lrank
+         |    FROM sc) WHERE lrank <= 20),
+         |f AS (
+         |  SELECT coalesce(vr.query_id, lr.query_id) AS query_id,
+         |    coalesce(vr.doc_id, lr.doc_id) AS doc_id,
+         |    vr.vrank AS vec_rank, lr.lrank AS lex_rank,
+         |    coalesce(1000000000000 // (60 + vr.vrank), 0) +
+         |      coalesce(1000000000000 // (60 + lr.lrank), 0) AS rrf_micro
+         |  FROM vr FULL OUTER JOIN lr
+         |    ON vr.query_id = lr.query_id AND vr.doc_id = lr.doc_id),
+         |o AS (
+         |  SELECT query_id, doc_id, rrf_micro, vec_rank, lex_rank,
+         |    row_number() OVER (PARTITION BY query_id
+         |                       ORDER BY rrf_micro DESC, doc_id) AS "rank"
+         |  FROM f)
+         |SELECT query_id, CAST("rank" AS BIGINT) AS "rank", doc_id,
+         |  CAST(rrf_micro AS BIGINT) AS rrf_micro,
+         |  CAST(vec_rank AS BIGINT) AS vec_rank,
+         |  CAST(lex_rank AS BIGINT) AS lex_rank
+         |FROM o WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
     // eval split + gram length must mirror Decontamination's constants;
     // range(1, len-2) emits i = 1..len-3, i.e. every 4-gram start
     "q63_decontamination" ->
@@ -1140,6 +1234,50 @@ object Queries {
     * batch) — the shared oracle for the exact scan (q9) and both
     * persisted-index retrieval paths (q38 LSH, q39 IVF).
     */
+  /** Shared BM25 oracle CTE chain (ends at `sc` = (query_id, doc_id,
+    * score), trailing comma included): the q47 tokenization, then
+    * LexicalSearch's integer idf/saturation arithmetic verbatim —
+    * DuckDB `//` and Spark `div` agree on positive BIGINTs.
+    */
+  private lazy val bm25Cte: String =
+    """tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dlen FROM tok),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |              CAST(sum(dlen) AS BIGINT) AS total_len FROM lens),
+      |tfc AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, unnest(toks) AS term FROM tok)
+      |  GROUP BY doc_id, term),
+      |qt AS (
+      |  SELECT DISTINCT query_id, term FROM (
+      |    SELECT doc_id AS query_id, unnest(toks[1:8]) AS term
+      |    FROM tok WHERE doc_id < 10)),
+      |dfq AS (
+      |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc
+      |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+      |sc AS (
+      |  SELECT qt.query_id, tfc.doc_id,
+      |    CAST(SUM(
+      |      (((2 * st.n_docs - 2 * dfq.df + 1) * 1000000) // (2 * dfq.df + 1)) *
+      |      ((44 * tfc.tf * st.total_len * 1000000) //
+      |       (20 * tfc.tf * st.total_len + 6 * st.total_len
+      |        + 18 * lens.dlen * st.n_docs))) AS BIGINT) AS score
+      |  FROM tfc JOIN qt USING (term) JOIN dfq USING (term)
+      |  JOIN lens ON tfc.doc_id = lens.doc_id CROSS JOIN st
+      |  GROUP BY qt.query_id, tfc.doc_id),""".stripMargin
+
+  private def bm25Oracle(k: Int, select: String, suffix: String): String =
+    s"""WITH $bm25Cte
+       |r AS (
+       |  SELECT query_id, doc_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score DESC, doc_id) AS "rank"
+       |  FROM sc)
+       |SELECT $select
+       |FROM r WHERE "rank" <= $k $suffix""".stripMargin
+
   private lazy val cosineTopKOracle: String =
     """WITH q AS (
       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

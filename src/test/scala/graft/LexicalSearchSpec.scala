@@ -1,0 +1,127 @@
+package graft
+
+import graft.query.LexicalSearch
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class LexicalSearchSpec extends AnyFunSuite with SharedSpark {
+
+  private def docsDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def queryDf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("query_id", "term")
+  }
+
+  /** The module's integer arithmetic, re-derived here independently so
+    * a kernel edit that shifts a quantization boundary fails the spec.
+    */
+  private def idfMicro(n: Long, df: Long): Long =
+    (2 * n - 2 * df + 1) * 1000000L / (2 * df + 1)
+  private def satMicro(tf: Long, total: Long, len: Long, n: Long): Long =
+    44 * tf * total * 1000000L / (20 * tf * total + 6 * total + 18 * len * n)
+
+  test("bm25TopK matches a hand-computed score on a 3-doc corpus") {
+    // corpus: N=3, lens = 4,3,2, total = 9
+    val docs = docsDf(
+      (1L, "apple banana apple cherry"),
+      (2L, "banana cherry durian"),
+      (3L, "apple apple"))
+    val out = LexicalSearch.bm25TopK(docs, "doc_id", "text",
+        queryDf((0L, "apple"), (0L, "durian")), "query_id", "term", k = 3)
+      .orderBy("rank")
+      .collect()
+    // df(apple)=2 over docs {1,3}; df(durian)=1 over {2}
+    val s1 = idfMicro(3, 2) * satMicro(2, 9, 4, 3) // doc1: tf(apple)=2
+    val s2 = idfMicro(3, 1) * satMicro(1, 9, 3, 3) // doc2: tf(durian)=1
+    val s3 = idfMicro(3, 2) * satMicro(2, 9, 2, 3) // doc3: tf(apple)=2
+    val expected = Seq((3L, s3), (2L, s2), (1L, s1)).sortBy(-_._2)
+    assert(out.map(r => (r.getLong(2), r.getLong(3))).toSeq === expected)
+    assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("docs sharing no query term are absent; ties break by ascending id") {
+    val docs = docsDf(
+      (1L, "x y"), (2L, "x y"), (3L, "z z"))
+    val out = LexicalSearch.bm25TopK(docs, "doc_id", "text",
+        queryDf((0L, "x")), "query_id", "term", k = 10)
+      .collect()
+    // docs 1 and 2 are identical w.r.t. the query: same tf, len => tie,
+    // ranked by id; doc 3 has no posting and must not appear
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).sorted.toSeq ===
+      Seq((1L, 1L), (2L, 2L)))
+  }
+
+  test("duplicate query terms are not double-counted (distinct contract)") {
+    val docs = docsDf((1L, "a b"), (2L, "a a"))
+    val once = LexicalSearch.bm25TopK(docs, "doc_id", "text",
+      queryDf((0L, "a")), "query_id", "term", k = 10)
+    val dup = LexicalSearch.bm25TopK(docs, "doc_id", "text",
+      queryDf((0L, "a"), (0L, "a")), "query_id", "term", k = 10)
+    assert(once.collect().toSeq === dup.collect().toSeq)
+  }
+
+  test("rrfFuse: both-channel doc beats single-channel; micro arithmetic exact") {
+    import spark.implicits._
+    // query 0: doc 1 is rank 1 in A only, doc 2 is rank 2 in both,
+    // doc 3 is rank 1 in B only
+    val a = Seq((0L, 1L, 1L), (0L, 2L, 2L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 3L, 1L), (0L, 2L, 2L)).toDF("query_id", "doc_id", "rank")
+    val out = LexicalSearch.rrfFuse(a, b, "query_id", "doc_id", "rank", k = 10)
+      .orderBy("rank").collect()
+    val one = 1000000000000L / 61 // rank 1
+    val two = 1000000000000L / 62 // rank 2
+    // doc 2: two channels at rank 2 = 2*two > one channel at rank 1
+    assert(out.map(r => (r.getLong(2), r.getLong(3))).toSeq ===
+      Seq((2L, 2 * two), (1L, one), (3L, one)))
+    // doc 1 vs doc 3 tie on score -> ascending doc_id
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1L, 2L), (2L, 1L), (3L, 3L)))
+    // missing channel ranks surface as nulls, present ones verbatim
+    val d1 = out.find(_.getLong(2) == 1L).get
+    assert(d1.getLong(4) == 1L && d1.isNullAt(5))
+  }
+
+  test("q71/q72 shapes on the sf0.001 fixtures: self-retrieval and fusion") {
+    val q71 = Queries.q71Bm25TopK(spark, Sf0001).collect()
+    assert(q71.nonEmpty)
+    // every query's ranked list is 1..n with strictly ordered
+    // (score desc, doc_id asc)
+    q71.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length))
+      val keys = sorted.map(r => (-r.getLong(3), r.getLong(2))).toSeq
+      assert(keys === keys.sorted)
+      // NOT asserted: the query doc at rank 1. BM25's tf saturation +
+      // rational idf legitimately rank a short doc holding one very
+      // rare query term above the (long) query doc itself on this
+      // word-salad fixture — self-retrieval is a property of real
+      // prose, not of the scorer.
+    }
+    val q72 = Queries.q72HybridRrf(spark, Sf0001).collect()
+    assert(q72.groupBy(_.getLong(0)).keySet === (0L to 9L).toSet)
+    // rank-1 fusion hit per query carries both channels (the aligned
+    // id spaces agree that the query doc itself dominates)
+    q72.filter(_.getLong(1) == 1L).foreach { r =>
+      assert(!r.isNullAt(4) && !r.isNullAt(5), s"rank-1 missing a channel: $r")
+    }
+  }
+
+  test("the posting-list probe broadcasts the query side (plan shape)") {
+    val docs = Tables(spark, Sf0001, "documents")
+    val batch = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(LexicalSearch.tokens(col("text")), 1, 8)).as("term"))
+      .distinct()
+    val plan = LexicalSearch.bm25TopK(docs, "doc_id", "text",
+        batch, "query_id", "term", k = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term probe should be a broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      "corpus must never cross-join anything but the 1-row stats frame")
+  }
+}
