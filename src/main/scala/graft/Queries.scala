@@ -1258,12 +1258,16 @@ object Queries {
       |  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfc
       |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
       |sc AS (
+      |  -- HUGEINT intermediates mirror Spark's DECIMAL(38,0); the two
+      |  -- quantized quotients and the final sum are the BIGINT contract
       |  SELECT qt.query_id, tfc.doc_id,
       |    CAST(SUM(
-      |      (((2 * st.n_docs - 2 * dfq.df + 1) * 1000000) // (2 * dfq.df + 1)) *
-      |      ((44 * tfc.tf * st.total_len * 1000000) //
-      |       (20 * tfc.tf * st.total_len + 6 * st.total_len
-      |        + 18 * lens.dlen * st.n_docs))) AS BIGINT) AS score
+      |      ((((2::HUGEINT * st.n_docs - 2 * dfq.df + 1) * 1000000)
+      |        // (2 * dfq.df + 1)) *
+      |       ((44::HUGEINT * tfc.tf * st.total_len * 1000000) //
+      |        (20::HUGEINT * tfc.tf * st.total_len + 6::HUGEINT * st.total_len
+      |         + 18::HUGEINT * lens.dlen * st.n_docs))) // 1000000
+      |    ) AS BIGINT) AS score
       |  FROM tfc JOIN qt USING (term) JOIN dfq USING (term)
       |  JOIN lens ON tfc.doc_id = lens.doc_id CROSS JOIN st
       |  GROUP BY qt.query_id, tfc.doc_id),""".stripMargin

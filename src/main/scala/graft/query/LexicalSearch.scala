@@ -25,17 +25,43 @@ import org.apache.spark.sql.functions._
   *    k1=6/5, b=3/4 is cleared of denominators (multiply through by
   *    20·totalLen) into `44·tf·L / (20·tf·L + 6·L + 18·len·N)` with
   *    L = Σ len — again one integer division after micro-scaling.
-  *  - A term's score is `idf_micro · sat_micro` (micro² units, exact
-  *    BIGINT), a document's score the integer SUM — order-independent,
-  *    so partial aggregation cannot perturb ranks. Long-bound: holds to
-  *    ~10¹² total corpus tokens with tf ≤ 10³ (44·tf·L·10⁶ < 2⁶³);
-  *    shard corpora beyond that.
+  *  - A term's score is `⌊idf_micro · sat_micro / 10⁶⌋` (micro units),
+  *    a document's score the BIGINT SUM — order-independent, so partial
+  *    aggregation cannot perturb ranks.
   *
-  * Scale shape (100 TB): tf/df are two partial-aggregated shuffles over
-  * (doc, term) / (term); the query side broadcasts; candidate scoring
-  * touches only documents sharing ≥1 query term (the posting-list
-  * lookup, realized as a broadcast semi-restriction of the tf table) —
-  * the corpus itself never shuffles and never cross-joins.
+  * Overflow discipline (the full chain, not just one factor): every
+  * product and both division numerators are computed in DECIMAL(38,0)
+  * on the Spark side and HUGEINT on the oracle side, so no intermediate
+  * can wrap below 10³⁸ — in particular the sat numerator `44·tf·L·10⁶`
+  * (which alone would overflow BIGINT at tf·L ≈ 2·10¹¹) and the term
+  * product `idf_micro·sat_micro ≤ 4.4·N·10¹²` (BIGINT-unsafe beyond
+  * N ≈ 2·10⁶ docs) stay exact. Only the two quantized quotients and the
+  * final per-document sum live in BIGINT: `idf_micro ≤ 2.1·N·10⁶`
+  * (safe to N < 4·10¹² docs) and the sum `≤ Q·4.4·N·10⁶` for Q distinct
+  * query terms — safe while `N·Q ≲ 2·10¹²`, e.g. 10¹⁰ documents with
+  * 200-term queries. Beyond that, shard the corpus; both engines compute
+  * the identical floor at every step inside the bound, so there is no
+  * silent cross-engine divergence anywhere in the safe region.
+  *
+  * Ranking-quality caveat (deliberate, documented divergence from
+  * log-BM25): the rational idf is strictly positive and ~linear in N/df
+  * where `ln` is logarithmic, so RARE terms are amplified relative to
+  * common ones beyond what Lucene's `ln(1+(N−df+½)/(df+½))` gives, and
+  * high-df terms (df > N/2, where Robertson's idf goes negative and
+  * Lucene clamps to a small positive floor) keep a positive — and
+  * relative to log-land, larger — weight, so stop-word-heavy queries
+  * weight common terms more than standard BM25 would. Per-term document
+  * ORDER is identical (both maps are monotone in df); cross-term sums
+  * can reorder. The quantized-rational scorer IS the contract; filter
+  * stop-words from the query batch when log-BM25 fidelity matters.
+  *
+  * Scale shape (100 TB): tf is ONE partial-aggregated shuffle over
+  * (doc, term) carrying doc length with it; the query side broadcasts;
+  * candidate scoring touches only documents sharing ≥1 query term (the
+  * posting-list lookup, realized as a broadcast semi-restriction of the
+  * tf table), and df is recovered from that already-restricted candidate
+  * frame by a window count — the corpus is scanned exactly twice (stats,
+  * tf), never shuffles wide, and never cross-joins.
   */
 object LexicalSearch {
 
@@ -62,34 +88,44 @@ object LexicalSearch {
       termCol: String,
       k: Int): DataFrame = {
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
-    val lens = toks.select(col(idCol), size(col("__toks")).cast("long").as("__len"))
     // one-row corpus stats frame, broadcast by the cross join below
-    val stats = lens.agg(
+    val stats = toks.agg(
       count(lit(1)).as("__n_docs"),
-      sum("__len").as("__total_len"))
+      sum(size(col("__toks")).cast("long")).as("__total_len"))
+    // doc length rides along with tf (constant within the group), so no
+    // separate corpus-wide lens frame ever joins back in
     val tf = toks
-      .select(col(idCol), explode(col("__toks")).as(termCol))
+      .select(col(idCol), size(col("__toks")).cast("long").as("__len"),
+        explode(col("__toks")).as(termCol))
       .groupBy(col(idCol), col(termCol))
-      .agg(count(lit(1)).as("__tf"))
+      .agg(count(lit(1)).as("__tf"), first(col("__len")).as("__len"))
     // posting-list lookup: only (doc, term) rows whose term some query
     // asked for survive — the broadcast hash join is the index probe
     val qt = broadcast(queryTerms.select(col(queryIdCol), col(termCol)).distinct())
     val cand = tf.join(qt, termCol)
-    // df per QUERY term only (aggregated over the full posting lists,
-    // restricted before the shuffle so the agg input is already small)
-    val dfq = tf.join(broadcast(qt.select(termCol).distinct()), termCol)
-      .groupBy(col(termCol)).agg(count(lit(1)).as("__df"))
+    // df recovered from the restricted candidate frame: qt is distinct
+    // per (query, term), so a (query, term) window partition holds
+    // exactly one row per posting-list document — its count IS df. The
+    // corpus-side aggregation is not executed a second time.
+    val wdf = Window.partitionBy(col(queryIdCol), col(termCol))
+    // DECIMAL(38,0) intermediates (HUGEINT in the oracle): see the
+    // module doc's overflow discipline. `div` (IntegralDivide) returns
+    // BIGINT; every quotient is inside the documented BIGINT bound.
     val scored = cand
-      .join(broadcast(dfq), termCol)
-      .join(lens, idCol)
+      .withColumn("__df", count(lit(1)).over(wdf))
       .crossJoin(broadcast(stats))
       .withColumn("__idf_micro",
-        expr("((2 * __n_docs - 2 * __df + 1) * 1000000) div (2 * __df + 1)"))
+        expr("""((2 * cast(__n_docs as decimal(38,0)) - 2 * __df + 1)
+               | * 1000000) div (2 * __df + 1)""".stripMargin))
       .withColumn("__sat_micro",
-        expr("(44 * __tf * __total_len * 1000000) div " +
-          "(20 * __tf * __total_len + 6 * __total_len + 18 * __len * __n_docs)"))
+        expr("""(44 * cast(__tf as decimal(38,0)) * __total_len * 1000000) div
+               |(20 * cast(__tf as decimal(38,0)) * __total_len
+               | + 6 * cast(__total_len as decimal(38,0))
+               | + 18 * cast(__len as decimal(38,0)) * __n_docs)""".stripMargin))
       .groupBy(col(queryIdCol), col(idCol))
-      .agg(sum(col("__idf_micro") * col("__sat_micro")).as("score"))
+      .agg(sum(expr(
+        """(cast(__idf_micro as decimal(38,0)) * __sat_micro)
+          | div 1000000""".stripMargin)).as("score"))
     val w = Window.partitionBy(col(queryIdCol))
       .orderBy(col("score").desc, col(idCol).asc)
     scored

@@ -20,9 +20,14 @@ class LexicalSearchSpec extends AnyFunSuite with SharedSpark {
     * a kernel edit that shifts a quantization boundary fails the spec.
     */
   private def idfMicro(n: Long, df: Long): Long =
-    (2 * n - 2 * df + 1) * 1000000L / (2 * df + 1)
+    ((BigInt(2) * n - 2 * df + 1) * 1000000 / (2 * df + 1)).toLong
   private def satMicro(tf: Long, total: Long, len: Long, n: Long): Long =
-    44 * tf * total * 1000000L / (20 * tf * total + 6 * total + 18 * len * n)
+    (BigInt(44) * tf * total * 1000000 /
+      (BigInt(20) * tf * total + BigInt(6) * total + BigInt(18) * len * n)).toLong
+  // a term's contribution in micro units: the wide product floors back
+  // down by 10^6, mirroring the engine's DECIMAL(38,0) intermediate
+  private def termMicro(idf: Long, sat: Long): Long =
+    (BigInt(idf) * sat / 1000000).toLong
 
   test("bm25TopK matches a hand-computed score on a 3-doc corpus") {
     // corpus: N=3, lens = 4,3,2, total = 9
@@ -35,9 +40,9 @@ class LexicalSearchSpec extends AnyFunSuite with SharedSpark {
       .orderBy("rank")
       .collect()
     // df(apple)=2 over docs {1,3}; df(durian)=1 over {2}
-    val s1 = idfMicro(3, 2) * satMicro(2, 9, 4, 3) // doc1: tf(apple)=2
-    val s2 = idfMicro(3, 1) * satMicro(1, 9, 3, 3) // doc2: tf(durian)=1
-    val s3 = idfMicro(3, 2) * satMicro(2, 9, 2, 3) // doc3: tf(apple)=2
+    val s1 = termMicro(idfMicro(3, 2), satMicro(2, 9, 4, 3)) // doc1: tf(apple)=2
+    val s2 = termMicro(idfMicro(3, 1), satMicro(1, 9, 3, 3)) // doc2: tf(durian)=1
+    val s3 = termMicro(idfMicro(3, 2), satMicro(2, 9, 2, 3)) // doc3: tf(apple)=2
     val expected = Seq((3L, s3), (2L, s2), (1L, s1)).sortBy(-_._2)
     assert(out.map(r => (r.getLong(2), r.getLong(3))).toSeq === expected)
     assert(out.map(_.getLong(1)).toSeq === Seq(1L, 2L, 3L))
