@@ -343,6 +343,7 @@ object Queries {
     "q67_window_family" -> (Relational.q67WindowFamily _),
     "q68_stat_moments" -> (Relational.q68StatMoments _),
     "q69_zorder_layout" -> (graft.pipeline.ZOrder.clustered _),
+    "q69b_zorder_scaled" -> (graft.pipeline.ZOrder.scaledClustered _),
     "q70_mmr_rerank" -> (graft.query.MmrRerank.q70 _),
     "q71_bm25_topk" -> (q71Bm25TopK _),
     "q72_hybrid_rrf" -> (q72HybridRrf _))
@@ -967,6 +968,7 @@ object Queries {
         |    AS corr_qp
         |FROM a ORDER BY l_returnflag""".stripMargin,
     "q69_zorder_layout" -> zorderOracle,
+    "q69b_zorder_scaled" -> zorderScaledOracle,
     "q70_mmr_rerank" ->
       """SELECT query_id, "rank", vec_id, score
         |FROM '/root/repo/golden/q70_mmr_rerank.parquet'
@@ -1338,6 +1340,35 @@ object Queries {
        |    (ntile(${1 << bits}) OVER (ORDER BY l_partkey, l_orderkey, l_linenumber) - 1)::BIGINT AS xb,
        |    (ntile(${1 << bits}) OVER (ORDER BY l_suppkey, l_orderkey, l_linenumber) - 1)::BIGINT AS yb
        |  FROM lineitem),
+       |z AS (
+       |  SELECT l_partkey, l_suppkey, ($inter) AS z FROM t)
+       |SELECT z >> ${pipeline.ZOrder.BucketShift} AS bucket,
+       |  count(*)::BIGINT AS n_rows,
+       |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+       |FROM z GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
+  /** q69b: identical interleave/bucket arithmetic, but value-scaled
+    * dimension buckets (row-local, distributed) instead of ntile.
+    */
+  private lazy val zorderScaledOracle: String = {
+    val bits = pipeline.ZOrder.DimBits
+    val tiles = 1L << bits
+    val inter = (0 until bits).map(i =>
+      s"(((xb >> $i) & 1) << ${2 * i}) + (((yb >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH b AS (
+       |  SELECT min(l_partkey) AS pmin, max(l_partkey) AS pmax,
+       |         min(l_suppkey) AS smin, max(l_suppkey) AS smax
+       |  FROM lineitem),
+       |t AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    least(${tiles - 1},
+       |      ((l_partkey - b.pmin) * $tiles) // (b.pmax - b.pmin + 1))::BIGINT AS xb,
+       |    least(${tiles - 1},
+       |      ((l_suppkey - b.smin) * $tiles) // (b.smax - b.smin + 1))::BIGINT AS yb
+       |  FROM lineitem CROSS JOIN b),
        |z AS (
        |  SELECT l_partkey, l_suppkey, ($inter) AS z FROM t)
        |SELECT z >> ${pipeline.ZOrder.BucketShift} AS bucket,

@@ -76,12 +76,48 @@ object ZOrder {
         min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
       .orderBy("bucket")
 
+  /** Q69b — the PRODUCTION z-layout pass, and the variant the benchmark
+    * grades: per-dimension buckets come from VALUE-scaled ranges
+    * (`(x − min)·tiles div (max − min + 1)`), so the key computation is
+    * row-local once a one-row min/max bounds frame broadcasts — no
+    * window, no total order, no single-partition sort anywhere in the
+    * plan. Cost at any scale: one partial-aggregated bounds pass + one
+    * embarrassingly-parallel key projection + one 64-group aggregation.
+    * Deterministic (unlike sampled `repartitionByRange` bounds), so the
+    * DuckDB oracle verifies every envelope bit-for-bit; [[clustered]]'s
+    * ntile variant remains the equi-POPULATED verifier, headline-excluded
+    * the way the q14/q20 exact verifiers are. Value scaling trades the
+    * ntile guarantee (equal rows per tile) for distribution: skewed
+    * dimensions give uneven bucket sizes but identical envelope bounds,
+    * which is what footer-stat skipping actually prunes on.
+    */
+  def scaledClustered(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_partkey", "l_suppkey")
+    val tiles = 1L << DimBits
+    val bounds = li.agg(
+      min("l_partkey").as("__pmin"), max("l_partkey").as("__pmax"),
+      min("l_suppkey").as("__smin"), max("l_suppkey").as("__smax"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("xb", least(lit(tiles - 1),
+        expr(s"(l_partkey - __pmin) * $tiles div (__pmax - __pmin + 1)")))
+      .withColumn("yb", least(lit(tiles - 1),
+        expr(s"(l_suppkey - __smin) * $tiles div (__smax - __smin + 1)")))
+      .withColumn("z", interleave(col("xb"), col("yb")))
+      .withColumn("bucket", shiftright(col("z"), BucketShift))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min("l_partkey").as("min_part"), max("l_partkey").as("max_part"),
+        min("l_suppkey").as("min_supp"), max("l_suppkey").as("max_supp"))
+      .orderBy("bucket")
+  }
+
   /** Production layout pass: distribute by sampled z ranges, sort
     * within partitions, ready for a partition-per-file write. No global
     * sort; the z computation itself is embarrassingly parallel once the
-    * per-dimension bounds come from a sample (here: ntile for exactness
-    * at fixture scale — swap the bucketizer for sampled quantiles when
-    * the corpus outgrows a single sort).
+    * per-dimension bounds come from a sample (or [[scaledClustered]]'s
+    * exact value-scaled buckets when the dimensions are numeric).
     */
   def repartitionByZ(df: DataFrame, numPartitions: Int, z: Column): DataFrame =
     df.withColumn("__z", z)

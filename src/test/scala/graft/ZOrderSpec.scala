@@ -53,6 +53,30 @@ class ZOrderSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("scaledClustered (production variant) bounds both envelopes with no window") {
+    val df = ZOrder.scaledClustered(spark, Sf0001)
+    // the whole point of q69b: NO window / global sort in the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"production z-layout must not window:\n$plan")
+    val rows = df.collect()
+    assert(rows.length > 32, "expected most of the 64 z-ranges populated")
+    val (partLo, partHi, suppLo, suppHi) = (
+      rows.map(_.getAs[Long]("min_part")).min,
+      rows.map(_.getAs[Long]("max_part")).max,
+      rows.map(_.getAs[Long]("min_supp")).min,
+      rows.map(_.getAs[Long]("max_supp")).max)
+    val partDomain = (partHi - partLo).max(1L)
+    val suppDomain = (suppHi - suppLo).max(1L)
+    rows.foreach { r =>
+      val ps = r.getAs[Long]("max_part") - r.getAs[Long]("min_part")
+      val ss = r.getAs[Long]("max_supp") - r.getAs[Long]("min_supp")
+      assert(ps * 4 <= partDomain,
+        s"bucket ${r.getAs[Long]("bucket")} part envelope $ps of $partDomain")
+      assert(ss * 4 <= suppDomain,
+        s"bucket ${r.getAs[Long]("bucket")} supp envelope $ss of $suppDomain")
+    }
+  }
+
   test("repartitionByZ keeps rows and bounds per-partition envelopes") {
     import spark.implicits._
     val li = Tables(spark, Sf0001, "lineitem")
