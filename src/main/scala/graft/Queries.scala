@@ -189,6 +189,22 @@ object Queries {
         lexicalQueryBatch(spark, dir), "query_id", "term", k = 10)
       .orderBy("query_id", "rank")
 
+  /** Q73: BM25 top-k against the PERSISTED lexical index — q71's exact
+    * semantics (same oracle) served from parquet posting lists
+    * partitioned by term-hash bucket, so the probe reads only the
+    * directories holding some query term
+    * ([[graft.query.LexicalSearch.buildIndex]]): the lexical channel's
+    * build-once / query-many production shape, mirroring q38/q39.
+    */
+  def q73LexicalIndexTopK(spark: SparkSession, dir: String): DataFrame = {
+    val work = indexWorkDir("lex", dir)
+    buildOnce(work)(LexicalSearch.buildIndex(
+      Tables.parallelize(Tables(spark, dir, "documents")), "doc_id", "text", work))
+    LexicalSearch.queryIndex(spark, work, "doc_id",
+        lexicalQueryBatch(spark, dir), "query_id", "term", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** Q72: hybrid retrieval — Reciprocal Rank Fusion of the exact-cosine
     * vector channel (q9's semantics, k'=20) and the BM25 lexical channel
     * (q71's semantics, k'=20), fused in exact micro-units
@@ -346,7 +362,8 @@ object Queries {
     "q69b_zorder_scaled" -> (graft.pipeline.ZOrder.scaledClustered _),
     "q70_mmr_rerank" -> (graft.query.MmrRerank.q70 _),
     "q71_bm25_topk" -> (q71Bm25TopK _),
-    "q72_hybrid_rrf" -> (q72HybridRrf _))
+    "q72_hybrid_rrf" -> (q72HybridRrf _),
+    "q73_lexical_index_topk" -> (q73LexicalIndexTopK _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -976,6 +993,12 @@ object Queries {
     // same tokenization as q47; idf/saturation arithmetic is pure BIGINT
     // (// = integer division) mirroring LexicalSearch's contract exactly
     "q71_bm25_topk" -> bm25Oracle(k = 10,
+      select = "query_id, CAST(\"rank\" AS BIGINT) AS \"rank\", doc_id, score",
+      suffix = "ORDER BY query_id, \"rank\""),
+    // the persisted-index path is scoring-identical to q71 by
+    // construction (same kernel over the same posting rows), so it is
+    // graded against the same oracle
+    "q73_lexical_index_topk" -> bm25Oracle(k = 10,
       select = "query_id, CAST(\"rank\" AS BIGINT) AS \"rank\", doc_id, score",
       suffix = "ORDER BY query_id, \"rank\""),
     // fusion = integer micro-unit reciprocal ranks over the two channels'

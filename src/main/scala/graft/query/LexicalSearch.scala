@@ -70,47 +70,37 @@ object LexicalSearch {
     */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
-  /** BM25 top-k for a batch of term-set queries over a document corpus.
-    *
-    * @param docs       corpus with (idCol, textCol)
-    * @param queryTerms SMALL frame of (queryIdCol, termCol), distinct
-    *                   terms per query (duplicate query terms are not
-    *                   re-weighted); broadcast to the posting lists
-    * @param k          results per query; ties broken by ascending id
-    * @return (queryIdCol, rank, idCol, score) — score in micro² units
+  /** Tokenized corpus → (id, term, __tf, __len) posting rows. Doc
+    * length rides along with tf (constant within the group), so no
+    * separate corpus-wide lens frame ever joins back in.
     */
-  def bm25TopK(
-      docs: DataFrame,
-      idCol: String,
-      textCol: String,
-      queryTerms: DataFrame,
-      queryIdCol: String,
-      termCol: String,
-      k: Int): DataFrame = {
-    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
-    // one-row corpus stats frame, broadcast by the cross join below
-    val stats = toks.agg(
-      count(lit(1)).as("__n_docs"),
-      sum(size(col("__toks")).cast("long")).as("__total_len"))
-    // doc length rides along with tf (constant within the group), so no
-    // separate corpus-wide lens frame ever joins back in
-    val tf = toks
+  private def postings(
+      docs: DataFrame, idCol: String, textCol: String,
+      termCol: String): DataFrame =
+    docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), size(col("__toks")).cast("long").as("__len"),
         explode(col("__toks")).as(termCol))
       .groupBy(col(idCol), col(termCol))
       .agg(count(lit(1)).as("__tf"), first(col("__len")).as("__len"))
-    // posting-list lookup: only (doc, term) rows whose term some query
-    // asked for survive — the broadcast hash join is the index probe
-    val qt = broadcast(queryTerms.select(col(queryIdCol), col(termCol)).distinct())
-    val cand = tf.join(qt, termCol)
-    // df recovered from the restricted candidate frame: qt is distinct
-    // per (query, term), so a (query, term) window partition holds
-    // exactly one row per posting-list document — its count IS df. The
-    // corpus-side aggregation is not executed a second time.
+
+  /** The shared scoring kernel: candidate posting rows → per-query
+    * ranked top-k. `cand` holds one row per (query, term, doc) with
+    * __tf/__len; `stats` is the one-row (__n_docs, __total_len) frame.
+    *
+    * df is recovered from the restricted candidate frame: the query
+    * side is distinct per (query, term), so a (query, term) window
+    * partition holds exactly one row per posting-list document — its
+    * count IS df. The corpus-side aggregation never runs a second time.
+    *
+    * DECIMAL(38,0) intermediates (HUGEINT in the oracle): see the
+    * module doc's overflow discipline. `div` (IntegralDivide) returns
+    * BIGINT; every quotient is inside the documented BIGINT bound.
+    */
+  private def scoreCandidates(
+      cand: DataFrame, stats: DataFrame,
+      queryIdCol: String, idCol: String, termCol: String,
+      k: Int): DataFrame = {
     val wdf = Window.partitionBy(col(queryIdCol), col(termCol))
-    // DECIMAL(38,0) intermediates (HUGEINT in the oracle): see the
-    // module doc's overflow discipline. `div` (IntegralDivide) returns
-    // BIGINT; every quotient is inside the documented BIGINT bound.
     val scored = cand
       .withColumn("__df", count(lit(1)).over(wdf))
       .crossJoin(broadcast(stats))
@@ -132,6 +122,95 @@ object LexicalSearch {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col(queryIdCol), col("rank"), col(idCol), col("score"))
+  }
+
+  /** BM25 top-k for a batch of term-set queries over a document corpus.
+    *
+    * @param docs       corpus with (idCol, textCol)
+    * @param queryTerms SMALL frame of (queryIdCol, termCol), distinct
+    *                   terms per query (duplicate query terms are not
+    *                   re-weighted); broadcast to the posting lists
+    * @param k          results per query; ties broken by ascending id
+    * @return (queryIdCol, rank, idCol, score) — score in micro units
+    */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryTerms: DataFrame,
+      queryIdCol: String,
+      termCol: String,
+      k: Int): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    // one-row corpus stats frame, broadcast by the cross join below
+    val stats = toks.agg(
+      count(lit(1)).as("__n_docs"),
+      sum(size(col("__toks")).cast("long")).as("__total_len"))
+    // posting-list lookup: only (doc, term) rows whose term some query
+    // asked for survive — the broadcast hash join is the index probe
+    val qt = broadcast(queryTerms.select(col(queryIdCol), col(termCol)).distinct())
+    val cand = postings(docs, idCol, textCol, termCol).join(qt, termCol)
+    scoreCandidates(cand, stats, queryIdCol, idCol, termCol, k)
+  }
+
+  /** Number of term-hash partition directories in the persisted index:
+    * enough that one query batch prunes most of the corpus's posting
+    * files, few enough that tiny fixtures don't fragment.
+    */
+  val IndexBuckets = 64
+
+  /** Build the persisted lexical index — the build-once half of the
+    * production build-once / query-many split the vector channels
+    * already have (q38's LSH index, q39's IVF): posting rows
+    * (doc, term, tf, len) written parquet-partitioned by a term-hash
+    * bucket so a query batch's probe reads only the matching partition
+    * directories, plus the one-row corpus stats frame. df is NOT
+    * materialized: the query-time window recovers it from the pruned
+    * posting read (see [[scoreCandidates]]), so the index carries no
+    * per-term aggregate that incremental corpus appends would
+    * invalidate row-by-row.
+    */
+  def buildIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      workDir: String): Unit = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
+    toks.agg(
+        count(lit(1)).as("__n_docs"),
+        sum(size(col("__toks")).cast("long")).as("__total_len"))
+      .write.mode("overwrite").parquet(s"$workDir/stats")
+    postings(docs, idCol, textCol, "__term")
+      .withColumn("__bucket", pmod(hash(col("__term")), lit(IndexBuckets)))
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$workDir/postings")
+  }
+
+  /** BM25 top-k against a [[buildIndex]]-persisted index. The query
+    * batch's term-hash buckets are collected driver-side (bounded by
+    * [[IndexBuckets]] — query compilation, not data movement) into a
+    * partition-pruning IN filter, so the scan touches only the posting
+    * directories holding some query term; scoring is bit-identical to
+    * [[bm25TopK]] by construction (same kernel, same inputs).
+    */
+  def queryIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      workDir: String,
+      idCol: String,
+      queryTerms: DataFrame,
+      queryIdCol: String,
+      termCol: String,
+      k: Int): DataFrame = {
+    val stats = spark.read.parquet(s"$workDir/stats")
+    val qt = queryTerms.select(col(queryIdCol), col(termCol)).distinct()
+    val buckets = qt
+      .select(pmod(hash(col(termCol)), lit(IndexBuckets)).as("__bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val cand = spark.read.parquet(s"$workDir/postings")
+      .filter(col("__bucket").isin(buckets: _*))
+      .withColumnRenamed("__term", termCol)
+      .join(broadcast(qt), termCol)
+    scoreCandidates(cand, stats, queryIdCol, idCol, termCol, k)
   }
 
   /** RRF rank-fusion constant — the k=60 of Cormack et al. 2009. */

@@ -136,6 +136,34 @@ class LexicalSearchSpec extends AnyFunSuite with SharedSpark {
     both.foreach(r => assert(r.getLong(4) > 0 && r.getLong(5) > 0))
   }
 
+  test("queryIndex is bit-identical to bm25TopK and prunes posting partitions") {
+    val docs = Tables(spark, Sf0001, "documents")
+    val batch = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(LexicalSearch.tokens(col("text")), 1, 8)).as("term"))
+      .distinct()
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_lex_spec").toString
+    try {
+      LexicalSearch.buildIndex(docs, "doc_id", "text", work)
+      val direct = LexicalSearch.bm25TopK(docs, "doc_id", "text",
+        batch, "query_id", "term", k = 10)
+      val indexed = LexicalSearch.queryIndex(spark, work, "doc_id",
+        batch, "query_id", "term", k = 10)
+      assert(indexed.orderBy("query_id", "rank").collect().toSeq ===
+        direct.orderBy("query_id", "rank").collect().toSeq)
+      // the probe must reach the source as a partition-directory filter
+      val plan = indexed.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("__bucket"),
+        s"expected term-hash partition pruning in the scan:\n$plan")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(work))
+    }
+  }
+
   test("the posting-list probe broadcasts the query side (plan shape)") {
     val docs = Tables(spark, Sf0001, "documents")
     val batch = docs.filter(col("doc_id") < 10)
