@@ -363,7 +363,10 @@ object Queries {
     "q70_mmr_rerank" -> (graft.query.MmrRerank.q70 _),
     "q71_bm25_topk" -> (q71Bm25TopK _),
     "q72_hybrid_rrf" -> (q72HybridRrf _),
-    "q73_lexical_index_topk" -> (q73LexicalIndexTopK _))
+    "q73_lexical_index_topk" -> (q73LexicalIndexTopK _),
+    "q74_vocab_prune" -> (TextAnalysis.vocabPrune _),
+    "q75_gram_novelty" -> (TextAnalysis.gramNovelty _),
+    "q76_source_overlap" -> (TextAnalysis.sourceOverlap _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -1001,6 +1004,80 @@ object Queries {
     "q73_lexical_index_topk" -> bm25Oracle(k = 10,
       select = "query_id, CAST(\"rank\" AS BIGINT) AS \"rank\", doc_id, score",
       suffix = "ORDER BY query_id, \"rank\""),
+    // corpus-frequency vocabulary pruning: hapax (df<2) and the top-10
+    // total-count terms dropped, surviving token order preserved
+    "q74_vocab_prune" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |  FROM documents),
+         |v AS (
+         |  SELECT term, count(*)::BIGINT AS cnt,
+         |         count(DISTINCT doc_id)::BIGINT AS df
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+         |  GROUP BY term),
+         |drop_top AS (
+         |  SELECT term FROM v ORDER BY cnt DESC, term ASC
+         |  LIMIT ${TextAnalysis.PruneTopK}),
+         |keep AS (
+         |  SELECT list(term) AS kl FROM v
+         |  WHERE df >= 2 AND term NOT IN (SELECT term FROM drop_top)),
+         |r AS (
+         |  SELECT doc_id, toks,
+         |    list_filter(toks, x -> list_contains(k.kl, x)) AS kept
+         |  FROM t CROSS JOIN keep k)
+         |SELECT doc_id, len(toks)::BIGINT AS n_before,
+         |  len(kept)::BIGINT AS n_after,
+         |  array_to_string(kept, ' ') AS text_pruned
+         |FROM r ORDER BY doc_id""".stripMargin,
+    // first-occurrence attribution of distinct 3-grams in doc_id order
+    "q75_gram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS gram
+        |  FROM t),
+        |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+        |p AS (
+        |  SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+        |    sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_novel
+        |  FROM g JOIN f USING (gram) GROUP BY g.doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(n_grams, 0)::BIGINT AS n_grams,
+        |  coalesce(n_novel, 0)::BIGINT AS n_novel,
+        |  CASE WHEN coalesce(n_grams, 0) = 0 THEN 0.0 ELSE
+        |    CAST((n_novel * 2000000 + n_grams) // (n_grams * 2) AS DOUBLE)
+        |      / 1000000.0
+        |  END AS novelty
+        |FROM t LEFT JOIN p ON t.doc_id = p.doc_id ORDER BY t.doc_id""".stripMargin,
+    // unordered source pairs sharing >=1 distinct 3-gram; exact Jaccard
+    "q76_source_overlap" ->
+      """WITH t AS (
+        |  SELECT source, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source, gram FROM (
+        |    SELECT source, unnest(
+        |      list_transform(range(1, len(toks) - 1),
+        |        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+        |    FROM t)),
+        |s AS (SELECT source, count(*)::BIGINT AS n FROM g GROUP BY source),
+        |sh AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    count(*)::BIGINT AS n_shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT src_a, src_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+        |  CASE WHEN sa.n + sb.n - n_shared = 0 THEN 0.0 ELSE
+        |    CAST((n_shared * 2000000 + (sa.n + sb.n - n_shared))
+        |         // ((sa.n + sb.n - n_shared) * 2) AS DOUBLE) / 1000000.0
+        |  END AS jaccard
+        |FROM sh JOIN s sa ON sh.src_a = sa.source
+        |JOIN s sb ON sh.src_b = sb.source
+        |ORDER BY src_a, src_b""".stripMargin,
     // fusion = integer micro-unit reciprocal ranks over the two channels'
     // FULL OUTER join; channel ranks re-derived with q9's exact-cosine
     // CTE (k'=20) and q71's BM25 CTE (k'=20)

@@ -383,4 +383,128 @@ object TextAnalysis {
           col("flag_alpha") && col("flag_ttr"))
       .orderBy("doc_id")
   }
+
+  /** Terms dropped as "discovered stopwords" by [[vocabPrune]]: the
+    * top-K by total corpus count (ties by ascending term).
+    */
+  val PruneTopK = 10
+
+  /** Q74: corpus-frequency vocabulary pruning + document rewrite — the
+    * CountVectorizer-style minDF/max-frequency vocabulary step of a
+    * training pipeline, applied back to the text: drop every token that
+    * is either a hapax (df < 2) or one of the [[PruneTopK]] highest
+    * total-count terms (discovered stopwords), preserving the order of
+    * the surviving tokens.
+    *
+    * Scale shape: the vocabulary is ONE partial-aggregated shuffle over
+    * terms (count + distinct-doc count); the top-K cut is a distributed
+    * TakeOrdered (never a global window); the kept vocabulary collapses
+    * to a one-row array frame that broadcasts, so the rewrite is a
+    * ROW-LOCAL lambda filter over each doc's token array — the corpus
+    * is scanned twice and never shuffles. `array_contains` per token is
+    * O(|kept|); swap the broadcast list for a bloom/hash-set expression
+    * when the kept vocabulary outgrows a scan (≫10⁵ terms).
+    */
+  def vocabPrune(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelize(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+    val vocab = docs
+      .select(col("doc_id"), explode(col("__toks")).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("__cnt"), countDistinct(col("doc_id")).as("__df"))
+    val dropTop = vocab
+      .orderBy(col("__cnt").desc, col("term").asc)
+      .limit(PruneTopK)
+    val keepList = vocab
+      .filter(col("__df") >= 2)
+      .join(dropTop.select("term"), Seq("term"), "left_anti")
+      .agg(collect_list(col("term")).as("__keep"))
+    docs.crossJoin(broadcast(keepList))
+      .withColumn("__kept",
+        expr("filter(__toks, t -> array_contains(__keep, t))"))
+      .select(
+        col("doc_id"),
+        size(col("__toks")).cast("long").as("n_before"),
+        size(col("__kept")).cast("long").as("n_after"),
+        array_join(col("__kept"), " ").as("text_pruned"))
+      .orderBy("doc_id")
+  }
+
+  /** Q75: per-document 3-gram novelty — what fraction of a document's
+    * DISTINCT word 3-grams appear here for the first time in corpus
+    * order (their global minimum doc_id is this document)? The
+    * duplication-contribution profile behind corpus-level dedup
+    * decisions: late documents full of already-seen grams are the ones
+    * near-dup removal deletes.
+    *
+    * Scale shape: distinct grams per doc are row-local; first-occurrence
+    * attribution is one partial-aggregated `min(doc_id)` shuffle keyed
+    * by gram plus one gram-keyed join back — both scale linearly in
+    * distinct gram instances, nothing all-pairs.
+    */
+  def gramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelize(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), tokens(col("text")).as("__toks"))
+    def ratio6(k: String, n: String): Column =
+      when(col(n) === 0L, lit(0.0)).otherwise(
+        expr(s"cast(($k * 2000000 + $n) div ($n * 2) as double)") / 1000000.0)
+    val grams = docs
+      .select(col("doc_id"),
+        explode(array_distinct(wordGrams(col("__toks"), 3))).as("gram"))
+    val firstSeen = grams.groupBy("gram").agg(min(col("doc_id")).as("__first"))
+    val perDoc = grams.join(firstSeen, "gram")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__first") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    // docs with < 3 tokens have no grams and must still report (0, 0)
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty", ratio6("n_novel", "n_grams"))
+      .orderBy("doc_id")
+  }
+
+  /** Q76: cross-source n-gram overlap matrix — for every unordered pair
+    * of sources, the shared distinct word-3-gram count and the exact
+    * Jaccard similarity of their gram sets. The corpus-contamination /
+    * source-redundancy report a mixing step consults before weighting
+    * sources (a source that is a near-subset of another should not be
+    * double-weighted).
+    *
+    * Scale shape: per-source distinct gram sets are one shuffle keyed
+    * by (source, gram); the pair expansion is a gram-keyed self-join
+    * whose per-gram cost is (sources containing the gram)² — bounded by
+    * the source count squared, NOT by corpus size. With thousands of
+    * sources, cap ubiquitous grams (df-per-source threshold) or sketch
+    * with MinHash; with the fixture's 20 sources the exact join is the
+    * right plan.
+    */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallelize(Tables(spark, dir, "documents"))
+      .select(col("source"), tokens(col("text")).as("__toks"))
+    def ratio6(k: String, n: String): Column =
+      when(col(n) === 0L, lit(0.0)).otherwise(
+        expr(s"cast(($k * 2000000 + $n) div ($n * 2) as double)") / 1000000.0)
+    val grams = docs
+      .select(col("source"), explode(wordGrams(col("__toks"), 3)).as("gram"))
+      .distinct()
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("__n"))
+    val shared = grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("__n").as("n_a"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("__n").as("n_b"))), "src_b")
+      .withColumn("__union", col("n_a") + col("n_b") - col("n_shared"))
+      .select(
+        col("src_a"), col("src_b"), col("n_shared"), col("n_a"), col("n_b"),
+        ratio6("n_shared", "__union").as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
 }

@@ -126,4 +126,76 @@ class TrainingPipelineSpec extends AnyFunSuite with SharedSpark {
     val second = Sampling.temperatureMix(spark, Sf0001).collect().map(_.toSeq)
     assert(first.toSeq === second.toSeq)
   }
+
+  /** Pure-Scala re-derivation of the corpus token lists, independent of
+    * the operators under test.
+    */
+  private def fixtureTokens(): Map[Long, Seq[String]] =
+    Tables(spark, Sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+      .toMap
+
+  test("q74 vocab pruning drops exactly the top-K + hapax terms, keeps order") {
+    val toks = fixtureTokens()
+    val counts = toks.values.flatten.groupBy(identity).view.mapValues(_.size)
+    val dfs = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size)
+    val dropTop = counts.toSeq
+      .sortBy { case (t, c) => (-c, t) }.take(TextAnalysis.PruneTopK)
+      .map(_._1).toSet
+    val keep = counts.keySet.filter(t => !dropTop(t) && dfs(t) >= 2)
+    val rows = TextAnalysis.vocabPrune(spark, Sf0001).collect()
+    assert(rows.length === toks.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val expected = toks(id).filter(keep)
+      assert(r.getAs[Long]("n_before") === toks(id).length.toLong)
+      assert(r.getAs[Long]("n_after") === expected.length.toLong)
+      assert(r.getAs[String]("text_pruned") === expected.mkString(" "),
+        s"doc $id: pruned text must be the order-preserved kept subsequence")
+    }
+    // the rule must bite in both directions on this corpus
+    assert(rows.exists(r => r.getAs[Long]("n_after") < r.getAs[Long]("n_before")))
+    assert(rows.exists(r => r.getAs[Long]("n_after") > 0))
+  }
+
+  test("q75 novelty: the first doc is all-novel; novel counts partition the gram space") {
+    val rows = TextAnalysis.gramNovelty(spark, Sf0001).collect()
+    val first = rows.minBy(_.getAs[Long]("doc_id"))
+    assert(first.getAs[Long]("n_grams") > 0)
+    assert(first.getAs[Long]("n_novel") === first.getAs[Long]("n_grams"),
+      "the minimum doc_id can never re-see a gram")
+    assert(first.getAs[Double]("novelty") === 1.0)
+    // every distinct gram in the corpus is novel in exactly one doc
+    val toks = fixtureTokens()
+    val allGrams = toks.values.flatMap(t =>
+      t.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSeq.distinct)
+    assert(rows.map(_.getAs[Long]("n_novel")).sum ===
+      allGrams.toSeq.distinct.length.toLong)
+    rows.foreach(r =>
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_grams")))
+  }
+
+  test("q76 source overlap matches a pure-Scala set computation for every pair") {
+    val docs = Tables(spark, Sf0001, "documents")
+      .select("source", "text").collect()
+      .groupBy(_.getString(0))
+      .view.mapValues(_.flatMap(r =>
+        r.getString(1).trim.split("\\s+").toSeq
+          .sliding(3).filter(_.length == 3).map(_.mkString(" "))).toSet)
+      .toMap
+    val rows = TextAnalysis.sourceOverlap(spark, Sf0001).collect()
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("src_a"), r.getAs[String]("src_b"))
+      assert(a < b)
+      val inter = (docs(a) intersect docs(b)).size.toLong
+      assert(r.getAs[Long]("n_shared") === inter, s"($a,$b) shared")
+      assert(r.getAs[Long]("n_a") === docs(a).size.toLong)
+      assert(r.getAs[Long]("n_b") === docs(b).size.toLong)
+    }
+    // every pair with a non-empty intersection must be present
+    val expectedPairs = docs.keySet.toSeq.sorted.combinations(2)
+      .count { case Seq(a, b) => (docs(a) intersect docs(b)).nonEmpty }
+    assert(rows.length === expectedPairs)
+  }
 }
