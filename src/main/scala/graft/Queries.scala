@@ -99,6 +99,24 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** Q77: exact k-NN GRAPH over the corpus via the persisted IVF index
+    * (shared with q39 — one index, two query patterns): every vector's
+    * 5 nearest neighbors, self excluded. Unlike q39's point-batch probe,
+    * the corpus here IS the query batch, so nothing broadcasts but cell
+    * metadata — own-cell co-located self-join seeds a per-vector floor,
+    * foreign cells probe only where the triangle bound beats it
+    * ([[graft.query.IvfIndex.selfKnnGraph]]). Oracled against the
+    * brute-force all-pairs ranking.
+    */
+  def q77KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = indexWorkDir("ivf", dir)
+    buildOnce(work)(IvfIndex.build(e, "vec_id", "embedding", work))
+    IvfIndex.selfKnnGraph(spark, work, "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Q50: revenue by priority through [[graft.pipeline.SkewJoin]] — the
     * explicit salted formulation, gate-verified against the plain-join
     * oracle, so "salting preserves join semantics exactly" is a checked
@@ -366,7 +384,8 @@ object Queries {
     "q73_lexical_index_topk" -> (q73LexicalIndexTopK _),
     "q74_vocab_prune" -> (TextAnalysis.vocabPrune _),
     "q75_gram_novelty" -> (TextAnalysis.gramNovelty _),
-    "q76_source_overlap" -> (TextAnalysis.sourceOverlap _))
+    "q76_source_overlap" -> (TextAnalysis.sourceOverlap _),
+    "q77_knn_graph" -> (q77KnnGraph _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -1004,6 +1023,20 @@ object Queries {
     "q73_lexical_index_topk" -> bm25Oracle(k = 10,
       select = "query_id, CAST(\"rank\" AS BIGINT) AS \"rank\", doc_id, score",
       suffix = "ORDER BY query_id, \"rank\""),
+    // the IVF graph build is exact by the same cell-radius bound as
+    // q39, so it is graded against the brute-force all-pairs ranking
+    "q77_knn_graph" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id,
+        |    list_cosine_similarity(b.v, a.v) AS sim
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        |  FROM s)
+        |SELECT query_id, vec_id, round(sim, 6) AS sim, rn
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     // corpus-frequency vocabulary pruning: hapax (df<2) and the top-10
     // total-count terms dropped, surviving token order preserved
     "q74_vocab_prune" ->

@@ -200,4 +200,97 @@ object IvfIndex {
       .filter(col("rn") <= k)
       .select(col(queryIdCol), col(idCol), col("sim"), col("rn"))
   }
+
+  /** Exact k-NN GRAPH over the indexed corpus: every vector's k nearest
+    * neighbors (self excluded) by exact cosine — the dense-batch
+    * retrieval pattern that semantic dedup (SemDeDup, Abbas et al.
+    * 2023), graph-based clustering, and neighbor-graph embeddings all
+    * start from.
+    *
+    * [[queryTopK]] broadcasts its query batch, which is right for point
+    * lookups and wrong when the corpus IS the query batch; here nothing
+    * broadcasts but the per-cell metadata (nCentroids rows):
+    *
+    *  - pass 1 ranks each vector against its OWN cell (an equi-self-join
+    *    on the `centroid_id` partition column — co-located, quadratic
+    *    only within a cell, which is exactly the cost profile
+    *    cluster-then-compare dedup accepts on purpose);
+    *  - the k-th best own-cell similarity seeds a per-vector floor;
+    *  - pass 2 probes only foreign cells whose triangle bound
+    *    (`sim <= 1 - max(0, d(q,c) - radius_c)^2 / 2`, unit vectors)
+    *    can still beat that floor, via a shuffle equi-join on the probe
+    *    cell id — each cell is read once per probing vector partition,
+    *    never per vector.
+    *
+    * On a clustered corpus the floor is tight after pass 1 and foreign
+    * probes are rare; on an isotropic one this degrades toward the full
+    * self-join rather than silently dropping true neighbors (the same
+    * exactness contract as [[queryTopK]]). Vectors alone in their cell
+    * get floor = -1 and probe every cell — correctness never depends on
+    * the layout.
+    *
+    * @return (query_id, idCol, sim, rn) — rn 1..k by exact sim desc,
+    *         ties broken by ascending neighbor id
+    */
+  def selfKnnGraph(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      k: Int): DataFrame = {
+    val cellMeta = broadcast(spark.read.parquet(s"$indexPath/cells_meta"))
+    // re-derive the normalized float vectors exactly as the build did
+    // (AnnIndex.prepared's normalizer), so stored radii bound them
+    val assigned = new org.apache.spark.ml.feature.Normalizer()
+      .setInputCol("__raw").setOutputCol("__f").setP(2.0)
+      .transform(spark.read.parquet(s"$indexPath/cells")
+        .withColumn("__raw",
+          org.apache.spark.ml.functions.array_to_vector(
+            col(embCol).cast("array<double>"))))
+      .select(col(idCol), col(embCol), col("centroid_id"),
+        org.apache.spark.ml.functions.vector_to_array(col("__f"))
+          .cast("array<float>").as("__norm"))
+    val queries = assigned.select(
+      col(idCol).as("query_id"), col(embCol).as("__qv"),
+      col("centroid_id"), col("__norm").as("__qnorm"))
+    val corpus = assigned.select(col(idCol), col(embCol), col("centroid_id"))
+
+    def rank(cand: DataFrame): DataFrame = cand
+      .withColumn("sim", cosine_sim(col("__qv"), col(embCol)))
+      .select(col("query_id"), col(idCol), col("sim"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+
+    // pass 1: own cell, self excluded. Materialized once — it feeds the
+    // floor AND the final union (the queryTopK discipline).
+    val pass1 = rank(
+      queries.join(corpus, "centroid_id").filter(col("query_id") =!= col(idCol)))
+      .localCheckpoint()
+    val floor = pass1
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === k)
+      .select(col("query_id"), col("sim").as("floor_sim"))
+
+    // pass 2: foreign cells whose bound still reaches the floor. >= on
+    // the floor: a bound-equal cell can hold a tie that wins the
+    // ascending-id tie-break.
+    val probeSel = queries
+      .withColumnRenamed("centroid_id", "__own")
+      .crossJoin(cellMeta)
+      .filter(col("centroid_id") =!= col("__own"))
+      .withColumn("cdist",
+        sqrt(graft.functions.l2_dist_sq(col("__qnorm"), col("center"))))
+      .withColumn("ub_sim",
+        lit(1.0) - pow(
+          greatest(lit(0.0), col("cdist") - col("radius") - lit(RadiusPad)), 2) / 2)
+      .join(floor, Seq("query_id"), "left")
+      .filter(col("ub_sim") >= coalesce(col("floor_sim"), lit(-1.0)))
+      .select(col("query_id"), col("__qv"), col("centroid_id"))
+    val pass2 = rank(corpus.join(probeSel, "centroid_id"))
+
+    pass1.unionByName(pass2)
+      .withColumn("rn", row_number().over(wTop).cast("long"))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col(idCol), col("sim"), col("rn"))
+  }
 }

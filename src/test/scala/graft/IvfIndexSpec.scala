@@ -63,4 +63,44 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
       e, "embedding", "vec_id", queries, "query_id", "qvec", k = 3, threshold = 0.1)
     assert(topkSet(ivf) == topkSet(exact))
   }
+
+  /** Brute-force k-NN graph: all ordered pairs minus self, ranked. */
+  private def bruteGraph(
+      e: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id").asc)
+    e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"),
+        graft.functions.cosine_sim(col("a.embedding"), col("b.embedding")).as("sim"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  test("self k-NN graph over the fixture EQUALS brute force (isotropic worst case)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-graph").toString
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    IvfIndex.build(e, "vec_id", "embedding", dir, IvfIndex.Params(nCentroids = 8))
+    val graph = IvfIndex.selfKnnGraph(spark, dir, "vec_id", "embedding", k = 5)
+    assert(topkSet(graph) == topkSet(bruteGraph(e, 5)))
+    // every vector is a graph source with exactly k neighbors, none itself
+    assert(graph.groupBy("query_id").count().filter(col("count") =!= 5).isEmpty)
+    assert(graph.filter(col("query_id") === col("vec_id")).isEmpty)
+  }
+
+  test("self k-NN graph on a clustered corpus: exact where pruning bites") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 200L).map { i =>
+      val axis = (i % 4).toInt
+      val base = Array.fill(8)(0.0f)
+      base(axis) = 1.0f
+      (i, base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }
+    val e = rows.toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-graph-cl").toString
+    IvfIndex.build(e, "vec_id", "embedding", dir, IvfIndex.Params(nCentroids = 4))
+    val graph = IvfIndex.selfKnnGraph(spark, dir, "vec_id", "embedding", k = 3)
+    assert(topkSet(graph) == topkSet(bruteGraph(e, 3)))
+  }
 }
