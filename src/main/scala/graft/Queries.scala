@@ -385,7 +385,10 @@ object Queries {
     "q74_vocab_prune" -> (TextAnalysis.vocabPrune _),
     "q75_gram_novelty" -> (TextAnalysis.gramNovelty _),
     "q76_source_overlap" -> (TextAnalysis.sourceOverlap _),
-    "q77_knn_graph" -> (q77KnnGraph _))
+    "q77_knn_graph" -> (q77KnnGraph _),
+    "q78_pii_redaction" -> (graft.pipeline.PiiRedaction.q78 _),
+    "q79_subqueries" -> (Relational.q79Subqueries _),
+    "q80_array_functions" -> (Relational.q80ArrayFunctions _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -1037,6 +1040,75 @@ object Queries {
         |  FROM s)
         |SELECT query_id, vec_id, round(sim, 6) AS sim, rn
         |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // injection expression mirrored verbatim from PiiRedaction
+    // .injectSyntheticPii (fixture text is PII-free word salad; without
+    // the deterministic injection the redaction gate would be vacuous);
+    // regexes restricted to Java/RE2-agreeing constructs
+    "q78_pii_redaction" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0 THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+        |            || '-' || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || (doc_id % 256)::VARCHAR || '.0.1' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(t, '\b\d{3}[- ]\d{3}[- ]\d{4}\b')) AS n_phones,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        |  sha256(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\b\d{3}[- ]\d{3}[- ]\d{4}\b', '[PHONE]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS clean_sha
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // same subquery shapes; DuckDB decorrelates its own way — only the
+    // results are the contract. Money in exact integer cents; the
+    // avg/5 bound is identical IEEE math (integer-valued quantities)
+    "q79_subqueries" ->
+      """SELECT 'small_qty_items' AS shape, count(*) AS n,
+        |  sum(cast(round(l.l_extendedprice * 100, 0) as bigint))::BIGINT AS cents
+        |FROM lineitem l
+        |WHERE l.l_quantity < (
+        |  SELECT avg(l2.l_quantity) / 5 FROM lineitem l2
+        |  WHERE l2.l_partkey = l.l_partkey)
+        |UNION ALL
+        |SELECT 'above_avg_qty', count(*), sum(cast(l_quantity as bigint))::BIGINT
+        |FROM lineitem
+        |WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem)
+        |UNION ALL
+        |SELECT 'has_urgent_order', count(*),
+        |  sum(cast(round(c_acctbal * 100, 0) as bigint))::BIGINT
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+        |UNION ALL
+        |SELECT 'no_orders', count(*),
+        |  sum(cast(round(c_acctbal * 100, 0) as bigint))::BIGINT
+        |FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT 'debtor_orders', count(*),
+        |  sum(cast(round(o_totalprice * 100, 0) as bigint))::BIGINT
+        |FROM orders
+        |WHERE o_custkey IN (
+        |  SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |ORDER BY shape""".stripMargin,
+    // DuckDB's list lambdas mirror Spark's higher-order functions; the
+    // micro-quantized stats are exact integers, pal_dot is the q20
+    // fixed-order double-fold precedent
+    "q80_array_functions" ->
+      """SELECT vec_id,
+        |  len(list_filter(embedding, x -> x > 0))::BIGINT AS n_pos,
+        |  list_sum(list_transform(embedding,
+        |    x -> round(x::DOUBLE * 1000000)::BIGINT))::BIGINT AS sum_micro,
+        |  list_max(list_transform(embedding,
+        |    x -> abs(round(x::DOUBLE * 1000000)::BIGINT)))::BIGINT AS absmax_micro,
+        |  round(list_dot_product(embedding::DOUBLE[],
+        |    list_reverse(embedding)::DOUBLE[]), 6) AS pal_dot
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
     // corpus-frequency vocabulary pruning: hapax (df<2) and the top-10
     // total-count terms dropped, surviving token order preserved
     "q74_vocab_prune" ->

@@ -393,4 +393,86 @@ object Relational {
           .as("corr_qp"))
       .orderBy("l_returnflag")
   }
+
+  /** Q79: the SQL SUBQUERY surface, end-to-end through the parser —
+    * correlated scalar subqueries with aggregates (Catalyst decorrelates
+    * them into aggregated joins), uncorrelated scalars (planned as
+    * one-row broadcast), EXISTS / NOT EXISTS (semi / anti joins), and IN
+    * subqueries. Every other declared query states its plan through the
+    * DataFrame API; this one deliberately feeds SQL TEXT to `spark.sql`,
+    * because a reference user switching engines brings SQL with them and
+    * parse → analyze → decorrelate is a gradable surface of its own.
+    *
+    * Exactness: quantities are integer-valued doubles (sums exact in any
+    * order below 2^53) so the correlated `avg/5` bound is the same IEEE
+    * double in both engines; money aggregates are exact integer cents.
+    */
+  def q79Subqueries(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "part", "customer", "orders").foreach { t =>
+      Tables(spark, dir, t).createOrReplaceTempView(s"q79_$t")
+    }
+    spark.sql("""
+      SELECT 'small_qty_items' AS shape, count(*) AS n,
+        sum(cast(round(l.l_extendedprice * 100, 0) as bigint)) AS cents
+      FROM q79_lineitem l
+      WHERE l.l_quantity < (
+        SELECT avg(l2.l_quantity) / 5 FROM q79_lineitem l2
+        WHERE l2.l_partkey = l.l_partkey)
+      UNION ALL
+      SELECT 'above_avg_qty', count(*),
+        sum(cast(l_quantity as bigint))
+      FROM q79_lineitem
+      WHERE l_quantity > (SELECT avg(l_quantity) FROM q79_lineitem)
+      UNION ALL
+      SELECT 'has_urgent_order', count(*),
+        sum(cast(round(c_acctbal * 100, 0) as bigint))
+      FROM q79_customer c
+      WHERE EXISTS (
+        SELECT 1 FROM q79_orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      UNION ALL
+      SELECT 'no_orders', count(*),
+        sum(cast(round(c_acctbal * 100, 0) as bigint))
+      FROM q79_customer c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM q79_orders o WHERE o.o_custkey = c.c_custkey)
+      UNION ALL
+      SELECT 'debtor_orders', count(*),
+        sum(cast(round(o_totalprice * 100, 0) as bigint))
+      FROM q79_orders
+      WHERE o_custkey IN (
+        SELECT c_custkey FROM q79_customer WHERE c_acctbal < 0)
+      ORDER BY shape""")
+  }
+
+  /** Q80: the higher-order array-function surface (transform / filter /
+    * aggregate / zip_with — SparkSQL's lambda functions) exercised over
+    * the embeddings fixture and oracled against DuckDB's list lambdas.
+    * Lambdas stay inside codegen'd expressions — no UDF anywhere. The
+    * integer stats are micro-quantized (exact in any order); the
+    * palindrome dot (vector · its own reverse) is a fixed-order fold
+    * whose doubles both engines accumulate identically in list order
+    * (the q20 kernel precedent).
+    */
+  def q80ArrayFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(
+        col("vec_id"),
+        expr("cast(size(filter(embedding, x -> x > 0)) as bigint)")
+          .as("n_pos"),
+        expr("""aggregate(embedding, 0L,
+               |  (acc, x) -> acc + cast(round(cast(x as double) * 1000000, 0)
+               |                         as bigint))""".stripMargin)
+          .as("sum_micro"),
+        expr("""array_max(transform(embedding,
+               |  x -> abs(cast(round(cast(x as double) * 1000000, 0)
+               |               as bigint))))""".stripMargin)
+          .as("absmax_micro"),
+        round(expr(
+          """aggregate(
+            |  zip_with(embedding, reverse(embedding),
+            |    (a, b) -> cast(a as double) * cast(b as double)),
+            |  0D, (acc, v) -> acc + v)""".stripMargin), 6)
+          .as("pal_dot"))
+      .orderBy("vec_id")
 }
