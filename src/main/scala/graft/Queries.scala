@@ -117,6 +117,20 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** Q82: contrastive pair mining over the same persisted IVF index —
+    * nearest same-label positive + nearest different-label hard
+    * negative per vector ([[graft.query.IvfIndex.contrastivePairs]]),
+    * exact vs the brute-force per-side ranking oracle.
+    */
+  def q82ContrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = indexWorkDir("ivf", dir)
+    buildOnce(work)(IvfIndex.build(e, "vec_id", "embedding", work))
+    IvfIndex.contrastivePairs(spark, work, "vec_id", "embedding",
+        e.select("vec_id", "label"), "label")
+      .orderBy("query_id")
+  }
+
   /** Q50: revenue by priority through [[graft.pipeline.SkewJoin]] — the
     * explicit salted formulation, gate-verified against the plain-join
     * oracle, so "salting preserves join semantics exactly" is a checked
@@ -388,7 +402,9 @@ object Queries {
     "q77_knn_graph" -> (q77KnnGraph _),
     "q78_pii_redaction" -> (graft.pipeline.PiiRedaction.q78 _),
     "q79_subqueries" -> (Relational.q79Subqueries _),
-    "q80_array_functions" -> (Relational.q80ArrayFunctions _))
+    "q80_array_functions" -> (Relational.q80ArrayFunctions _),
+    "q81_scd2_history" -> (Events.q81Scd2 _),
+    "q82_contrastive_pairs" -> (q82ContrastivePairs _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -1109,6 +1125,46 @@ object Queries {
         |  round(list_dot_product(embedding::DOUBLE[],
         |    list_reverse(embedding)::DOUBLE[]), 6) AS pal_dot
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // SCD2: collapse filter before the lead(), both over the same
+    // (ts, event_id) order; value passes through untouched (bit-equal
+    // parquet doubles), validity bounds formatted to seconds
+    "q81_scd2_history" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+        |  FROM events),
+        |c AS (SELECT user_id, ts, event_id, value FROM o
+        |      WHERE pv IS NULL OR value <> pv),
+        |v AS (
+        |  SELECT user_id, value, ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS vt
+        |  FROM c)
+        |SELECT user_id, value,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(vt, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  vt IS NULL AS is_current
+        |FROM v ORDER BY user_id, valid_from, value""".stripMargin,
+    // brute-force per-side (same/different label) best-neighbor ranking;
+    // the IVF miner must return exactly this by its cell-radius bound
+    "q82_contrastive_pairs" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS nid,
+        |    b.label = a.label AS same,
+        |    list_cosine_similarity(b.v, a.v) AS sim
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |r AS (
+        |  SELECT query_id, nid, same, sim,
+        |    row_number() OVER (PARTITION BY query_id, same
+        |                       ORDER BY sim DESC, nid) AS rn
+        |  FROM p)
+        |SELECT e.vec_id AS query_id, e.label,
+        |  pos.nid AS pos_id, round(pos.sim, 6) AS pos_sim,
+        |  neg.nid AS neg_id, round(neg.sim, 6) AS neg_sim
+        |FROM e
+        |LEFT JOIN r pos ON pos.query_id = e.vec_id AND pos.same AND pos.rn = 1
+        |LEFT JOIN r neg ON neg.query_id = e.vec_id AND NOT neg.same AND neg.rn = 1
+        |ORDER BY query_id""".stripMargin,
     // corpus-frequency vocabulary pruning: hapax (df<2) and the top-10
     // total-count terms dropped, surviving token order preserved
     "q74_vocab_prune" ->

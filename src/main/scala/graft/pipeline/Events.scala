@@ -199,4 +199,30 @@ object Events {
           - expr("unix_micros(asof.ts) div 1000000")).cast("long").as("gap_s"))
       .orderBy("purchase_id")
   }
+
+  /** Q81: slowly-changing-dimension TYPE-2 history build — the
+    * warehouse-core change-tracking pattern: each user's event `value`
+    * is treated as an observed attribute; consecutive repeats collapse
+    * into one version, each version carries `[valid_from, valid_to)`
+    * with an open (null) end and `is_current` on the latest. Shape at
+    * scale: exactly one shuffle (the per-user window); versions derive
+    * from `lag`, validity ends from `lead` AFTER the collapse filter —
+    * both over the same (ts, event_id)-ordered key, so equal timestamps
+    * cannot flip versions between runs.
+    */
+  def q81Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val versions = Tables(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "value")
+      .withColumn("__prev", lag("value", 1).over(w))
+      .filter(col("__prev").isNull || col("value") =!= col("__prev"))
+    versions
+      .withColumn("__until", lead("ts", 1).over(w))
+      .select(
+        col("user_id"), col("value"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+        date_format(col("__until"), "yyyy-MM-dd HH:mm:ss").as("valid_to"),
+        col("__until").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "value")
+  }
 }

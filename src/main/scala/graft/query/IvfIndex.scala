@@ -293,4 +293,104 @@ object IvfIndex {
       .filter(col("rn") <= k)
       .select(col("query_id"), col(idCol), col("sim"), col("rn"))
   }
+
+  /** Contrastive PAIR MINING over the indexed corpus: for every vector,
+    * its nearest SAME-label neighbor (the positive) and its nearest
+    * DIFFERENT-label neighbor (the hard negative) — the mining step of
+    * contrastive/metric training-data preparation, exact by the same
+    * cell-radius bound as [[selfKnnGraph]].
+    *
+    * Pruning uses one floor per vector = the WEAKER of its two own-cell
+    * bests (missing side → -1): a foreign cell is probed iff its bound
+    * could improve either side, which is `ub >= least(floor_pos,
+    * floor_neg)` — per-side pruning would need per-(cell, label) radii
+    * (cells hold label mixtures); that refinement is the scale knob for
+    * high-label-count corpora, not needed for correctness.
+    *
+    * Vectors whose label has no second member keep their row with a
+    * null positive side (left-join semantics), mirroring what a mining
+    * job must surface rather than drop.
+    *
+    * @param labels (idCol, labelCol) frame — label source joined onto
+    *               the index rows (the index itself stays label-free)
+    * @return (query_id, labelCol, pos_id, pos_sim, neg_id, neg_sim)
+    */
+  def contrastivePairs(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      labels: DataFrame,
+      labelCol: String): DataFrame = {
+    val cellMeta = broadcast(spark.read.parquet(s"$indexPath/cells_meta"))
+    val assigned = new org.apache.spark.ml.feature.Normalizer()
+      .setInputCol("__raw").setOutputCol("__f").setP(2.0)
+      .transform(spark.read.parquet(s"$indexPath/cells")
+        .withColumn("__raw",
+          org.apache.spark.ml.functions.array_to_vector(
+            col(embCol).cast("array<double>"))))
+      .select(col(idCol), col(embCol), col("centroid_id"),
+        org.apache.spark.ml.functions.vector_to_array(col("__f"))
+          .cast("array<float>").as("__norm"))
+      .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
+    val queries = assigned.select(
+      col(idCol).as("query_id"), col(embCol).as("__qv"),
+      col("centroid_id"), col("__norm").as("__qnorm"),
+      col(labelCol).as("__qlabel"))
+    val corpus = assigned.select(col(idCol), col(embCol), col("centroid_id"),
+      col(labelCol).as("__clabel"))
+
+    def rank(cand: DataFrame): DataFrame = cand
+      .withColumn("sim", cosine_sim(col("__qv"), col(embCol)))
+      .select(col("query_id"), col(idCol), col("sim"),
+        (col("__qlabel") === col("__clabel")).as("__same"))
+    // per (query, side) ranking: the positive is rank 1 among same-label
+    // candidates, the negative rank 1 among different-label ones
+    val wSide = Window.partitionBy(col("query_id"), col("__same"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+
+    val pass1 = rank(
+      queries.join(corpus, "centroid_id").filter(col("query_id") =!= col(idCol)))
+      .localCheckpoint()
+    // weaker of the two own-cell bests; a missing side forces full probe
+    val floor = pass1
+      .withColumn("rn", row_number().over(wSide))
+      .filter(col("rn") === 1)
+      .groupBy("query_id")
+      .agg(
+        min(when(col("__same"), col("sim"))).as("__fp"),
+        min(when(!col("__same"), col("sim"))).as("__fn"))
+      .select(col("query_id"),
+        least(coalesce(col("__fp"), lit(-1.0)),
+          coalesce(col("__fn"), lit(-1.0))).as("floor_sim"))
+
+    val probeSel = queries
+      .withColumnRenamed("centroid_id", "__own")
+      .crossJoin(cellMeta)
+      .filter(col("centroid_id") =!= col("__own"))
+      .withColumn("cdist",
+        sqrt(graft.functions.l2_dist_sq(col("__qnorm"), col("center"))))
+      .withColumn("ub_sim",
+        lit(1.0) - pow(
+          greatest(lit(0.0), col("cdist") - col("radius") - lit(RadiusPad)), 2) / 2)
+      .join(floor, Seq("query_id"), "left")
+      .filter(col("ub_sim") >= coalesce(col("floor_sim"), lit(-1.0)))
+      .select(col("query_id"), col("__qv"), col("__qlabel"), col("centroid_id"))
+    val pass2 = rank(corpus.join(probeSel, "centroid_id"))
+
+    val best = pass1.unionByName(pass2)
+      .withColumn("rn", row_number().over(wSide))
+      .filter(col("rn") === 1)
+    val pos = best.filter(col("__same"))
+      .select(col("query_id"), col(idCol).as("pos_id"),
+        round(col("sim"), 6).as("pos_sim"))
+    val neg = best.filter(!col("__same"))
+      .select(col("query_id"), col(idCol).as("neg_id"),
+        round(col("sim"), 6).as("neg_sim"))
+    assigned.select(col(idCol).as("query_id"), col(labelCol))
+      .join(pos, Seq("query_id"), "left")
+      .join(neg, Seq("query_id"), "left")
+      .select(col("query_id"), col(labelCol),
+        col("pos_id"), col("pos_sim"), col("neg_id"), col("neg_sim"))
+  }
 }

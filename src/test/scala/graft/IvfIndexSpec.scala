@@ -88,6 +88,43 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     assert(graph.filter(col("query_id") === col("vec_id")).isEmpty)
   }
 
+  test("contrastive pairs equal the brute-force per-side ranking (fixture)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-contrast").toString
+    val e = Tables(spark, Sf0001, "embeddings")
+    IvfIndex.build(e.select("vec_id", "embedding"), "vec_id", "embedding", dir,
+      IvfIndex.Params(nCentroids = 8))
+    val mined = IvfIndex.contrastivePairs(spark, dir, "vec_id", "embedding",
+      e.select("vec_id", "label"), "label")
+
+    // brute force: per (query, same?) best by (sim desc, id asc)
+    import org.apache.spark.sql.expressions.Window
+    val wSide = Window.partitionBy(col("query_id"), col("same"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    val best = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"),
+        col("b.vec_id").as("nid"),
+        (col("a.label") === col("b.label")).as("same"),
+        graft.functions.cosine_sim(col("a.embedding"), col("b.embedding")).as("sim"))
+      .withColumn("rn", row_number().over(wSide))
+      .filter(col("rn") === 1)
+    val expect = e.select(col("vec_id").as("query_id"), col("label"))
+      .join(best.filter(col("same"))
+        .select(col("query_id"), col("nid").as("pos_id"),
+          round(col("sim"), 6).as("pos_sim")), Seq("query_id"), "left")
+      .join(best.filter(!col("same"))
+        .select(col("query_id"), col("nid").as("neg_id"),
+          round(col("sim"), 6).as("neg_sim")), Seq("query_id"), "left")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "label", "pos_id", "pos_sim", "neg_id", "neg_sim")
+        .collect().map(_.toSeq).toSet
+    assert(rows(mined) == rows(expect))
+    assert(mined.count() == e.count())
+    // every mined row has a hard negative (10 labels => other labels
+    // always exist); positives exist for every label with >= 2 members
+    assert(mined.filter(col("neg_id").isNull).isEmpty)
+  }
+
   test("self k-NN graph on a clustered corpus: exact where pruning bites") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

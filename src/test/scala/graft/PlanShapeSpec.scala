@@ -63,6 +63,29 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(scans == 2, s"expected 2 document scans, saw $scans:\n" + plan.take(2000))
   }
 
+  test("q78 redaction is map-only: no hash exchange anywhere in the plan") {
+    val plan = graft.pipeline.PiiRedaction
+      .q78(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    // the only allowed exchanges are the deliberate small-input spread
+    // (round-robin, Tables.parallelize) and the output sort's range
+    // partitioning — detection/redaction itself must never shuffle
+    assert(!plan.contains("hashpartitioning"),
+      "redaction plan gained a hash shuffle:\n" + plan.take(2000))
+  }
+
+  test("q79's correlated subqueries decorrelate — no cartesian product") {
+    val plan = graft.pipeline.Relational
+      .q79Subqueries(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "a subquery planned as a cartesian product:\n" + plan.take(2000))
+    // EXISTS / NOT EXISTS / IN must plan as semi/anti joins, not as
+    // aggregated rewrites per-row
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      "EXISTS/NOT EXISTS did not plan as semi/anti joins:\n" + plan.take(2000))
+  }
+
   test("q64 packing shuffles once on the shard key before the typed fold") {
     val qe = graft.pipeline.SequencePacker.pack(spark, Sf0001).queryExecution
     val plan = qe.executedPlan.toString
