@@ -404,7 +404,9 @@ object Queries {
     "q79_subqueries" -> (Relational.q79Subqueries _),
     "q80_array_functions" -> (Relational.q80ArrayFunctions _),
     "q81_scd2_history" -> (Events.q81Scd2 _),
-    "q82_contrastive_pairs" -> (q82ContrastivePairs _))
+    "q82_contrastive_pairs" -> (q82ContrastivePairs _),
+    "q83_unpivot" -> (Relational.q83Unpivot _),
+    "q84_gap_fill" -> (Events.q84GapFill _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -1165,6 +1167,46 @@ object Queries {
         |LEFT JOIN r pos ON pos.query_id = e.vec_id AND pos.same AND pos.rn = 1
         |LEFT JOIN r neg ON neg.query_id = e.vec_id AND NOT neg.same AND neg.rn = 1
         |ORDER BY query_id""".stripMargin,
+    // DuckDB's UNPIVOT names value columns exactly like Spark's melt
+    // when the centi-quantized projections share names; sums are exact
+    // integer centi-units
+    "q83_unpivot" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    cast(round(l_quantity * 100, 0) as bigint) AS qty_centi,
+        |    cast(round(l_extendedprice * 100, 0) as bigint) AS price_centi,
+        |    cast(round(l_discount * 100, 0) as bigint) AS disc_centi
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT l_returnflag, measure, val FROM t
+        |  UNPIVOT (val FOR measure IN (qty_centi, price_centi, disc_centi)))
+        |SELECT l_returnflag, measure, count(*) AS n,
+        |  sum(val)::BIGINT AS sum_centi,
+        |  min(val) AS min_centi, max(val) AS max_centi
+        |FROM u GROUP BY l_returnflag, measure
+        |ORDER BY l_returnflag, measure""".stripMargin,
+    // dense hourly grid per user from its own [min, max] hour; centi
+    // sums exact; forward-fill = last_value IGNORE NULLS running frame
+    "q84_gap_fill" ->
+      """WITH h AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hr,
+        |    sum(cast(round(value * 100, 0) as bigint))::BIGINT AS hv_centi,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(min(hr), max(hr), INTERVAL 1 HOUR)) AS hr
+        |  FROM h GROUP BY user_id),
+        |j AS (
+        |  SELECT s.user_id, s.hr, h.hv_centi, h.n_events
+        |  FROM s LEFT JOIN h ON h.user_id = s.user_id AND h.hr = s.hr)
+        |SELECT user_id, strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  last_value(hv_centi IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY hr
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_centi,
+        |  coalesce(n_events, 0) AS n_events,
+        |  hv_centi IS NULL AS is_gap
+        |FROM j ORDER BY user_id, hour""".stripMargin,
     // corpus-frequency vocabulary pruning: hapax (df<2) and the top-10
     // total-count terms dropped, surviving token order preserved
     "q74_vocab_prune" ->

@@ -225,4 +225,38 @@ object Events {
         col("__until").isNull.as("is_current"))
       .orderBy("user_id", "valid_from", "value")
   }
+
+  /** Q84: time-series RESAMPLE + forward-fill — each user's sparse
+    * event stream regularized onto a dense hourly grid (`sequence` +
+    * `explode` scaffold from the user's own [min, max] hour, so no
+    * global calendar frame), hourly sums in exact centi-units, gaps
+    * carrying the last observed hour forward via `last(_, ignoreNulls)`
+    * over a running frame. The standard prep for ML feature windows
+    * over irregular telemetry. Scale shape: one aggregation shuffle +
+    * one per-user window; the scaffold explode is row-local.
+    */
+  def q84GapFill(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(
+        sum(round(col("value") * 100, 0).cast("long")).as("hv_centi"),
+        count(lit(1)).as("n_events"))
+    val scaffold = hourly
+      .groupBy("user_id")
+      .agg(min("hr").as("__lo"), max("hr").as("__hi"))
+      .select(col("user_id"),
+        explode(sequence(col("__lo"), col("__hi"),
+          expr("INTERVAL 1 HOUR"))).as("hr"))
+    val w = Window.partitionBy("user_id").orderBy("hr")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaffold
+      .join(hourly, Seq("user_id", "hr"), "left")
+      .select(
+        col("user_id"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        last(col("hv_centi"), ignoreNulls = true).over(w).as("filled_centi"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("hv_centi").isNull.as("is_gap"))
+      .orderBy("user_id", "hour")
+  }
 }

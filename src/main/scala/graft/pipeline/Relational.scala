@@ -454,6 +454,32 @@ object Relational {
     * whose doubles both engines accumulate identically in list order
     * (the q20 kernel precedent).
     */
+  /** Q83: the UNPIVOT (melt) surface — three measure columns rotated
+    * into (measure, value) rows with `Dataset.unpivot`, then aggregated
+    * per (flag, measure). Measures are quantized to exact integer
+    * centi-units BEFORE the rotation so the long sums are
+    * order-independent. Unpivot is a row-local Expand (no shuffle of
+    * its own); the only exchanges are the final aggregation's.
+    */
+  def q83Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(
+        col("l_returnflag"),
+        round(col("l_quantity") * 100, 0).cast("long").as("qty_centi"),
+        round(col("l_extendedprice") * 100, 0).cast("long").as("price_centi"),
+        round(col("l_discount") * 100, 0).cast("long").as("disc_centi"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("qty_centi"), col("price_centi"), col("disc_centi")),
+        "measure", "val")
+      .groupBy("l_returnflag", "measure")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("val").as("sum_centi"),
+        min("val").as("min_centi"),
+        max("val").as("max_centi"))
+      .orderBy("l_returnflag", "measure")
+
   def q80ArrayFunctions(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
       .select(
