@@ -37,7 +37,8 @@ object Bench {
     "q38_ann_index_topk" -> "lsh_index",
     "q39_ivf_topk" -> "ivf_index",
     "q51_bucketed_join" -> "bucketed_tables",
-    "q73_lexical_index_topk" -> "lexical_index")
+    "q73_lexical_index_topk" -> "lexical_index",
+    "q85_ivf_upsert" -> "ivf_upsert")
 
   /** Optional standing per-query baseline (name → seconds), maintained
     * alongside BASELINE.md; absence just disables the 3×-of-baseline

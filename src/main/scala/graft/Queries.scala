@@ -117,6 +117,32 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** Q85: INCREMENTAL IVF maintenance under the exactness gate — the
+    * index is built over only the vectors with `vec_id % 10 != 0`, the
+    * held-out tenth is folded in by [[graft.query.IvfIndex.upsert]]
+    * (nearest-centroid assignment + partition append + radius growth,
+    * no re-clustering), and the standard batch then queries the merged
+    * index. The oracle is the SAME brute-force full-corpus top-k as
+    * q9/q38/q39: the row is green only if append-maintenance returns
+    * results bit-identical to a fresh build over the union, which is
+    * exactly what the triangle bound guarantees (radius coverage, not
+    * centroid optimality, is the load-bearing invariant).
+    */
+  def q85IvfUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = indexWorkDir("ivf_upsert", dir)
+    buildOnce(work) {
+      IvfIndex.build(
+        e.filter(pmod(col("vec_id"), lit(10)) =!= 0), "vec_id", "embedding", work)
+      IvfIndex.upsert(spark, work, "vec_id", "embedding",
+        e.filter(pmod(col("vec_id"), lit(10)) === 0))
+    }
+    IvfIndex.queryTopK(spark, work, "vec_id", "embedding",
+        queryBatch(e), "query_id", "qvec", k = 5, threshold = 0.0)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Q82: contrastive pair mining over the same persisted IVF index —
     * nearest same-label positive + nearest different-label hard
     * negative per vector ([[graft.query.IvfIndex.contrastivePairs]]),
@@ -406,7 +432,9 @@ object Queries {
     "q81_scd2_history" -> (Events.q81Scd2 _),
     "q82_contrastive_pairs" -> (q82ContrastivePairs _),
     "q83_unpivot" -> (Relational.q83Unpivot _),
-    "q84_gap_fill" -> (Events.q84GapFill _))
+    "q84_gap_fill" -> (Events.q84GapFill _),
+    "q85_ivf_upsert" -> (q85IvfUpsert _),
+    "q86_heavy_hitters" -> (graft.pipeline.HeavyHitters.q86FrequentGrams _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -576,6 +604,9 @@ object Queries {
     // exact scan: the index only routes candidates, exact cosine ranks.
     "q38_ann_index_topk" -> cosineTopKOracle,
     "q39_ivf_topk" -> cosineTopKOracle,
+    // q85 queries the upsert-maintained index (90% build + 10% append);
+    // same exact oracle — append-maintenance must be invisible to results
+    "q85_ivf_upsert" -> cosineTopKOracle,
     "q10_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM documents
         |GROUP BY text ORDER BY doc_id""".stripMargin,
@@ -1256,6 +1287,21 @@ object Queries {
         |      / 1000000.0
         |  END AS novelty
         |FROM t LEFT JOIN p ON t.doc_id = p.doc_id ORDER BY t.doc_id""".stripMargin,
+    // q86's Misra-Gries sketch is a guaranteed-superset candidate pass
+    // followed by an exact recount, so its output must EQUAL the plain
+    // exact threshold answer — that equality is the whole contract
+    "q86_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT unnest(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+        |  FROM t),
+        |tot AS (SELECT count(*) AS n FROM g)
+        |SELECT gram, count(*)::BIGINT AS cnt FROM g, tot
+        |GROUP BY gram, n HAVING count(*) * 4000 > n
+        |ORDER BY cnt DESC, gram""".stripMargin,
     // unordered source pairs sharing >=1 distinct 3-gram; exact Jaccard
     "q76_source_overlap" ->
       """WITH t AS (

@@ -283,7 +283,7 @@ object TextAnalysis {
     * tokens produces an empty array (Spark `sequence(1, 0)` would
     * otherwise DESCEND and fabricate grams).
     */
-  private def wordGrams(toks: Column, n: Int): Column =
+  private[pipeline] def wordGrams(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(
         sequence(lit(1), size(toks) - (n - 1)),

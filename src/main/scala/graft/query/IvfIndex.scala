@@ -110,6 +110,69 @@ object IvfIndex {
     model
   }
 
+  /** Incremental index maintenance: fold NEW vectors into a built index
+    * without re-clustering. Each new vector is assigned to its nearest
+    * existing centroid (one broadcast of the nCentroids-row metadata, no
+    * KMeans fit) and appended to that cell's parquet partition; the
+    * cell's stored radius grows to cover its new members.
+    *
+    * The exactness contract survives unconditionally: the query-time
+    * triangle bound needs only "radius_c >= d(member, centroid_c) for
+    * every member of c" — it never requires centroids to be the means of
+    * their current members, so an index whose cells have drifted from
+    * their centroids returns exactly the same top-k as a fresh build
+    * over the union, just with more probes. Drift is a COST regression,
+    * not a correctness one; re-cluster (full [[build]]) when probe
+    * counts degrade, the same compact-when-it-pays discipline as any
+    * log-structured index. At 100 TB this is the difference between a
+    * nightly KMeans over the whole corpus and a per-batch append that
+    * touches only the arriving rows plus one tiny metadata frame.
+    *
+    * Append-only contract: `newRows` ids must be disjoint from the ids
+    * already indexed (the caller's dedup gate owns identity). A repeated
+    * id would simply surface twice as a candidate — never silently
+    * dropped, but not replaced either.
+    */
+  def upsert(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      newRows: DataFrame): Unit = {
+    val cellMeta = spark.read.parquet(s"$indexPath/cells_meta")
+    val prep = AnnIndex.prepared(newRows, idCol, embCol)
+      .select(col(idCol), col(embCol),
+        org.apache.spark.ml.functions.vector_to_array(col("features"))
+          .cast("array<float>").as("__norm"))
+    // nearest existing centroid by the assignment metric (Euclidean on
+    // the normalized vector — the same metric build's KMeans assigned
+    // with), ties to the lower centroid id
+    val wNear = Window.partitionBy(col(idCol))
+      .orderBy(col("d").asc, col("centroid_id").asc)
+    val assigned = prep.crossJoin(broadcast(cellMeta))
+      .withColumn("d", sqrt(graft.functions.l2_dist_sq(col("__norm"), col("center"))))
+      .withColumn("__rn", row_number().over(wNear))
+      .filter(col("__rn") === 1)
+      .persist()
+    try {
+      assigned
+        .select(col(idCol), col(embCol), col("centroid_id"))
+        .write.partitionBy("centroid_id").mode("append")
+        .parquet(s"$indexPath/cells")
+      // grow radii to cover the new members; localCheckpoint materializes
+      // the updated frame BEFORE the overwrite of the path it was read
+      // from (cells_meta is nCentroids rows — the checkpoint is trivial)
+      val updated = cellMeta
+        .join(
+          assigned.groupBy("centroid_id").agg(max(col("d")).as("__new_r")),
+          Seq("centroid_id"), "left")
+        .select(col("centroid_id"), col("center"),
+          greatest(col("radius"), coalesce(col("__new_r"), lit(0.0))).as("radius"))
+        .localCheckpoint()
+      updated.write.mode("overwrite").parquet(s"$indexPath/cells_meta")
+    } finally assigned.unpersist()
+  }
+
   private def centersOf(spark: SparkSession, model: KMeansModel): DataFrame = {
     import spark.implicits._
     model.clusterCenters.zipWithIndex

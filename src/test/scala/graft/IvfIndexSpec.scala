@@ -125,6 +125,73 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     assert(mined.filter(col("neg_id").isNull).isEmpty)
   }
 
+  test("upsert-maintained index EQUALS a fresh build's exact answer (fixture)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-upsert").toString
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    IvfIndex.build(e.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+      "vec_id", "embedding", dir, IvfIndex.Params(nCentroids = 8))
+    IvfIndex.upsert(spark, dir, "vec_id", "embedding",
+      e.filter(pmod(col("vec_id"), lit(10)) === 0))
+
+    // every vector is in exactly one cell after the append
+    assert(spark.read.parquet(s"$dir/cells").count() == e.count())
+    // radii still cover every member: re-derive each member's distance to
+    // its cell centroid and compare against the stored radius
+    val meta = spark.read.parquet(s"$dir/cells_meta")
+    val members = new org.apache.spark.ml.feature.Normalizer()
+      .setInputCol("__raw").setOutputCol("__f").setP(2.0)
+      .transform(spark.read.parquet(s"$dir/cells")
+        .withColumn("__raw", org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>"))))
+      .select(col("centroid_id"),
+        org.apache.spark.ml.functions.vector_to_array(col("__f"))
+          .cast("array<float>").as("__norm"))
+    val uncovered = members.join(meta, "centroid_id")
+      .withColumn("d", sqrt(graft.functions.l2_dist_sq(col("__norm"), col("center"))))
+      .filter(col("d") > col("radius") + lit(1e-9))
+    assert(uncovered.isEmpty)
+
+    // the merged index answers exactly like brute force over the union
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val ivf = IvfIndex.queryTopK(spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 5, threshold = 0.0)
+    val exact = SimilaritySearch.topKBatch(
+      e, "embedding", "vec_id", queries, "query_id", "qvec", k = 5, threshold = 0.0)
+    assert(topkSet(ivf) == topkSet(exact))
+  }
+
+  test("upsert outside every existing radius: growth is what keeps the bound exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // base corpus: two tight clusters on +x / +y
+    val base = (0L until 100L).map { i =>
+      val axis = (i % 2).toInt
+      val v = Array.fill(8)(0.0f); v(axis) = 1.0f
+      (i, v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }
+    // arrivals: a third direction no existing cell covers — their
+    // assigned cells' radii MUST grow or the bound would prune them away
+    val arrivals = (100L until 140L).map { i =>
+      val v = Array.fill(8)(0.0f); v(2) = 1.0f
+      (i, v.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f))
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-upsert-out").toString
+    IvfIndex.build(base.toDF("vec_id", "embedding"), "vec_id", "embedding", dir,
+      IvfIndex.Params(nCentroids = 2))
+    IvfIndex.upsert(spark, dir, "vec_id", "embedding",
+      arrivals.toDF("vec_id", "embedding"))
+
+    val all = (base ++ arrivals).toDF("vec_id", "embedding")
+    // query FROM the new direction: the true neighbors are all arrivals
+    val queries = arrivals.take(4).toDF("query_id", "qvec")
+    val ivf = IvfIndex.queryTopK(spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 3, threshold = 0.0)
+    val exact = SimilaritySearch.topKBatch(
+      all, "embedding", "vec_id", queries, "query_id", "qvec", k = 3, threshold = 0.0)
+    assert(topkSet(ivf) == topkSet(exact))
+  }
+
   test("self k-NN graph on a clustered corpus: exact where pruning bites") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
