@@ -434,7 +434,8 @@ object Queries {
     "q83_unpivot" -> (Relational.q83Unpivot _),
     "q84_gap_fill" -> (Events.q84GapFill _),
     "q85_ivf_upsert" -> (q85IvfUpsert _),
-    "q86_heavy_hitters" -> (graft.pipeline.HeavyHitters.q86FrequentGrams _))
+    "q86_heavy_hitters" -> (graft.pipeline.HeavyHitters.q86FrequentGrams _),
+    "q87_budget_select" -> (graft.pipeline.ScalableWindow.q87BudgetSelect _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -1287,6 +1288,25 @@ object Queries {
         |      / 1000000.0
         |  END AS novelty
         |FROM t LEFT JOIN p ON t.doc_id = p.doc_id ORDER BY t.doc_id""".stripMargin,
+    // q87's running sum is computed by the distributed prefix-sum
+    // harness (range partition + per-partition fold + offset join);
+    // the oracle states the same total-order ROWS window declaratively
+    "q87_budget_select" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |    (len(list_distinct(toks)) * 1000000) // len(toks) AS ratio_micro
+        |  FROM d),
+        |w AS (
+        |  SELECT doc_id, n_tokens, ratio_micro::BIGINT AS ratio_micro,
+        |    sum(n_tokens) OVER (ORDER BY ratio_micro DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+        |  FROM s),
+        |b AS (SELECT (sum(n_tokens) // 10)::BIGINT AS budget FROM s)
+        |SELECT doc_id, n_tokens, ratio_micro, cum_tokens FROM w, b
+        |WHERE cum_tokens <= budget ORDER BY doc_id""".stripMargin,
     // q86's Misra-Gries sketch is a guaranteed-superset candidate pass
     // followed by an exact recount, so its output must EQUAL the plain
     // exact threshold answer — that equality is the whole contract
