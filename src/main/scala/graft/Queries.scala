@@ -143,6 +143,28 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** Q88: integer-exact PageRank over the semantic k-NN graph (q77's
+    * edges — one persisted IVF index now feeds three query patterns):
+    * graph centrality as a curation signal separating prototypical
+    * from peripheral documents. The edge frame is localCheckpoint'd
+    * once (it feeds both the out-degree build and every iteration);
+    * ten fixed iterations of [[graft.pipeline.GraphRank.pageRank]]'s
+    * micro-mass recurrence, oracled against the same recurrence
+    * unrolled as ten chained SQL steps.
+    */
+  def q88PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = indexWorkDir("ivf", dir)
+    buildOnce(work)(IvfIndex.build(e, "vec_id", "embedding", work))
+    val edges = IvfIndex.selfKnnGraph(spark, work, "vec_id", "embedding", k = 5)
+      .select(col("query_id").as("src"), col("vec_id").as("dst"))
+      .localCheckpoint()
+    graft.pipeline.GraphRank.pageRank(
+        e.select(col("vec_id").as("id")), edges, iters = 10)
+      .select(col("id").as("vec_id"), col("r").as("rank_micro"))
+      .orderBy("vec_id")
+  }
+
   /** Q82: contrastive pair mining over the same persisted IVF index —
     * nearest same-label positive + nearest different-label hard
     * negative per vector ([[graft.query.IvfIndex.contrastivePairs]]),
@@ -435,7 +457,8 @@ object Queries {
     "q84_gap_fill" -> (Events.q84GapFill _),
     "q85_ivf_upsert" -> (q85IvfUpsert _),
     "q86_heavy_hitters" -> (graft.pipeline.HeavyHitters.q86FrequentGrams _),
-    "q87_budget_select" -> (graft.pipeline.ScalableWindow.q87BudgetSelect _))
+    "q87_budget_select" -> (graft.pipeline.ScalableWindow.q87BudgetSelect _),
+    "q88_pagerank" -> (q88PageRank _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -1288,6 +1311,7 @@ object Queries {
         |      / 1000000.0
         |  END AS novelty
         |FROM t LEFT JOIN p ON t.doc_id = p.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q88_pagerank" -> pageRankOracle,
     // q87's running sum is computed by the distributed prefix-sum
     // harness (range partition + per-partition fold + offset join);
     // the oracle states the same total-order ROWS window declaratively
@@ -1652,6 +1676,40 @@ object Queries {
        |  FROM sc)
        |SELECT $select
        |FROM r WHERE "rank" <= $k $suffix""".stripMargin
+
+  /** q88's oracle: the identical integer micro-mass recurrence, with
+    * the ten iterations UNROLLED as chained CTE steps (portable — no
+    * reliance on aggregation-in-recursive-CTE support) over the same
+    * brute-force k-NN edge derivation as q77's oracle. Every division
+    * is `//` on BIGINTs, so both engines floor identically and the
+    * compare is exact.
+    */
+  private lazy val pageRankOracle: String = {
+    val steps = (1 to 10).map { i =>
+      s"""pr$i AS (
+         |  SELECT t.id, (tp.t + coalesce(c.s, 0))::BIGINT AS r
+         |  FROM (SELECT vec_id AS id FROM e0) t
+         |  CROSS JOIN tp
+         |  LEFT JOIN (
+         |    SELECT ed.dst AS id, sum((p.r * 85) // (100 * od.deg)) AS s
+         |    FROM ed JOIN od USING (src) JOIN pr${i - 1} p ON p.id = ed.src
+         |    GROUP BY ed.dst) c USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |s AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY list_cosine_similarity(b.v, a.v) DESC, b.vec_id) AS rn
+       |  FROM e0 a JOIN e0 b ON a.vec_id <> b.vec_id),
+       |ed AS (SELECT src, dst FROM s WHERE rn <= 5),
+       |od AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+       |n AS (SELECT count(*)::BIGINT AS cnt FROM e0),
+       |tp AS (SELECT ((1000000000000 * 15) // (100 * cnt))::BIGINT AS t FROM n),
+       |pr0 AS (
+       |  SELECT vec_id AS id, (1000000000000 // cnt)::BIGINT AS r FROM e0, n),
+       |$steps
+       |SELECT id AS vec_id, r AS rank_micro FROM pr10 ORDER BY vec_id""".stripMargin
+  }
 
   private lazy val cosineTopKOracle: String =
     """WITH q AS (
