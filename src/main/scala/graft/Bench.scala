@@ -38,7 +38,8 @@ object Bench {
     "q39_ivf_topk" -> "ivf_index",
     "q51_bucketed_join" -> "bucketed_tables",
     "q73_lexical_index_topk" -> "lexical_index",
-    "q85_ivf_upsert" -> "ivf_upsert")
+    "q85_ivf_upsert" -> "ivf_upsert",
+    "q89_lex_upsert" -> "lex_upsert")
 
   /** Optional standing per-query baseline (name → seconds), maintained
     * alongside BASELINE.md; absence just disables the 3×-of-baseline

@@ -285,6 +285,29 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Q89: incremental lexical-index maintenance under the exactness
+    * gate — build the postings over `doc_id % 10 != 0`, fold the
+    * held-out tenth in with [[graft.query.LexicalSearch.upsertIndex]]
+    * (partition append + two-Long stats merge, nothing rebuilt), then
+    * query. Graded against the SAME full-corpus BM25 oracle as
+    * q71/q73: BM25 scores depend on the global (N, total_len, df), so
+    * the row is green only if append-maintenance is score-invisible —
+    * which the df-free index layout guarantees by construction.
+    */
+  def q89LexUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val work = indexWorkDir("lex_upsert", dir)
+    buildOnce(work) {
+      val docs = Tables.parallelize(Tables(spark, dir, "documents"))
+      LexicalSearch.buildIndex(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text", work)
+      LexicalSearch.upsertIndex(spark, work, "doc_id", "text",
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+    }
+    LexicalSearch.queryIndex(spark, work, "doc_id",
+        lexicalQueryBatch(spark, dir), "query_id", "term", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** Q72: hybrid retrieval — Reciprocal Rank Fusion of the exact-cosine
     * vector channel (q9's semantics, k'=20) and the BM25 lexical channel
     * (q71's semantics, k'=20), fused in exact micro-units
@@ -458,7 +481,8 @@ object Queries {
     "q85_ivf_upsert" -> (q85IvfUpsert _),
     "q86_heavy_hitters" -> (graft.pipeline.HeavyHitters.q86FrequentGrams _),
     "q87_budget_select" -> (graft.pipeline.ScalableWindow.q87BudgetSelect _),
-    "q88_pagerank" -> (q88PageRank _))
+    "q88_pagerank" -> (q88PageRank _),
+    "q89_lex_upsert" -> (q89LexUpsert _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -1097,6 +1121,12 @@ object Queries {
     // construction (same kernel over the same posting rows), so it is
     // graded against the same oracle
     "q73_lexical_index_topk" -> bm25Oracle(k = 10,
+      select = "query_id, CAST(\"rank\" AS BIGINT) AS \"rank\", doc_id, score",
+      suffix = "ORDER BY query_id, \"rank\""),
+    // q89 queries the upsert-maintained postings (90% build + 10%
+    // append); same full-corpus oracle — BM25's global stats make any
+    // maintenance error score-visible, so equality IS the contract
+    "q89_lex_upsert" -> bm25Oracle(k = 10,
       select = "query_id, CAST(\"rank\" AS BIGINT) AS \"rank\", doc_id, score",
       suffix = "ORDER BY query_id, \"rank\""),
     // the IVF graph build is exact by the same cell-radius bound as

@@ -186,6 +186,46 @@ object LexicalSearch {
       .parquet(s"$workDir/postings")
   }
 
+  /** Incremental index maintenance — the lexical twin of
+    * [[graft.query.IvfIndex.upsert]]: append the new documents'
+    * posting rows into their term-hash partitions and merge the
+    * one-row corpus stats. Because [[buildIndex]] deliberately stores
+    * NO per-term aggregate (df is recovered at query time from the
+    * pruned posting read), an append invalidates nothing row-by-row —
+    * the new postings land in their buckets, (N, total_len) is a
+    * two-Long merge, and the very next query scores bit-identically
+    * to a from-scratch rebuild over the union. That equality is q89's
+    * oracle contract. Append-only: new ids must be disjoint from the
+    * indexed ids (the caller's dedup gate owns identity) — a repeat
+    * would double its postings, never silently drop.
+    */
+  def upsertIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      workDir: String,
+      idCol: String,
+      textCol: String,
+      newDocs: DataFrame): Unit = {
+    postings(newDocs, idCol, textCol, "__term")
+      .withColumn("__bucket", pmod(hash(col("__term")), lit(IndexBuckets)))
+      .write.mode("append").partitionBy("__bucket")
+      .parquet(s"$workDir/postings")
+    val add = newDocs
+      .select(tokens(col(textCol)).as("__toks"))
+      .agg(
+        count(lit(1)).as("__n_docs"),
+        coalesce(sum(size(col("__toks")).cast("long")), lit(0L))
+          .as("__total_len"))
+    // two one-row frames; localCheckpoint materializes the merge
+    // before the overwrite of the path it was read from
+    val merged = spark.read.parquet(s"$workDir/stats")
+      .unionByName(add)
+      .agg(
+        sum(col("__n_docs")).as("__n_docs"),
+        sum(col("__total_len")).as("__total_len"))
+      .localCheckpoint()
+    merged.write.mode("overwrite").parquet(s"$workDir/stats")
+  }
+
   /** BM25 top-k against a [[buildIndex]]-persisted index. The query
     * batch's term-hash buckets are collected driver-side (bounded by
     * [[IndexBuckets]] — query compilation, not data movement) into a

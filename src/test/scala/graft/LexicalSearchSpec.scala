@@ -164,6 +164,42 @@ class LexicalSearchSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("upsert-maintained index scores bit-identically to a full rebuild") {
+    val docs = Tables(spark, Sf0001, "documents")
+    val batch = docs.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(LexicalSearch.tokens(col("text")), 1, 8)).as("term"))
+      .distinct()
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_lex_upsert_spec").toString
+    try {
+      LexicalSearch.buildIndex(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text", work)
+      LexicalSearch.upsertIndex(spark, work, "doc_id", "text",
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0))
+      // stats merged exactly: N and total token length cover the union
+      val stats = spark.read.parquet(s"$work/stats").head
+      assert(stats.getLong(0) == docs.count())
+      val totalLen = docs
+        .agg(sum(size(LexicalSearch.tokens(col("text"))).cast("long")))
+        .head.getLong(0)
+      assert(stats.getLong(1) == totalLen)
+      // BM25 depends on global (N, total_len, df) — equality with the
+      // from-scratch path proves the append was score-invisible
+      val direct = LexicalSearch.bm25TopK(docs, "doc_id", "text",
+        batch, "query_id", "term", k = 10)
+      val upserted = LexicalSearch.queryIndex(spark, work, "doc_id",
+        batch, "query_id", "term", k = 10)
+      assert(upserted.orderBy("query_id", "rank").collect().toSeq ===
+        direct.orderBy("query_id", "rank").collect().toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(work))
+    }
+  }
+
   test("the posting-list probe broadcasts the query side (plan shape)") {
     val docs = Tables(spark, Sf0001, "documents")
     val batch = docs.filter(col("doc_id") < 10)
