@@ -482,7 +482,8 @@ object Queries {
     "q86_heavy_hitters" -> (graft.pipeline.HeavyHitters.q86FrequentGrams _),
     "q87_budget_select" -> (graft.pipeline.ScalableWindow.q87BudgetSelect _),
     "q88_pagerank" -> (q88PageRank _),
-    "q89_lex_upsert" -> (q89LexUpsert _))
+    "q89_lex_upsert" -> (q89LexUpsert _),
+    "q90_profile" -> (graft.pipeline.Profiler.q90Profile _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -1342,6 +1343,7 @@ object Queries {
         |  END AS novelty
         |FROM t LEFT JOIN p ON t.doc_id = p.doc_id ORDER BY t.doc_id""".stripMargin,
     "q88_pagerank" -> pageRankOracle,
+    "q90_profile" -> profileOracle,
     // q87's running sum is computed by the distributed prefix-sum
     // harness (range partition + per-partition fold + offset join);
     // the oracle states the same total-order ROWS window declaratively
@@ -1739,6 +1741,26 @@ object Queries {
        |  SELECT vec_id AS id, (1000000000000 // cnt)::BIGINT AS r FROM e0, n),
        |$steps
        |SELECT id AS vec_id, r AS rank_micro FROM pr10 ORDER BY vec_id""".stripMargin
+  }
+
+  /** q90's oracle: one UNION ALL branch per profiled column, each the
+    * plain exact statistics — generated from the same column lists the
+    * Spark side profiles, so the two can never drift.
+    */
+  private lazy val profileOracle: String = {
+    def branches(table: String, cols: Seq[String]): Seq[String] = cols.map { c =>
+      s"""SELECT '$table' AS tbl, '$c' AS col_name,
+         |  count(*)::BIGINT AS n_rows,
+         |  (count(*) - count($c))::BIGINT AS n_nulls,
+         |  count(DISTINCT $c)::BIGINT AS ndv,
+         |  CAST(min($c) AS VARCHAR) AS min_s,
+         |  CAST(max($c) AS VARCHAR) AS max_s
+         |FROM $table""".stripMargin
+    }
+    (branches("documents", Seq("doc_id", "text", "lang", "source", "n_chars")) ++
+      branches("orders",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col_name")
   }
 
   private lazy val cosineTopKOracle: String =

@@ -89,10 +89,18 @@ object HeavyHitters {
     val spark = df.sparkSession
     import spark.implicits._
     val items = df.select(col(itemCol).cast("string")).as[String]
-    val candidates: Seq[String] = items
+    // fold + reduceOption shape: Dataset.reduce throws on an empty
+    // plan (a zero-partition frame yields zero partials)
+    val partials = items
       .mapPartitions(it => Iterator.single(mgSummary(it, k)))
-      .reduce((a, b) => mgMerge(a, b, k))
-      .keys.toSeq.sorted
+      .collect()
+    val candidates: Seq[String] = partials
+      .reduceOption((a, b) => mgMerge(a, b, k))
+      .fold(Seq.empty[String])(_.keys.toSeq.sorted)
+    // MG on a nonempty stream always retains something — no candidates
+    // means no data, so skip the recount scan entirely
+    if (candidates.isEmpty)
+      return df.select(col(itemCol).cast("string"), lit(0L).as("cnt")).limit(0)
     val byBucket = df
       .select(when(col(itemCol).isInCollection(candidates), col(itemCol))
         .as("__cand"))

@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** ANALYZE-style column profiling — the stats pass a pipeline runs
+  * before trusting a new corpus drop: per column, row count, null
+  * count, exact distinct count, and min/max. One scan per table: all
+  * per-column aggregates land in a single `agg` (the multi-distinct
+  * plan is one Expand pass — scan count stays 1 regardless of column
+  * count), the one-row result is checkpointed, and the per-column
+  * projection just reshapes it.
+  *
+  * Profiled columns are integral/string/etc. — anything whose min/max
+  * CAST to string formats identically across engines. DOUBLE and
+  * TIMESTAMP columns are excluded by the caller (float and timestamp
+  * rendering differ between engines; the house discipline is to never
+  * put either in an oracle-compared string).
+  */
+object Profiler {
+
+  /** One profile row per column: (tbl, col_name, n_rows, n_nulls,
+    * ndv, min_s, max_s). min/max are computed on the NATIVE type and
+    * cast to string after (lexicographic min of "10" < "9" is not a
+    * statistic anyone wants).
+    */
+  def profile(df: DataFrame, table: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile of zero columns")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"__cnt_$c"),
+        count_distinct(col(c)).as(s"__ndv_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    // one row, one scan; checkpointed so the per-column reshape below
+    // does not re-trigger the aggregation per column
+    val agged = df
+      .agg(count(lit(1)).as("__rows"), aggs: _*)
+      .localCheckpoint()
+    cols.map { c =>
+      agged.select(
+        lit(table).as("tbl"),
+        lit(c).as("col_name"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__ndv_$c").as("ndv"),
+        col(s"__min_$c").as("min_s"),
+        col(s"__max_$c").as("max_s"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Q90: the profiling report over the corpus and the orders fact
+    * table (BIGINT + VARCHAR columns — see the exclusion rule above).
+    */
+  def q90Profile(spark: SparkSession, dir: String): DataFrame =
+    profile(Tables(spark, dir, "documents"), "documents",
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+      .unionByName(profile(Tables(spark, dir, "orders"), "orders",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
+      .orderBy("tbl", "col_name")
+}

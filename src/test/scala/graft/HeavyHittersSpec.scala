@@ -67,6 +67,14 @@ class HeavyHittersSpec extends AnyFunSuite with SharedSpark {
     assert(got.nonEmpty)
   }
 
+  test("empty input yields an empty result, not an exception") {
+    import spark.implicits._
+    val empty = Seq.empty[String].toDF("item")
+    val out = HeavyHitters.frequentItems(empty, "item", 10)
+    assert(out.isEmpty)
+    assert(out.columns.toSeq == Seq("item", "cnt"))
+  }
+
   test("q86 shape on the fixture: exact counts, threshold respected") {
     val out = HeavyHitters.q86FrequentGrams(spark, Sf0001)
     // at sf0.001 n/4000 < 1, so EVERY gram qualifies — the degenerate
