@@ -55,9 +55,13 @@ object Profiler {
     * table (BIGINT + VARCHAR columns — see the exclusion rule above).
     */
   def q90Profile(spark: SparkSession, dir: String): DataFrame =
-    profile(Tables(spark, dir, "documents"), "documents",
+    // parallelize: the fixtures are single-row-group parquet, and the
+    // multi-distinct Expand multiplies rows BEFORE the partial agg —
+    // on one input split the whole pass would run on one core
+    profile(Tables.parallelize(Tables(spark, dir, "documents")), "documents",
         Seq("doc_id", "text", "lang", "source", "n_chars"))
-      .unionByName(profile(Tables(spark, dir, "orders"), "orders",
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
+      .unionByName(
+        profile(Tables.parallelize(Tables(spark, dir, "orders")), "orders",
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
       .orderBy("tbl", "col_name")
 }

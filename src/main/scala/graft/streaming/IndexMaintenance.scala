@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.query.IvfIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Continuous vector-index maintenance — the streaming face of
+  * [[graft.query.IvfIndex.upsert]]: every micro-batch of arriving
+  * vectors is folded into the persisted IVF index (nearest-centroid
+  * assignment + partition append + radius growth), so the index a
+  * query session reads is never more than one trigger behind the
+  * stream, and never needs a rebuild to stay EXACT (the triangle
+  * bound's radius-coverage invariant is maintained per batch — q85's
+  * oracle-gated property).
+  *
+  * `foreachBatch` is the right sink shape: an upsert touches two
+  * paths (cells append + cells_meta overwrite) and must see each
+  * micro-batch exactly once as a batch DataFrame. Restart semantics:
+  * foreachBatch is at-least-once across crashes — a batch replayed
+  * after a crash between the two writes would double its vectors
+  * (upsert is append-only by contract). Production deployments fence
+  * that with the (batchId, checkpoint) pair: skip batches at or below
+  * the last fully-applied id recorded next to the index. That fence
+  * is [[maintainIvf]]'s `appliedBatchId` hook, default-on, stored as
+  * one tiny parquet row beside the index — the same
+  * idempotent-per-batch discipline as [[IngestStream]]'s partition
+  * overwrite.
+  */
+object IndexMaintenance {
+
+  private def fencePath(indexPath: String) = s"$indexPath/applied_batch"
+
+  private[graft] def lastApplied(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String): Long = {
+    val f = fencePath(indexPath)
+    if (new java.io.File(f).exists()) spark.read.parquet(f).head.getLong(0)
+    else -1L
+  }
+
+  /** The per-batch handler, exposed for direct testing of the replay
+    * fence. @return true iff the batch was applied (not fenced/empty).
+    */
+  def applyBatch(
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      batch: DataFrame,
+      batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    if (batchId <= lastApplied(spark, indexPath) || batch.isEmpty) false
+    else {
+      IvfIndex.upsert(spark, indexPath, idCol, embCol, batch)
+      import spark.implicits._
+      Seq(batchId).toDF("applied_batch_id")
+        .write.mode("overwrite").parquet(fencePath(indexPath))
+      true
+    }
+  }
+
+  /** Start a maintenance stream: each micro-batch upserts into the
+    * index at `indexPath`, fenced so a replayed batch id is a no-op.
+    */
+  def maintainIvf(
+      vectors: DataFrame,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(indexPath, idCol, embCol, batch, batchId); ()
+      }
+      .start()
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.query.{IvfIndex, SimilaritySearch}
+import graft.streaming.IndexMaintenance
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IndexMaintenanceSpec extends AnyFunSuite with SharedSpark {
+
+  private def topkSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.select(col("query_id").cast("long"), col("vec_id").cast("long"),
+        col("rn").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("streamed upserts keep the index exact; replayed batch ids are fenced") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivf-ckpt").toString
+    // base index over 70% of the corpus; the rest arrives as a stream
+    IvfIndex.build(e.filter(pmod(col("vec_id"), lit(10)) < 7),
+      "vec_id", "embedding", dir, IvfIndex.Params(nCentroids = 8))
+    val arrivals = e.filter(pmod(col("vec_id"), lit(10)) >= 7)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])].collect().toSeq
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = IndexMaintenance.maintainIvf(
+      input.toDS().toDF("vec_id", "embedding"), dir, "vec_id", "embedding", ckpt)
+    try {
+      // two separate micro-batches
+      val (b1, b2) = arrivals.splitAt(arrivals.size / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    // every vector is indexed exactly once
+    assert(spark.read.parquet(s"$dir/cells").count() == e.count())
+    // the fence recorded the last applied batch
+    assert(IndexMaintenance.lastApplied(spark, dir) >= 1L)
+
+    // the maintained index answers exactly like brute force on the union
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val ivf = IvfIndex.queryTopK(spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 5, threshold = 0.0)
+    val exact = SimilaritySearch.topKBatch(
+      e, "embedding", "vec_id", queries, "query_id", "qvec", k = 5, threshold = 0.0)
+    assert(topkSet(ivf) == topkSet(exact))
+
+    // replaying an already-applied batch id (the crash-between-writes
+    // scenario) must be fenced to a no-op
+    val before = spark.read.parquet(s"$dir/cells").count()
+    val lastId = IndexMaintenance.lastApplied(spark, dir)
+    val reapplied = IndexMaintenance.applyBatch(
+      dir, "vec_id", "embedding", arrivals.toDF("vec_id", "embedding"), lastId)
+    assert(!reapplied)
+    assert(spark.read.parquet(s"$dir/cells").count() == before)
+    // a NEW batch id still goes through (the fence is an ordering
+    // check, not a latch): apply an empty frame -> no-op by emptiness
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    assert(!IndexMaintenance.applyBatch(dir, "vec_id", "embedding", empty, lastId + 1))
+  }
+}
