@@ -1744,8 +1744,8 @@ object Queries {
   }
 
   /** q90's oracle: one UNION ALL branch per profiled column, each the
-    * plain exact statistics — generated from the same column lists the
-    * Spark side profiles, so the two can never drift.
+    * plain exact statistics — generated from [[graft.pipeline.Profiler.Q90Targets]],
+    * the SAME constant the Spark side profiles, so the two cannot drift.
     */
   private lazy val profileOracle: String = {
     def branches(table: String, cols: Seq[String]): Seq[String] = cols.map { c =>
@@ -1757,9 +1757,8 @@ object Queries {
          |  CAST(max($c) AS VARCHAR) AS max_s
          |FROM $table""".stripMargin
     }
-    (branches("documents", Seq("doc_id", "text", "lang", "source", "n_chars")) ++
-      branches("orders",
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
+    graft.pipeline.Profiler.Q90Targets
+      .flatMap { case (table, cols) => branches(table, cols) }
       .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col_name")
   }
 

@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object Profiler {
 
+  /** The single source of truth for WHICH (table, columns) q90
+    * profiles — referenced by both [[q90Profile]] and the DuckDB
+    * oracle generator in [[graft.Queries]], so the two sides cannot
+    * drift (a drift would surface as a confusing oracle mismatch, not
+    * a compile error, if these were duplicated literals).
+    */
+  val Q90Targets: Seq[(String, Seq[String])] = Seq(
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+
   /** One profile row per column: (tbl, col_name, n_rows, n_nulls,
     * ndv, min_s, max_s). min/max are computed on the NATIVE type and
     * cast to string after (lexicographic min of "10" < "9" is not a
@@ -58,10 +68,8 @@ object Profiler {
     // parallelize: the fixtures are single-row-group parquet, and the
     // multi-distinct Expand multiplies rows BEFORE the partial agg —
     // on one input split the whole pass would run on one core
-    profile(Tables.parallelize(Tables(spark, dir, "documents")), "documents",
-        Seq("doc_id", "text", "lang", "source", "n_chars"))
-      .unionByName(
-        profile(Tables.parallelize(Tables(spark, dir, "orders")), "orders",
-          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
+    Q90Targets.map { case (table, cols) =>
+      profile(Tables.parallelize(Tables(spark, dir, table)), table, cols)
+    }.reduce(_ unionByName _)
       .orderBy("tbl", "col_name")
 }

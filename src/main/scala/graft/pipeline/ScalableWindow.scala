@@ -66,8 +66,11 @@ object ScalableWindow {
 
     // one row per non-empty partition; the exclusive prefix of the
     // totals is each partition's start offset. Bounded by `parts`.
+    // The partition total is sum(value), NOT max(prefix) — max equals
+    // the final prefix only when every value is non-negative, and the
+    // operator accepts any LongType column.
     val offsets = withCum
-      .groupBy(col("__pid")).agg(max(col(outCol)).as("__total"))
+      .groupBy(col("__pid")).agg(sum(col(valueCol)).as("__total"))
       .withColumn("__off",
         coalesce(
           sum(col("__total")).over(

@@ -32,13 +32,28 @@ object IndexMaintenance {
 
   private[graft] def lastApplied(
       spark: org.apache.spark.sql.SparkSession, indexPath: String): Long = {
-    val f = fencePath(indexPath)
-    if (new java.io.File(f).exists()) spark.read.parquet(f).head.getLong(0)
+    // existence resolved through the Hadoop FileSystem API, not
+    // java.io.File — the index lives wherever Spark writes it
+    // (HDFS/S3/local); a local-only check would silently disable the
+    // fence on every distributed filesystem.
+    val p = new org.apache.hadoop.fs.Path(fencePath(indexPath))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(p.toString).head.getLong(0)
     else -1L
   }
 
   /** The per-batch handler, exposed for direct testing of the replay
     * fence. @return true iff the batch was applied (not fenced/empty).
+    *
+    * Residual at-least-once window: the fence row is written AFTER the
+    * upsert and not atomically with it. A crash after the cells append
+    * but before the fence write (or between the cells append and the
+    * cells_meta overwrite inside upsert) still double-applies that one
+    * batch on replay. The fence narrows replay duplication from "every
+    * batch since the last checkpoint" to "at most the one in-flight
+    * batch"; closing it fully needs a durable-atomic apply (write
+    * cells/meta/fence into a temp generation directory and commit via
+    * rename), which is filesystem-dependent and out of scope here.
     */
   def applyBatch(
       indexPath: String,

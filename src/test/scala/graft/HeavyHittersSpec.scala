@@ -67,6 +67,43 @@ class HeavyHittersSpec extends AnyFunSuite with SharedSpark {
     assert(got.nonEmpty)
   }
 
+  test("partial-summary merge runs on executors (multi-stage tree), not a driver collect") {
+    import spark.implicits._
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    // 64 map partitions force many partials; treeAggregate(depth=3)
+    // must merge them through shuffle levels, so the (single) merge
+    // job has >= 2 stages. The old collect()-then-reduce shape is a
+    // one-stage job with 64 result tasks landing on the driver.
+    val df = (0 until 20000).map(i => s"v_${i % 37}").toDF("item").repartition(64)
+    val stageCounts = new java.util.concurrent.ConcurrentLinkedQueue[Integer]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        stageCounts.add(js.stageInfos.size)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val out =
+      try {
+        // frequentItems runs the sketch-merge action eagerly; the
+        // returned frame is lazy, so the only job(s) seen here are the
+        // merge's
+        val res = HeavyHitters.frequentItems(df, "item", 16)
+        val deadline = System.currentTimeMillis + 10000
+        while (stageCounts.isEmpty && System.currentTimeMillis < deadline)
+          Thread.sleep(50)
+        res
+      } finally spark.sparkContext.removeSparkListener(listener)
+    val counts = scala.jdk.CollectionConverters.CollectionHasAsScala(stageCounts).asScala.toVector
+    assert(counts.nonEmpty, "merge job never surfaced on the listener bus")
+    assert(counts.max >= 2,
+      s"sketch merge ran as single-stage jobs ($counts) — driver-side merge shape")
+    // and the result is still the exact threshold answer
+    val got = out.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val expect = (0 until 20000).map(i => s"v_${i % 37}")
+      .groupBy(identity).map { case (t, xs) => (t, xs.size.toLong) }
+      .filter { case (_, c) => c * 16 > 20000 }.toSet
+    assert(got == expect)
+  }
+
   test("empty input yields an empty result, not an exception") {
     import spark.implicits._
     val empty = Seq.empty[String].toDF("item")

@@ -37,6 +37,21 @@ class ScalableWindowSpec extends AnyFunSuite with SharedSpark {
       expect.orderBy("grp", "id").collect().toSeq)
   }
 
+  test("negative values: partition totals are exact, not max-of-prefix") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // values swing negative so a partition's max prefix is NOT its
+    // total — the regression the sum(value) totals fix guards against
+    val rows = rnd.shuffle(
+      (0L until 8000L).map(i => (i, rnd.nextInt(201).toLong - 100L)).toVector)
+    val df = rows.toDF("k", "v").repartition(16)
+    val got = ScalableWindow.globalRunningSum(df, "v", "cum", col("k").asc)
+    val expect = df.withColumn("cum",
+      sum(col("v")).over(Window.orderBy(col("k"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    assert(got.orderBy("k").collect().toSeq == expect.orderBy("k").collect().toSeq)
+  }
+
   test("degenerate inputs: empty frame and single row") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("k", "v")
