@@ -41,6 +41,44 @@ object Bench {
     "q85_ivf_upsert" -> "ivf_upsert",
     "q89_lex_upsert" -> "lex_upsert")
 
+  /** Fixed contention-calibration kernel: a deterministic CPU + shuffle
+    * probe whose clean-box cost is recorded in the standing baseline
+    * under `__probe`. Run before and after the sweep; the measured/
+    * reference ratio tells a LOADED BOX apart from a plan regression —
+    * ambient load inflates the probe and the queries together, a real
+    * regression inflates only the query. The suspect threshold scales
+    * by the ratio so a contended run doesn't publish false suspects
+    * (round 6: 13 of them), while a clean run (factor ≈ 1) is
+    * unchanged.
+    */
+  private def calibrationProbeOnce(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(50000000L)
+      .select((col("id") % 9973L).as("k"),
+        // pmod keeps the per-key sum < 2e12 — ANSI-safe under any key
+        // cardinality drift
+        pmod(xxhash64(col("id")), lit(1000000007L)).as("h"))
+      .groupBy("k").agg(sum("h").as("s"), count(lit(1)).as("c"))
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Min of 3 probe runs — the same discipline the `__probe` reference
+    * was recorded with. A single shot reads 2-3× high on first touch
+    * (probe-specific codegen/JIT); min-of-3 converges on the box's
+    * actual capacity while still seeing sustained external load.
+    */
+  private def calibrationProbe(spark: SparkSession): Double =
+    (1 to 3).map(_ => calibrationProbeOnce(spark)).min
+
+  /** Suspect iff the (retried) min exceeds 3× baseline scaled by the
+    * calibration factor. Factor floors at 1: a faster-than-reference
+    * box never LOOSENS the bar below the standing 3×.
+    */
+  private[graft] def isSuspect(minSec: Double, baseSec: Double, calFactor: Double): Boolean =
+    minSec > 3.0 * baseSec * math.max(1.0, calFactor)
+
   /** Optional standing per-query baseline (name → seconds), maintained
     * alongside BASELINE.md; absence just disables the 3×-of-baseline
     * retry trigger (the spread trigger still applies).
@@ -77,9 +115,22 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
+    // probe-only mode: print the calibration kernel's cost (min of 3,
+    // post-warmup) and exit — how the `__probe` reference in
+    // tools/bench_baseline.json gets (re)recorded on a known-clean box
+    if (sys.env.contains("SPARK_GRAFT_PROBE_ONLY")) {
+      val t = calibrationProbe(spark)
+      println(s"""{"metric":"probe","value":$t,"unit":"sec"}""")
+      spark.stop()
+      return
+    }
     val excluded = Set("q14_ngram_jaccard", "q20_cosine_neardup",
       "q69_zorder_layout")
     val baseline = loadBaseline()
+    // probe reference: recorded clean-box cost of calibrationProbe; if
+    // absent the factor stays 1 and behavior is the pre-calibration one
+    val probeRef = baseline.get("__probe")
+    val probeBefore = calibrationProbe(spark)
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val suspects = scala.collection.mutable.ArrayBuffer[String]()
     val builds = scala.collection.mutable.LinkedHashMap[String, Double]()
@@ -100,8 +151,6 @@ object Bench {
           def min = times.min
           val over3x = baseline.get(name).exists(b => min > 3 * b)
           if (over3x || times.max > 2.5 * min) times += once()
-          if (baseline.get(name).exists(b => times.min > 3 * b))
-            suspects += name
           Some(name -> times.min)
         } catch {
           case e: Throwable =>
@@ -110,6 +159,16 @@ object Bench {
             None
         }
       }
+    // suspect adjudication happens AFTER the sweep so the post-sweep
+    // probe can witness load that built up during the run
+    val probeAfter = calibrationProbe(spark)
+    val calFactor = probeRef
+      .map(r => math.max(probeBefore, probeAfter) / r)
+      .getOrElse(1.0)
+    results.foreach { case (name, min) =>
+      if (baseline.get(name).exists(b => isSuspect(min, b, calFactor)))
+        suspects += name
+    }
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""
@@ -123,8 +182,13 @@ object Bench {
       .mkString("{", ",", "}")
     val suspectJson = suspects.map(s => s"\"${esc(s)}\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val calJson = numMap(Seq(
+      "probe_before" -> probeBefore,
+      "probe_after" -> probeAfter,
+      "ref" -> probeRef.getOrElse(0.0),
+      "factor" -> calFactor))
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${numMap(results)},"builds":${numMap(builds.toSeq)},"suspect":$suspectJson,"errors":$errJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${numMap(results)},"builds":${numMap(builds.toSeq)},"suspect":$suspectJson,"calibration":$calJson,"errors":$errJson,"sf":"$sfDir"}""")
     // caller-owned persist lifecycle: release the session-shared dedup
     // caches (minhash signatures + verified pairs) before stopping
     graft.pipeline.Dedup.unpersistSigs(spark, sfDir)

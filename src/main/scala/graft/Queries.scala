@@ -483,7 +483,8 @@ object Queries {
     "q87_budget_select" -> (graft.pipeline.ScalableWindow.q87BudgetSelect _),
     "q88_pagerank" -> (q88PageRank _),
     "q89_lex_upsert" -> (q89LexUpsert _),
-    "q90_profile" -> (graft.pipeline.Profiler.q90Profile _))
+    "q90_profile" -> (graft.pipeline.Profiler.q90Profile _),
+    "q91_bpe_merge_tokens" -> (TextAnalysis.q91BpeMergeTokens _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -1344,6 +1345,13 @@ object Queries {
         |FROM t LEFT JOIN p ON t.doc_id = p.doc_id ORDER BY t.doc_id""".stripMargin,
     "q88_pagerank" -> pageRankOracle,
     "q90_profile" -> profileOracle,
+    // merges-table BPE is a graft-native kernel DuckDB cannot express;
+    // the oracle is the committed golden parquet from the independent
+    // Python re-implementation (tools/make_golden.py)
+    "q91_bpe_merge_tokens" ->
+      """SELECT doc_id, ws_tokens, bpe_tokens
+        |FROM '/root/repo/golden/q91_bpe_merge_tokens.parquet'
+        |ORDER BY doc_id""".stripMargin,
     // q87's running sum is computed by the distributed prefix-sum
     // harness (range partition + per-partition fold + offset join);
     // the oracle states the same total-order ROWS window declaratively
@@ -1714,14 +1722,26 @@ object Queries {
     * reliance on aggregation-in-recursive-CTE support) over the same
     * brute-force k-NN edge derivation as q77's oracle. Every division
     * is `//` on BIGINTs, so both engines floor identically and the
-    * compare is exact.
+    * compare is exact. The dangling term mirrors
+    * [[graft.pipeline.GraphRank.pageRank]]'s uniform redistribution —
+    * on the k-NN graph it is identically zero (every node emits k
+    * edges), but both sides compute it, so the recurrences stay
+    * textually parallel.
     */
   private lazy val pageRankOracle: String = {
+    // each pr step references pr(i-1) TWICE (dangling pool + shares);
+    // MATERIALIZED stops DuckDB inlining the reference, which would
+    // re-evaluate the whole chain (and the n² k-NN CTE under it)
+    // exponentially many times
     val steps = (1 to 10).map { i =>
-      s"""pr$i AS (
-         |  SELECT t.id, (tp.t + coalesce(c.s, 0))::BIGINT AS r
+      s"""pr$i AS MATERIALIZED (
+         |  SELECT t.id,
+         |    (tp.t + coalesce(c.s, 0) + (dg.d * 85) // (100 * n.cnt))::BIGINT AS r
          |  FROM (SELECT vec_id AS id FROM e0) t
-         |  CROSS JOIN tp
+         |  CROSS JOIN tp CROSS JOIN n
+         |  CROSS JOIN (
+         |    SELECT coalesce(sum(r), 0)::BIGINT AS d FROM pr${i - 1}
+         |    WHERE id NOT IN (SELECT src FROM od)) dg
          |  LEFT JOIN (
          |    SELECT ed.dst AS id, sum((p.r * 85) // (100 * od.deg)) AS s
          |    FROM ed JOIN od USING (src) JOIN pr${i - 1} p ON p.id = ed.src
@@ -1733,8 +1753,8 @@ object Queries {
        |    row_number() OVER (PARTITION BY a.vec_id
        |      ORDER BY list_cosine_similarity(b.v, a.v) DESC, b.vec_id) AS rn
        |  FROM e0 a JOIN e0 b ON a.vec_id <> b.vec_id),
-       |ed AS (SELECT src, dst FROM s WHERE rn <= 5),
-       |od AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+       |ed AS MATERIALIZED (SELECT src, dst FROM s WHERE rn <= 5),
+       |od AS MATERIALIZED (SELECT src, count(*) AS deg FROM ed GROUP BY src),
        |n AS (SELECT count(*)::BIGINT AS cnt FROM e0),
        |tp AS (SELECT ((1000000000000 * 15) // (100 * cnt))::BIGINT AS t FROM n),
        |pr0 AS (

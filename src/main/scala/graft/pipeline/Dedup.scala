@@ -317,34 +317,86 @@ object Dedup {
       .orderBy("v1", "v2")
   }
 
-  /** Connected components over an undirected pair list via min-label
-    * propagation: every node starts labeled with its own id; each
-    * iteration every node takes the minimum label among itself and its
-    * neighbors; fixpoint = component-minimum labels. Converges in
-    * O(component diameter) iterations — near-dup clusters are shallow,
-    * so this is a handful of small joins; `localCheckpoint` truncates
-    * the lineage each round so plans stay flat. Deterministic (labels
-    * are ids, no randomness).
+  /** Connected components over an undirected pair list via the
+    * alternating large-star/small-star algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014):
+    *
+    *  - **large-star**: every node links its strictly-larger neighbors
+    *    to the minimum of its closed neighborhood;
+    *  - **small-star**: every node links its smaller neighbors (and
+    *    itself) to their common minimum.
+    *
+    * The fixpoint is a union of disjoint stars rooted at each
+    * component's MINIMUM id (the deterministic label the q32/q41
+    * oracles recompute), reached in **O(log n) rounds on any
+    * topology** — an adversarial million-link chain costs ~20 rounds
+    * where min-label propagation (the previous implementation) costs a
+    * million. Each round is two partial-agg shuffles + two joins over
+    * the edge frame; `localCheckpoint` truncates lineage so plans stay
+    * flat. Convergence is detected by an (edge-count, xor-checksum)
+    * signature — two scalar aggregates, O(1) at the driver; the
+    * two-phase iteration is monotone, so a repeated signature is a
+    * fixpoint, and XOR (order-independent, overflow-free) is exact on
+    * the distinct canonical edge set up to hash collision.
     */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("d1").as("a"), col("d2").as("b"))
-      .unionAll(pairs.select(col("d2").as("a"), col("d1").as("b")))
+  def connectedComponents(pairs: DataFrame): DataFrame =
+    connectedComponentsWithRounds(pairs)._1
+
+  /** [[connectedComponents]] plus the round count — exposed so the
+    * O(log n) convergence contract is spec-checkable.
+    */
+  private[graft] def connectedComponentsWithRounds(pairs: DataFrame): (DataFrame, Int) = {
+    // canonical undirected edge set: a < b, distinct, no self-loops
+    var edges = pairs
+      .select(least(col("d1"), col("d2")).as("a"),
+        greatest(col("d1"), col("d2")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
       .localCheckpoint()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
-      val neighborMin = edges.join(labels, edges("b") === labels("node"))
-        .groupBy(col("a")).agg(min("label").as("nmin"))
-      val updated = labels.join(neighborMin, labels("node") === neighborMin("a"), "left")
-        .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("new_label"))
-        .localCheckpoint()
-      changed = updated.filter(col("new_label") =!= col("label")).count()
-      labels = updated.select(col("node"), col("new_label").as("label"))
+
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(a, b))"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
     }
-    labels
+
+    var prev = (-1L, 0L)
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
+      // large-star: directed neighborhoods (both orientations); each
+      // node u re-points every LARGER neighbor at min(closed nbhd).
+      // Emitted (m, v) is canonical by construction: m <= u < v.
+      val nbrs = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      val mins = nbrs.groupBy(col("a")).agg(min(col("b")).as("__mn"))
+        .select(col("a").as("__u"), least(col("a"), col("__mn")).as("__m"))
+      val large = nbrs.filter(col("b") > col("a"))
+        .join(mins, col("a") === col("__u"))
+        .select(col("__m").as("a"), col("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      // small-star: each node (the larger endpoint of its canonical
+      // edges) re-points its smaller neighbors AND itself at their
+      // common minimum. Both emissions are canonical: mn <= a < b.
+      val smins = large.groupBy(col("b")).agg(min(col("a")).as("__mn"))
+      val small = large.join(smins, "b")
+        .select(col("__mn").as("a"), col("a").as("b"))
+        .unionAll(smins.select(col("__mn").as("a"), col("b")))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+        .localCheckpoint()
+      edges = small
+      val sig = signature(edges)
+      converged = sig == prev
+      prev = sig
+    }
+    // fixpoint = disjoint stars (root, child) with root the component
+    // minimum; the label frame is children plus the roots themselves
+    val labels = edges.select(col("b").as("node"), col("a").as("label"))
+      .unionAll(edges.select(col("a").as("node"), col("a").as("label")))
+      .distinct()
+    (labels, rounds)
   }
 
   /** Q32: dedup clustering — transitive closure of the near-dup relation

@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   * then per iteration one src-keyed join, one dst-keyed partial-agg
   * shuffle, one left join back to nodes; `localCheckpoint` truncates
   * the 10-deep lineage the way [[Dedup]]'s label propagation does.
-  * Nodes without out-edges keep receiving teleport mass but forward
-  * nothing (their share simply vanishes — the standard dangling-mass
-  * simplification, documented rather than hidden; the k-NN graph has
-  * none, every node emits exactly k edges).
+  * Dangling nodes (no out-edges) redistribute their damped mass
+  * UNIFORMLY each iteration — the standard exact treatment: their
+  * pooled mass is one scalar aggregate (anti-join against the edge
+  * sources, then sum — a one-row frame broadcast back), so total mass
+  * is conserved up to deterministic floor-division dust on every
+  * topology, sinks included, not just out-regular graphs like the
+  * k-NN graph.
   *
   * Long-overflow headroom: r ≤ Scale, so r·85 ≤ 8.5·10¹³ and any
   * node's received sum ≤ total mass Scale — orders of magnitude under
@@ -52,6 +55,10 @@ object GraphRank {
     val ed = edges
       .join(edges.groupBy("src").agg(count(lit(1)).as("__deg")), "src")
       .persist()
+    // the dangling set is fixed across iterations: nodes absent from
+    // the edge sources. Materialized once; per iteration it costs one
+    // anti-join + scalar sum (a one-row frame, broadcast back).
+    val srcs = edges.select(col("src")).distinct().localCheckpoint()
     try {
       ed.count()
       var ranks = nodes.select(col("id"), lit(base).as("r"))
@@ -61,10 +68,17 @@ object GraphRank {
           .select(col("dst").as("id"),
             expr("(r * 85L) div (100L * __deg)").as("__c"))
           .groupBy("id").agg(sum(col("__c")).as("__s"))
+        // pooled damped mass of dangling nodes, shared uniformly —
+        // exact conservation (up to floor dust) on sink topologies
+        val dangling = ranks
+          .join(srcs, ranks("id") === srcs("src"), "left_anti")
+          .agg(coalesce(sum(col("r")), lit(0L)).as("__d"))
         ranks = nodes
           .join(contrib, Seq("id"), "left")
+          .crossJoin(broadcast(dangling))
           .select(col("id"),
-            (lit(teleport) + coalesce(col("__s"), lit(0L))).as("r"))
+            (lit(teleport) + coalesce(col("__s"), lit(0L)) +
+              expr(s"(__d * 85L) div (100L * ${n}L)")).as("r"))
           .localCheckpoint()
       }
       ranks

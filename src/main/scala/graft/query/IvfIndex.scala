@@ -363,12 +363,26 @@ object IvfIndex {
     * contrastive/metric training-data preparation, exact by the same
     * cell-radius bound as [[selfKnnGraph]].
     *
-    * Pruning uses one floor per vector = the WEAKER of its two own-cell
-    * bests (missing side → -1): a foreign cell is probed iff its bound
-    * could improve either side, which is `ub >= least(floor_pos,
-    * floor_neg)` — per-side pruning would need per-(cell, label) radii
-    * (cells hold label mixtures); that refinement is the scale knob for
-    * high-label-count corpora, not needed for correctness.
+    * Pruning is PER SIDE via per-(cell, label) radii, derived at mining
+    * time from the assigned rows (one tiny nCells×nLabels aggregation —
+    * the index itself stays label-free):
+    *
+    *  - positive side: cell c is probed iff it HOLDS the query's label
+    *    and the bound with radius(c, L) reaches the own-cell same-label
+    *    best;
+    *  - negative side: cell c is probed iff some other label exists in
+    *    it and the bound with max-radius-over-other-labels reaches the
+    *    own-cell different-label best (the bound is monotone in the
+    *    radius, so the max radius among labels ≠ L bounds every
+    *    different-label member — computed from a per-cell top-2 so no
+    *    label×label product is ever formed).
+    *
+    * This strictly refines the earlier shared-floor criterion (one
+    * whole-cell radius against the weaker of the two floors): every
+    * per-side-probed cell is shared-floor-probed, and cells that only
+    * the weak side kept alive are skipped. On high-label-count corpora
+    * that is the difference between probing for a rare label everywhere
+    * and probing only the cells that actually contain it.
     *
     * Vectors whose label has no second member keep their row with a
     * null positive side (left-join semantics), mirroring what a mining
@@ -384,7 +398,21 @@ object IvfIndex {
       idCol: String,
       embCol: String,
       labels: DataFrame,
-      labelCol: String): DataFrame = {
+      labelCol: String): DataFrame =
+    contrastivePairsWithProbes(spark, indexPath, idCol, embCol, labels, labelCol)._1
+
+  /** [[contrastivePairs]] plus two LAZY diagnostic frames of probed
+    * (query, cell) pairs — (result, perSidePairs, sharedFloorPairs).
+    * The production path never evaluates the shared-floor frame; it
+    * exists so the strictly-fewer-probes contract is spec-checkable.
+    */
+  private[graft] def contrastivePairsWithProbes(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      labels: DataFrame,
+      labelCol: String): (DataFrame, DataFrame, DataFrame) = {
     val cellMeta = broadcast(spark.read.parquet(s"$indexPath/cells_meta"))
     val assigned = new org.apache.spark.ml.feature.Normalizer()
       .setInputCol("__raw").setOutputCol("__f").setP(2.0)
@@ -415,8 +443,8 @@ object IvfIndex {
     val pass1 = rank(
       queries.join(corpus, "centroid_id").filter(col("query_id") =!= col(idCol)))
       .localCheckpoint()
-    // weaker of the two own-cell bests; a missing side forces full probe
-    val floor = pass1
+    // per-side own-cell bests; a missing side probes fully FOR THAT SIDE
+    val floors = pass1
       .withColumn("rn", row_number().over(wSide))
       .filter(col("rn") === 1)
       .groupBy("query_id")
@@ -424,21 +452,58 @@ object IvfIndex {
         min(when(col("__same"), col("sim"))).as("__fp"),
         min(when(!col("__same"), col("sim"))).as("__fn"))
       .select(col("query_id"),
-        least(coalesce(col("__fp"), lit(-1.0)),
-          coalesce(col("__fn"), lit(-1.0))).as("floor_sim"))
+        coalesce(col("__fp"), lit(-1.0)).as("floor_pos"),
+        coalesce(col("__fn"), lit(-1.0)).as("floor_neg"))
 
-    val probeSel = queries
+    // per-(cell, label) radii: max distance of a cell's members with
+    // that label to the cell centroid. nCells × nLabels rows — tiny,
+    // checkpointed once for its two consumers.
+    val cellLabel = assigned
+      .join(broadcast(cellMeta.select(col("centroid_id"), col("center"))),
+        "centroid_id")
+      .withColumn("__d",
+        sqrt(graft.functions.l2_dist_sq(col("__norm"), col("center"))))
+      .groupBy(col("centroid_id"), col(labelCol))
+      .agg(max(col("__d")).as("__rl"))
+      .localCheckpoint()
+    // per-cell top-2 label radii: r_neg(c, L) = max radius among labels
+    // ≠ L = r1 if the argmax label isn't L, else r2 (null when the cell
+    // holds a single label)
+    val wr = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("__rl").desc, col(labelCol).asc)
+    val ranked = cellLabel.withColumn("__rn", row_number().over(wr))
+    val negMeta = ranked.filter(col("__rn") === 1)
+      .select(col("centroid_id"), col(labelCol).as("__l1"), col("__rl").as("__r1"))
+      .join(ranked.filter(col("__rn") === 2)
+        .select(col("centroid_id"), col("__rl").as("__r2")),
+        Seq("centroid_id"), "left")
+
+    def bound(radius: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      lit(1.0) - pow(
+        greatest(lit(0.0), col("cdist") - radius - lit(RadiusPad)), 2) / 2
+
+    val base = queries
       .withColumnRenamed("centroid_id", "__own")
       .crossJoin(cellMeta)
       .filter(col("centroid_id") =!= col("__own"))
       .withColumn("cdist",
         sqrt(graft.functions.l2_dist_sq(col("__qnorm"), col("center"))))
-      .withColumn("ub_sim",
-        lit(1.0) - pow(
-          greatest(lit(0.0), col("cdist") - col("radius") - lit(RadiusPad)), 2) / 2)
-      .join(floor, Seq("query_id"), "left")
-      .filter(col("ub_sim") >= coalesce(col("floor_sim"), lit(-1.0)))
-      .select(col("query_id"), col("__qv"), col("__qlabel"), col("centroid_id"))
+      .join(floors, Seq("query_id"), "left")
+    val posProbe = base
+      .join(broadcast(cellLabel), Seq("centroid_id"))
+      .filter(col(labelCol) === col("__qlabel"))
+      .filter(bound(col("__rl")) >= coalesce(col("floor_pos"), lit(-1.0)))
+    val negProbe = base
+      .join(broadcast(negMeta), Seq("centroid_id"))
+      .withColumn("__rneg",
+        when(col("__l1") =!= col("__qlabel"), col("__r1")).otherwise(col("__r2")))
+      .filter(col("__rneg").isNotNull &&
+        bound(col("__rneg")) >= coalesce(col("floor_neg"), lit(-1.0)))
+    val probeCols = Seq(col("query_id"), col("__qv"), col("__qlabel"),
+      col("centroid_id"))
+    val probeSel = posProbe.select(probeCols: _*)
+      .unionByName(negProbe.select(probeCols: _*))
+      .distinct()
     val pass2 = rank(corpus.join(probeSel, "centroid_id"))
 
     val best = pass1.unionByName(pass2)
@@ -450,10 +515,21 @@ object IvfIndex {
     val neg = best.filter(!col("__same"))
       .select(col("query_id"), col(idCol).as("neg_id"),
         round(col("sim"), 6).as("neg_sim"))
-    assigned.select(col(idCol).as("query_id"), col(labelCol))
+    val result = assigned.select(col(idCol).as("query_id"), col(labelCol))
       .join(pos, Seq("query_id"), "left")
       .join(neg, Seq("query_id"), "left")
       .select(col("query_id"), col(labelCol),
         col("pos_id"), col("pos_sim"), col("neg_id"), col("neg_sim"))
+
+    // diagnostics (lazy): the per-side pairs actually probed, and what
+    // the earlier shared-floor criterion (whole-cell radius vs the
+    // weaker floor) WOULD have probed
+    val perSidePairs = probeSel.select(col("query_id"), col("centroid_id"))
+    val sharedFloorPairs = base
+      .filter(bound(col("radius")) >=
+        least(coalesce(col("floor_pos"), lit(-1.0)),
+          coalesce(col("floor_neg"), lit(-1.0))))
+      .select(col("query_id"), col("centroid_id"))
+    (result, perSidePairs, sharedFloorPairs)
   }
 }

@@ -25,4 +25,32 @@ class ConnectedComponentsSpec extends AnyFunSuite with SharedSpark {
     val clique = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
     assert(cc(clique) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
+
+  test("adversarial 1000-link chain converges in O(log n) rounds, exactly") {
+    // the topology that made min-label propagation O(n): a single long
+    // chain. Two-phase star contraction must finish in ~log2(n) + a
+    // few rounds, not ~n. Links shuffled so no partition sees a run.
+    val rnd = new scala.util.Random(17)
+    val n = 1000L
+    val chain = rnd.shuffle((0L until n).map(i => (i, i + 1)).toVector)
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(
+      chain.toDF("d1", "d2"))
+    assert(rounds <= 15, s"chain took $rounds rounds — not O(log n) behavior")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n + 1)
+    assert(got.values.forall(_ == 0L), "every node must label to the chain minimum")
+  }
+
+  test("mixed topology: chains + cliques + isolated pairs, labels are component minima") {
+    val comp1 = (100L until 120L).map(i => (i, i + 1))          // chain 100..120
+    val comp2 = for (i <- 1L to 5L; j <- (i + 1) to 5L) yield (i, j) // clique 1..5
+    val comp3 = Seq((500L, 777L))                                // pair
+    val got = cc(rndShuffle(comp1 ++ comp2 ++ comp3))
+    assert((100L to 120L).forall(got(_) == 100L))
+    assert((1L to 5L).forall(got(_) == 1L))
+    assert(got(500L) == 500L && got(777L) == 500L)
+  }
+
+  private def rndShuffle(xs: Seq[(Long, Long)]): Seq[(Long, Long)] =
+    new scala.util.Random(23).shuffle(xs.toVector)
 }

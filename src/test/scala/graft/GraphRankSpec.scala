@@ -7,7 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class GraphRankSpec extends AnyFunSuite with SharedSpark {
 
   /** Independent in-memory reference of the exact same integer
-    * recurrence (order-independent: shares are exact Longs).
+    * recurrence (order-independent: shares are exact Longs), including
+    * the uniform dangling-mass redistribution.
     */
   private def ref(
       nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
@@ -20,7 +21,9 @@ class GraphRankSpec extends AnyFunSuite with SharedSpark {
       edges.foreach { case (s, d) =>
         recv.update(d, recv.getOrElse(d, 0L) + (r(s) * 85L) / (100L * deg(s)))
       }
-      r = nodes.map(v => v -> (tp + recv.getOrElse(v, 0L))).toMap
+      val dangling = nodes.filterNot(deg.contains).map(r).sum
+      val dShare = dangling * 85L / (100L * n)
+      r = nodes.map(v => v -> (tp + recv.getOrElse(v, 0L) + dShare)).toMap
     }
     r
   }
@@ -71,6 +74,25 @@ class GraphRankSpec extends AnyFunSuite with SharedSpark {
     // every node emits here (no dangling), so only floor dust leaks:
     // far less than 0.1% of the mass over 10 iterations
     assert(total > GraphRank.Scale / 1000L * 999L)
+  }
+
+  test("sink graph: total mass is conserved (up to floor dust), not drained") {
+    // nodes 5..9 are pure sinks — they absorb mass and emit no edges.
+    // Without dangling redistribution they drain 85% of their mass per
+    // iteration into nowhere; with it, total mass stays within floor
+    // dust of Scale. Dust per iteration < n (teleport) + |E| (shares)
+    // + n (dangling share) micro-units.
+    val nodes = (0L until 10L).toVector
+    val edges = (0L until 5L).map(s => s -> (s + 5L)) // 0..4 each feed a sink
+    val got = run(nodes, edges, 10)
+    assert(got == ref(nodes, edges, 10))
+    val total = got.values.sum
+    val dustBound = 10L * (10L + edges.size.toLong + 10L)
+    assert(total <= GraphRank.Scale)
+    assert(total >= GraphRank.Scale - dustBound,
+      s"mass drained to $total — dangling redistribution not conserving")
+    // and the sinks actually accumulate more than their feeders
+    assert((5L until 10L).forall(s => got(s) > got(s - 5L)))
   }
 
   test("q88 on the sf0.001 fixture: one rank per vector, deterministic") {

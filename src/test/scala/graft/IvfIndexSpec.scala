@@ -125,6 +125,63 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     assert(mined.filter(col("neg_id").isNull).isEmpty)
   }
 
+  test("per-(cell,label) radii probe strictly fewer (query,cell) pairs than the shared floor") {
+    import spark.implicits._
+    // four well-separated axis blobs; labels span two blobs each. Every
+    // query's own cell is single-label, so its negative floor is
+    // missing (-1) and the SHARED-floor criterion probes every foreign
+    // cell. Per-side pruning skips (a) same-single-label foreign cells
+    // on the negative side (no different-label member to find) and (b)
+    // far same-label cells on the positive side (tight positive floor
+    // beats their bound) — the high-label-structure case the
+    // refinement exists for.
+    val rnd = new scala.util.Random(41)
+    val dim = 8
+    val rows = (0 until 200).map { i =>
+      val blob = i % 4
+      val v = Array.tabulate(dim)(d =>
+        (if (d == blob * 2) 1.0f else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.1f)
+      (i.toLong, v, if (blob < 2) "X" else "Y")
+    }
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-probes").toString
+    IvfIndex.build(e.select("vec_id", "embedding"), "vec_id", "embedding", dir,
+      IvfIndex.Params(nCentroids = 4))
+    val (result, perSide, sharedFloor) = IvfIndex.contrastivePairsWithProbes(
+      spark, dir, "vec_id", "embedding", e.select("vec_id", "label"), "label")
+    val nPerSide = perSide.count()
+    val nShared = sharedFloor.count()
+    // refinement, not just difference: per-side pruning must be a
+    // subset of the shared-floor selection...
+    assert(perSide.join(sharedFloor,
+      Seq("query_id", "centroid_id"), "left_anti").isEmpty,
+      "per-side probed a pair the shared floor would have skipped")
+    // ...and on the label-structured corpus it must actually bite
+    assert(nPerSide < nShared,
+      s"per-side $nPerSide vs shared-floor $nShared — refinement didn't prune")
+    // and the mined pairs stay EXACT vs brute force on this topology
+    import org.apache.spark.sql.expressions.Window
+    val wSide = Window.partitionBy(col("query_id"), col("same"))
+      .orderBy(col("sim").desc, col("nid").asc)
+    val best = e.as("a").join(e.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("nid"),
+        (col("a.label") === col("b.label")).as("same"),
+        graft.functions.cosine_sim(col("a.embedding"), col("b.embedding")).as("sim"))
+      .withColumn("rn", row_number().over(wSide))
+      .filter(col("rn") === 1)
+    val expect = e.select(col("vec_id").as("query_id"), col("label"))
+      .join(best.filter(col("same"))
+        .select(col("query_id"), col("nid").as("pos_id"),
+          round(col("sim"), 6).as("pos_sim")), Seq("query_id"), "left")
+      .join(best.filter(!col("same"))
+        .select(col("query_id"), col("nid").as("neg_id"),
+          round(col("sim"), 6).as("neg_sim")), Seq("query_id"), "left")
+    def rows6(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "label", "pos_id", "pos_sim", "neg_id", "neg_sim")
+        .collect().map(_.toSeq).toSet
+    assert(rows6(result) == rows6(expect))
+  }
+
   test("upsert-maintained index EQUALS a fresh build's exact answer (fixture)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-upsert").toString
     val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
