@@ -48,7 +48,10 @@ final class BatchedEmbedder(
     batchSize: Int,
     transport: Seq[String] => Seq[Array[Float]],
     maxRetries: Int = 5,
-    initialDelayMs: Long = 500) extends Embedder {
+    initialDelayMs: Long = 500,
+    // injectable so specs can pin the backoff SCHEDULE (500, 1000, ...)
+    // without real sleeps; production uses the default
+    sleep: Long => Unit = Thread.sleep) extends Embedder {
 
   override def embed(df: DataFrame, textCol: String, outCol: String): DataFrame = {
     val outSchema = df.schema.add(outCol, ArrayType(FloatType, containsNull = false))
@@ -57,9 +60,10 @@ final class BatchedEmbedder(
     val retries = maxRetries
     val delay = initialDelayMs
     val t = transport
+    val s = sleep
     df.mapPartitions { rows: Iterator[Row] =>
       rows.grouped(bs).flatMap { batch =>
-        val vecs = Retry.withBackoff(retries, delay)(t(batch.map(_.getString(textIdx))))
+        val vecs = Retry.withBackoff(retries, delay, s)(t(batch.map(_.getString(textIdx))))
         require(vecs.length == batch.length,
           s"transport returned ${vecs.length} vectors for ${batch.length} texts")
         batch.lazyZip(vecs).map { (r, v) => Row.fromSeq(r.toSeq :+ v.toSeq) }

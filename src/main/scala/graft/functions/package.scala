@@ -31,6 +31,8 @@ package object functions {
     Bridge.column(ByteHistogram(b(bin.cast("binary")), b(bins.cast("int"))))
   def byte_stride(bin: Column, stride: Column): Column =
     Bridge.column(ByteStride(b(bin.cast("binary")), b(stride.cast("int"))))
+  def bpe_token_count(text: Column): Column =
+    Bridge.column(BpeTokenCount(st(text)))
 
   /** Single source of the SQL-name → expression-builder table, shared by
     * [[registerAll]] (imperative, current-session) and
@@ -51,7 +53,8 @@ package object functions {
     "minhash_text" -> (es => MinHashText(es(0), es(1), es(2))),
     "chunk_text" -> (es => ChunkText(es(0), es(1), es(2))),
     "byte_histogram" -> (es => ByteHistogram(es(0), es(1))),
-    "byte_stride" -> (es => ByteStride(es(0), es(1))))
+    "byte_stride" -> (es => ByteStride(es(0), es(1))),
+    "bpe_token_count" -> (es => BpeTokenCount(es.head)))
 
   /** Register all graft functions for SQL text / `call_function`. */
   def registerAll(spark: SparkSession): Unit =

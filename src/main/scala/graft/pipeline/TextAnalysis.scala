@@ -160,6 +160,26 @@ object TextAnalysis {
           / 1000000.0)
       .orderBy("doc_id")
 
+  /** Q91: token counting under a REAL BPE merges table
+    * ([[graft.functions.Bpe]] — greedy lowest-rank merge application
+    * against the committed fixture table), next to the whitespace
+    * count for the blowup ratio a budget planner actually uses. This
+    * promotes q29's regex stand-in to tokenizer-faithful accounting;
+    * the oracle is an independent Python re-implementation of the same
+    * published algorithm (tools/make_golden.py), not a Spark dump.
+    *
+    * Scale shape: row-local native kernel inside whole-stage codegen —
+    * no shuffle, no UDF, merges table resolved once per JVM from the
+    * classpath.
+    */
+  def q91BpeMergeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.parallelize(Tables(spark, dir, "documents"))
+      .select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        graft.functions.bpe_token_count(col("text")).as("bpe_tokens"))
+      .orderBy("doc_id")
+
   /** Q44: per-source embedding centroids — the vector aggregation a
     * pipeline runs to build class/source prototypes (cluster seeding,
     * drift monitoring, nearest-centroid labeling). Shape: explode to

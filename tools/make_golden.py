@@ -351,8 +351,52 @@ def main():
     })
     pq.write_table(q70, f"{out_dir}/q70_mmr_rerank.parquet")
 
+    # q91: merges-table BPE token counts — independent application of
+    # the committed fixture merges (greedy lowest-rank pair, all
+    # non-overlapping occurrences left-to-right, whitespace-split
+    # words, no end-of-word marker), mirroring the published BPE
+    # scheme the Scala kernel implements (graft.functions.Bpe)
+    merges = [tuple(l.split()) for l in
+              open("/root/repo/src/main/resources/graft/bpe_merges.txt")
+              if l.strip()]
+    rank = {p: i for i, p in enumerate(merges)}
+
+    def bpe_tokens(word):
+        parts = list(word)
+        while len(parts) > 1:
+            best = None
+            for i in range(len(parts) - 1):
+                r = rank.get((parts[i], parts[i + 1]))
+                if r is not None and (best is None or r < best):
+                    best = r
+            if best is None:
+                break
+            pair = merges[best]
+            nxt, i = [], 0
+            while i < len(parts):
+                if i + 1 < len(parts) and (parts[i], parts[i + 1]) == pair:
+                    nxt.append(parts[i] + parts[i + 1])
+                    i += 2
+                else:
+                    nxt.append(parts[i])
+                    i += 1
+            parts = nxt
+        return len(parts)
+
+    q91_rows = [(doc_id,
+                 len(text.split()),
+                 sum(bpe_tokens(w) for w in text.split()))
+                for doc_id, text in docs]
+    q91 = pa.table({
+        "doc_id": pa.array([r[0] for r in q91_rows], pa.int64()),
+        "ws_tokens": pa.array([r[1] for r in q91_rows], pa.int64()),
+        "bpe_tokens": pa.array([r[2] for r in q91_rows], pa.int64()),
+    })
+    pq.write_table(q91, f"{out_dir}/q91_bpe_merge_tokens.parquet")
+
     print(f"golden: q12b/q22 rows={len(all_rows)}, q21 rows={len(fps)}, "
-          f"q16 pairs={len(pairs)}, q70 rows={len(mmr_rows)} -> {out_dir}")
+          f"q16 pairs={len(pairs)}, q70 rows={len(mmr_rows)}, "
+          f"q91 rows={len(q91_rows)} -> {out_dir}")
 
 
 if __name__ == "__main__":
