@@ -484,7 +484,9 @@ object Queries {
     "q88_pagerank" -> (q88PageRank _),
     "q89_lex_upsert" -> (q89LexUpsert _),
     "q90_profile" -> (graft.pipeline.Profiler.q90Profile _),
-    "q91_bpe_merge_tokens" -> (TextAnalysis.q91BpeMergeTokens _))
+    "q91_bpe_merge_tokens" -> (TextAnalysis.q91BpeMergeTokens _),
+    "q92_repeated_passages" -> ((s: SparkSession, d: String) =>
+      Dedup.q92RepeatedPassages(s, d)))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -1352,6 +1354,22 @@ object Queries {
       """SELECT doc_id, ws_tokens, bpe_tokens
         |FROM '/root/repo/golden/q91_bpe_merge_tokens.parquet'
         |ORDER BY doc_id""".stripMargin,
+    // exact 8-token cross-document window matches; the engine's hash
+    // pre-filter + collision verification must be result-invisible, so
+    // the oracle is the plain string-equality window self-join
+    "q92_repeated_passages" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, list_aggr(toks[i:i+7], 'string_agg', ' ') AS win
+        |  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)),
+        |p AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.win
+        |  FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id)
+        |SELECT d1, d2, count(*)::BIGINT AS n_matches,
+        |  count(DISTINCT win)::BIGINT AS n_windows
+        |FROM p GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin,
     // q87's running sum is computed by the distributed prefix-sum
     // harness (range partition + per-partition fold + offset join);
     // the oracle states the same total-order ROWS window declaratively

@@ -492,6 +492,51 @@ object Dedup {
       .orderBy("new_id")
   }
 
+  /** Q92: cross-document REPEATED-PASSAGE detection — exact matches of
+    * `k` consecutive tokens across different documents, the signal
+    * substring-level training-data dedup acts on (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better": the
+    * harmful duplicates are repeated SPANS — boilerplate, licenses,
+    * quoted chunks — that document-level near-dup never sees).
+    *
+    * Shape: one narrow pass explodes each document into its k-token
+    * windows with a 64-bit window hash; a tiny pre-aggregation keeps
+    * only hashes seen in ≥ 2 distinct documents (min(doc) ≠ max(doc) —
+    * no count-distinct), which discards the overwhelmingly-unique
+    * window mass BEFORE the self-join; the surviving candidates
+    * equi-join on the hash with exact window-text verification (hash
+    * collisions produce candidates, never results). Per (d1 < d2)
+    * pair: matching window-occurrence pairs + distinct shared windows.
+    *
+    * 100 TB note: n-gram windowing inflates the corpus ~k× by
+    * construction; the pre-filter keeps the JOIN input proportional to
+    * actually-repeated text. The sub-linear alternative is the paper's
+    * suffix-array pipeline — a different engine, out of scope; this is
+    * the Spark-native shape of the same contract.
+    */
+  def q92RepeatedPassages(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val docs = Tables.parallelize(Tables(spark, dir, "documents"))
+    val wins = docs.select(
+        col("doc_id"),
+        explode(TextAnalysis.wordGrams(split(trim(col("text")), "\\s+"), k)).as("win"))
+      .select(col("doc_id"), col("win"), xxhash64(col("win")).as("h"))
+    // hashes spanning ≥ 2 docs; map-side combine collapses each
+    // partition's duplicate windows before the shuffle
+    val multiDoc = wins.groupBy("h")
+      .agg(min("doc_id").as("__mn"), max("doc_id").as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select("h")
+    val cand = wins.join(multiDoc, "h")
+    cand.as("a")
+      .join(cand.as("b"),
+        col("a.h") === col("b.h") && col("a.win") === col("b.win") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_matches"),
+        count_distinct(col("a.win")).as("n_windows"))
+      .orderBy("d1", "d2")
+  }
+
   /** Q25: embedding-cosine near-dup via the LSH-bucketed ANN join (B-3/B-4
     * scale path) — same output contract as [[cosineNearDup]] and verified
     * against the same exact DuckDB oracle; candidates come from hash

@@ -482,6 +482,10 @@ object IvfIndex {
       lit(1.0) - pow(
         greatest(lit(0.0), col("cdist") - radius - lit(RadiusPad)), 2) / 2
 
+    // ONE row per (query, foreign cell) carrying both side criteria as
+    // flags — a cell kept by either side probes exactly once (no
+    // union, no distinct, no duplicated ranking work). Both metadata
+    // joins are broadcasts of nCells×nLabels-sized frames.
     val base = queries
       .withColumnRenamed("centroid_id", "__own")
       .crossJoin(cellMeta)
@@ -489,21 +493,23 @@ object IvfIndex {
       .withColumn("cdist",
         sqrt(graft.functions.l2_dist_sq(col("__qnorm"), col("center"))))
       .join(floors, Seq("query_id"), "left")
-    val posProbe = base
-      .join(broadcast(cellLabel), Seq("centroid_id"))
-      .filter(col(labelCol) === col("__qlabel"))
-      .filter(bound(col("__rl")) >= coalesce(col("floor_pos"), lit(-1.0)))
-    val negProbe = base
-      .join(broadcast(negMeta), Seq("centroid_id"))
+      .join(broadcast(cellLabel.select(
+          col("centroid_id").as("__cl_cell"),
+          col(labelCol).as("__cl_label"), col("__rl"))),
+        col("__cl_cell") === col("centroid_id") &&
+          col("__cl_label") === col("__qlabel"), "left")
+      .drop("__cl_cell", "__cl_label")
+      .join(broadcast(negMeta), Seq("centroid_id"), "left")
       .withColumn("__rneg",
         when(col("__l1") =!= col("__qlabel"), col("__r1")).otherwise(col("__r2")))
-      .filter(col("__rneg").isNotNull &&
-        bound(col("__rneg")) >= coalesce(col("floor_neg"), lit(-1.0)))
-    val probeCols = Seq(col("query_id"), col("__qv"), col("__qlabel"),
-      col("centroid_id"))
-    val probeSel = posProbe.select(probeCols: _*)
-      .unionByName(negProbe.select(probeCols: _*))
-      .distinct()
+      .withColumn("__pos_ok",
+        col("__rl").isNotNull &&
+          bound(col("__rl")) >= coalesce(col("floor_pos"), lit(-1.0)))
+      .withColumn("__neg_ok",
+        col("__rneg").isNotNull &&
+          bound(col("__rneg")) >= coalesce(col("floor_neg"), lit(-1.0)))
+    val probeSel = base.filter(col("__pos_ok") || col("__neg_ok"))
+      .select(col("query_id"), col("__qv"), col("__qlabel"), col("centroid_id"))
     val pass2 = rank(corpus.join(probeSel, "centroid_id"))
 
     val best = pass1.unionByName(pass2)

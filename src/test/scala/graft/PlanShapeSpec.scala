@@ -86,6 +86,20 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "EXISTS/NOT EXISTS did not plan as semi/anti joins:\n" + plan.take(2000))
   }
 
+  test("q92's multi-doc pre-filter aggregates BELOW the window self-join") {
+    val plan = graft.pipeline.Dedup
+      .q92RepeatedPassages(spark, Sf0001)
+      .queryExecution.optimizedPlan.toString
+    // the min!=max doc pruning must run as aggregates under the join
+    // inputs (once per self-join side), not as a post-join residual —
+    // this is what keeps the join input proportional to repeated text
+    val joinIdx = plan.indexOf("Join Inner")
+    assert(joinIdx >= 0, "window self-join missing:\n" + plan.take(2000))
+    val aggBelow = plan.substring(joinIdx).split("Aggregate").length - 1
+    assert(aggBelow >= 2,
+      s"expected the pre-filter aggregate under both join sides:\n${plan.take(2500)}")
+  }
+
   test("q64 packing shuffles once on the shard key before the typed fold") {
     val qe = graft.pipeline.SequencePacker.pack(spark, Sf0001).queryExecution
     val plan = qe.executedPlan.toString
