@@ -486,7 +486,8 @@ object Queries {
     "q90_profile" -> (graft.pipeline.Profiler.q90Profile _),
     "q91_bpe_merge_tokens" -> (TextAnalysis.q91BpeMergeTokens _),
     "q92_repeated_passages" -> ((s: SparkSession, d: String) =>
-      Dedup.q92RepeatedPassages(s, d)))
+      Dedup.q92RepeatedPassages(s, d)),
+    "q93_streaming_asof" -> (Events.q93StreamingAsofParity _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -1370,6 +1371,21 @@ object Queries {
         |SELECT d1, d2, count(*)::BIGINT AS n_matches,
         |  count(DISTINCT win)::BIGINT AS n_windows
         |FROM p GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin,
+    // the streaming as-of fold must equal DuckDB's native inclusive
+    // ASOF JOIN; reference ties at one (user, ts) resolve to the max
+    // event id on both sides (fold's last write == arg_max)
+    "q93_streaming_asof" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, arg_max(event_type, event_id) AS ref_type
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+        |p AS (SELECT event_id AS purchase_id, user_id, ts
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id,
+        |  strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+        |  c.ref_type,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ref_ts
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin,
     // q87's running sum is computed by the distributed prefix-sum
     // harness (range partition + per-partition fold + offset join);
     // the oracle states the same total-order ROWS window declaratively

@@ -259,4 +259,42 @@ object Events {
         col("hv_centi").isNull.as("is_gap"))
       .orderBy("user_id", "hour")
   }
+
+  /** Q93: the streaming as-of operator's batch face, oracled against
+    * DuckDB's native ASOF JOIN. Purchases are attributed to the latest
+    * click/view at-or-before their timestamp (INCLUSIVE — the streaming
+    * state contract, vs q45's strict batch variant) by folding one
+    * tagged union through [[graft.streaming.StreamingAsof.attach]] —
+    * the exact code path micro-batches execute, so a green oracle here
+    * pins the streaming semantics, not a batch re-derivation. Equal-ts
+    * reference ties resolve last-write-wins by event id inside the fold;
+    * the oracle states the same rule as arg_max over a (user, ts) group.
+    * Scale shape: one shuffle on the key into the fold (the state-store
+    * partitioning in the streaming run), no window, no join.
+    */
+  def q93StreamingAsofParity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.StreamingAsof
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("tsu"),
+        col("event_id"), col("event_type"))
+    val refs = e.filter(col("event_type").isin("click", "view"))
+      .select(col("user_id").as("key"), col("tsu").as("ts"),
+        lit(0).as("tag"), col("event_id").as("id"),
+        col("event_type").as("payload"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("key"), col("tsu").as("ts"),
+        lit(1).as("tag"), col("event_id").as("id"), lit("").as("payload"))
+    StreamingAsof.attach(refs.unionByName(purchases).as[StreamingAsof.Tagged])
+      .toDF()
+      .select(
+        col("id").as("purchase_id"),
+        col("key").as("user_id"),
+        date_format(timestamp_micros(col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("purchase_ts"),
+        col("asof_payload").as("ref_type"),
+        date_format(timestamp_micros(col("asof_ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("ref_ts"))
+      .orderBy("purchase_id")
+  }
 }
