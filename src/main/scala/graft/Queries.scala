@@ -487,7 +487,10 @@ object Queries {
     "q91_bpe_merge_tokens" -> (TextAnalysis.q91BpeMergeTokens _),
     "q92_repeated_passages" -> ((s: SparkSession, d: String) =>
       Dedup.q92RepeatedPassages(s, d)),
-    "q93_streaming_asof" -> (Events.q93StreamingAsofParity _))
+    "q93_streaming_asof" -> (Events.q93StreamingAsofParity _),
+    "q94_lm_quality" -> (TextAnalysis.q94LmQuality _),
+    "q95_bloom_decontamination" ->
+      ((s: SparkSession, d: String) => Decontamination.contaminatedBloom(s, d)))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -1386,6 +1389,32 @@ object Queries {
         |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ref_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY purchase_id""".stripMargin,
+    // corpus-trained add-one bigram LM scored in exact integer ppm:
+    // DuckDB 1-based list indexing (toks[i], toks[i+1] over range(1,
+    // len)) mirrors Spark's 0-based t[i-1], t[i] over sequence(1,
+    // size-1); both floor-divide positives so div == // exactly
+    "q94_lm_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |v AS (SELECT count(DISTINCT tok)::BIGINT AS vsz
+        |      FROM t, unnest(toks) AS u(tok)),
+        |tr AS (
+        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        |  FROM t, unnest(range(1, len(toks))) AS r(i)
+        |  WHERE len(toks) >= 2),
+        |c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM tr GROUP BY 1),
+        |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM tr GROUP BY 1, 2),
+        |d AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS m
+        |      FROM tr GROUP BY 1, 2, 3)
+        |SELECT d.doc_id,
+        |  sum(d.m)::BIGINT AS n_trans,
+        |  sum(d.m * ((c12.c12 + 1) * 1000000 // (c1.c1 + v.vsz)))::BIGINT
+        |    AS sum_prob_ppm,
+        |  (sum(d.m * ((c12.c12 + 1) * 1000000 // (c1.c1 + v.vsz)))
+        |    // sum(d.m))::BIGINT AS avg_prob_ppm
+        |FROM d JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // q87's running sum is computed by the distributed prefix-sum
     // harness (range partition + per-partition fold + offset join);
     // the oracle states the same total-order ROWS window declaratively
@@ -1489,23 +1518,11 @@ object Queries {
          |FROM o WHERE "rank" <= 10 ORDER BY query_id, "rank"""".stripMargin,
     // eval split + gram length must mirror Decontamination's constants;
     // range(1, len-2) emits i = 1..len-3, i.e. every 4-gram start
-    "q63_decontamination" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
-         |  FROM documents),
-         |g AS (
-         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 2),
-         |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))
-         |    AS gram
-         |  FROM t),
-         |tr AS (SELECT * FROM g
-         |       WHERE doc_id % ${pipeline.Decontamination.EvalMod} <> ${pipeline.Decontamination.EvalRem}),
-         |ev AS (SELECT doc_id AS eval_id, gram FROM g
-         |       WHERE doc_id % ${pipeline.Decontamination.EvalMod} = ${pipeline.Decontamination.EvalRem})
-         |SELECT tr.doc_id, count(DISTINCT tr.gram)::BIGINT AS n_shared_grams,
-         |  count(DISTINCT ev.eval_id)::BIGINT AS n_eval_docs
-         |FROM tr JOIN ev ON tr.gram = ev.gram
-         |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin,
+    "q63_decontamination" -> decontaminationOracle,
+    // the Bloom pre-filter only generates candidates; exact gram-equality
+    // verification makes false positives result-invisible, so the oracle
+    // is q63's (the q20/q25 contract applied to decontamination)
+    "q95_bloom_decontamination" -> decontaminationOracle,
     // the packing recurrence as a recursive CTE: the frontier advances
     // one row_number per source per iteration, carrying the running fill
     "q64_sequence_packing" ->
@@ -1844,6 +1861,24 @@ object Queries {
       |SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
       |  count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM s GROUP BY user_id, sess ORDER BY user_id, session_start""".stripMargin
+
+  private lazy val decontaminationOracle: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 2),
+       |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])))
+       |    AS gram
+       |  FROM t),
+       |tr AS (SELECT * FROM g
+       |       WHERE doc_id % ${pipeline.Decontamination.EvalMod} <> ${pipeline.Decontamination.EvalRem}),
+       |ev AS (SELECT doc_id AS eval_id, gram FROM g
+       |       WHERE doc_id % ${pipeline.Decontamination.EvalMod} = ${pipeline.Decontamination.EvalRem})
+       |SELECT tr.doc_id, count(DISTINCT tr.gram)::BIGINT AS n_shared_grams,
+       |  count(DISTINCT ev.eval_id)::BIGINT AS n_eval_docs
+       |FROM tr JOIN ev ON tr.gram = ev.gram
+       |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin
 
   private lazy val cosineNearDupOracle: String =
     """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)

@@ -170,3 +170,48 @@ case class RollingHash(child: Expression) extends UnaryExpression
       s"${ev.value} = graft.functions.VectorOps.rollingHash($a.toString());")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Executor-side Bloom-filter membership over a driver-foldable
+  * serialized filter (`org.apache.spark.util.sketch.BloomFilter`
+  * bytes). The filter deserializes ONCE per task (codegen holds it as
+  * a reference object; the interpreted path memoizes the lazy val) and
+  * the probe stays inside whole-stage codegen — the membership test a
+  * scan-side decontamination pre-filter needs without joining.
+  * Utf8 bytes probe `mightContainBinary`, which is bit-identical to
+  * how `DataFrameStatFunctions.bloomFilter` inserts strings.
+  */
+case class BloomMightContain(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def prettyName: String = "bloom_might_contain"
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+
+  // Deserialized-filter cache keyed on the bytes' object identity: a
+  // Literal/foldable filter (the intended use) yields the same array
+  // instance every call, so it deserializes exactly once per task; a
+  // non-foldable source stays correct but re-deserializes per new
+  // instance.
+  @transient private var cachedBytes: Array[Byte] = _
+  @transient private var cachedFilter: org.apache.spark.util.sketch.BloomFilter = _
+
+  def probe(bytes: Array[Byte], value: UTF8String): Boolean = {
+    if ((cachedFilter eq null) || (cachedBytes ne bytes)) {
+      cachedFilter = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes))
+      cachedBytes = bytes
+    }
+    cachedFilter.mightContainBinary(value.getBytes)
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    probe(a.asInstanceOf[Array[Byte]], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomProbe", this, classOf[BloomMightContain].getName)
+    nullSafeCodeGen(ctx, ev, (bits, v) =>
+      s"${ev.value} = $ref.probe($bits, $v);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

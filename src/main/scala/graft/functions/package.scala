@@ -33,6 +33,8 @@ package object functions {
     Bridge.column(ByteStride(b(bin.cast("binary")), b(stride.cast("int"))))
   def bpe_token_count(text: Column): Column =
     Bridge.column(BpeTokenCount(st(text)))
+  def bloom_might_contain(filterBytes: Column, value: Column): Column =
+    Bridge.column(BloomMightContain(b(filterBytes.cast("binary")), st(value)))
 
   /** Single source of the SQL-name → expression-builder table, shared by
     * [[registerAll]] (imperative, current-session) and
@@ -54,7 +56,8 @@ package object functions {
     "chunk_text" -> (es => ChunkText(es(0), es(1), es(2))),
     "byte_histogram" -> (es => ByteHistogram(es(0), es(1))),
     "byte_stride" -> (es => ByteStride(es(0), es(1))),
-    "bpe_token_count" -> (es => BpeTokenCount(es.head)))
+    "bpe_token_count" -> (es => BpeTokenCount(es.head)),
+    "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))))
 
   /** Register all graft functions for SQL text / `call_function`. */
   def registerAll(spark: SparkSession): Unit =

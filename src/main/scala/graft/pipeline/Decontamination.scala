@@ -75,4 +75,48 @@ object Decontamination {
         countDistinct(col("eval_id")).as("n_eval_docs"))
       .orderBy("doc_id")
   }
+
+  /** Q95: Bloom-prefiltered decontamination — [[contaminated]]'s scale
+    * path when the eval gram set outgrows a raw broadcast (every
+    * benchmark × paraphrases can reach 10⁸⁺ grams; raw strings are GBs,
+    * Bloom bits are ~1.2 bytes/gram at 1% fpp). The eval grams fold
+    * into a fixed-size Bloom filter executor-side (`stat.bloomFilter`
+    * is a treeAggregate; the driver holds only the final bits), the
+    * bits ship once per executor, and the train side is pre-filtered
+    * SCAN-SIDE by [[graft.functions.BloomMightContain]] inside
+    * whole-stage codegen — ~99% of train grams die before the shuffle.
+    * The surviving candidates (true hits + ≤fpp false positives) then
+    * run the exact verify join, so false positives are result-invisible
+    * and the output provably equals q63's — the same
+    * candidates-then-exact-verify contract as the LSH/IVF paths
+    * (q25/q38/q39). Oracle: q63's, by construction.
+    */
+  def contaminatedBloom(
+      spark: SparkSession, dir: String,
+      n: Int = NGram, fpp: Double = 0.01): DataFrame = {
+    val docs = Tables.parallelize(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"))
+    val isEval = col("doc_id") % EvalMod === EvalRem
+    val train = gramRows(docs.filter(!isEval), n)
+    val eval_ = gramRows(docs.filter(isEval), n)
+      .select(col("doc_id").as("eval_id"), col("gram"))
+    // expectedNumItems from a count over the (structurally tiny) eval
+    // side only — never the corpus; undersizing only raises fpp, never
+    // correctness, because of the exact verify below
+    val expected = math.max(1000L, eval_.count())
+    val bf = eval_.stat.bloomFilter("gram", expected, fpp)
+    val bits = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val candidates =
+      train.filter(graft.functions.bloom_might_contain(lit(bits), col("gram")))
+    candidates.join(broadcast(eval_), "gram")
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
 }

@@ -527,4 +527,52 @@ object TextAnalysis {
         ratio6("n_shared", "__union").as("jaccard"))
       .orderBy("src_a", "src_b")
   }
+
+  /** Q94: statistical-LM quality scoring — the perplexity-style filter
+    * of CCNet/Gopher pipelines (Wenzek et al. 2020): train an add-one
+    * bigram model ON the corpus itself, score each document by how
+    * probable its own word transitions are under it. Low scores mark
+    * gibberish/boilerplate; high scores mark fluent (if unsurprising)
+    * text. All arithmetic is EXACT integers so both engines hash
+    * identically — no logs, no doubles: each transition scores
+    * `(c(w1,w2)+1)·10^6 div (c(w1)+V)` parts-per-million (a monotone
+    * proxy for the conditional probability), and documents report the
+    * exact integer sum and floor-average. `c(w1)` counts transitions
+    * STARTING with w1 (the conditioning event, so rows of the
+    * conditional sum to 1 before smoothing); V is the distinct-token
+    * count over ALL documents. Long-safe to ~9·10^12 occurrences of a
+    * single bigram (c12·10^6 < 2^63).
+    *
+    * Scale shape: transitions pre-aggregate per (doc, bigram) BEFORE
+    * the model join, so the heavy join back shuffles one row per
+    * distinct bigram per doc, not one per token; the bigram/unigram
+    * count tables are agg outputs (vocabulary-sized, not corpus-sized);
+    * V is a broadcast 1-row scalar. Head-bigram skew in the join is
+    * AQE's skew-join case.
+    */
+  def q94LmQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.parallelize(Tables(spark, dir, "documents"))
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val vocab = toks.select(explode(col("t")).as("w"))
+      .agg(count_distinct(col("w")).as("vsz"))
+    val trans = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
+        .as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c1 = trans.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c12 = trans.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val perDoc = trans.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+    perDoc
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__ppm", expr("(c12 + 1) * 1000000 div (c1 + vsz)"))
+      .groupBy("doc_id")
+      .agg(
+        sum("m").cast("long").as("n_trans"),
+        sum(col("m") * col("__ppm")).cast("long").as("sum_prob_ppm"))
+      .withColumn("avg_prob_ppm", expr("sum_prob_ppm div n_trans"))
+      .orderBy("doc_id")
+  }
 }
