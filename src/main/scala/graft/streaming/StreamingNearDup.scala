@@ -1,0 +1,233 @@
+package graft.streaming
+
+import graft.pipeline.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Continuous NEAR-dup admission — the streaming face of the banded
+  * MinHash-LSH dedup family (q15/q32/q41/q60): every arriving document
+  * is admitted iff no PREVIOUSLY-ADMITTED document is a verified
+  * near-duplicate (char-gram Jaccard ≥ threshold); rejected documents
+  * report their best admitted match. This is q60's "is this already in
+  * the training set?" gate run forever, with the corpus index
+  * maintained incrementally instead of re-derived.
+  *
+  * Admission contract (the spec-pinned property): the verdict sequence
+  * equals the sequential greedy fold over arrival order — doc d is
+  * rejected iff some ADMITTED doc with smaller id near-matches it —
+  * and is INVARIANT under how the feed is cut into micro-batches.
+  * Within a batch that greedy runs per connected component of the
+  * verified new-new pair graph (components are the only places where
+  * in-batch admissions interact), executor-side via `flatMapGroups`;
+  * across batches the admitted set is the persisted index. Ids must
+  * arrive in increasing order (the ordered-feed contract of
+  * [[StreamingDedup]]/[[StreamingAsof]]); "first" is otherwise
+  * ill-defined. Documents shorter than the gram length carry no
+  * signature and are always admitted (exact-dedup upstream — q10 /
+  * [[StreamingDedup]] — owns identical payloads).
+  *
+  * Index layout under `workDir` (the [[graft.query.LexicalSearch]]
+  * bucketed-index discipline):
+  *   - `bands/`   (doc_id, band, bucket) parquet-partitioned by a
+  *     band-hash bucket — the probe reads only the partition
+  *     directories the batch's own bands hash into (≤ [[IndexBuckets]]
+  *     directories, collected driver-side: query compilation, not data
+  *     movement).
+  *   - `sigdocs/` (doc_id, sig, text) partitioned by an id-hash bucket
+  *     — estimator/verification payloads for exactly the candidate old
+  *     ids' buckets, never a full corpus scan.
+  *
+  * 100 TB shape: per-batch cost scales with the BATCH (its bands, its
+  * candidate buckets, its verified pairs), not the corpus. And because
+  * only admitted — i.e. mutually non-duplicate — documents are ever
+  * indexed, the index cannot accumulate the boilerplate clusters that
+  * blow up LSH bucket occupancy: the corpus side stays naturally
+  * spread, which is what keeps the probe join linear over time.
+  */
+object StreamingNearDup {
+
+  /** Partition-directory count for both index tables. */
+  val IndexBuckets = 64
+
+  case class Verdict(
+      doc_id: Long, admitted: Boolean,
+      dup_of: Option[Long], jac: Option[Double])
+
+  /** Tagged per-component row for the executor-side greedy:
+    * kind 0 = member (a = doc id, dupOf/dupJac = best corpus match or
+    * -1/NaN), kind 1 = verified in-batch edge (a, b, jac). Public only
+    * because encoder codegen cannot deserialize a private class.
+    */
+  case class GroupRow(
+      label: Long, kind: Int, a: Long, b: Long,
+      jac: Double, dupOf: Long, dupJac: Double)
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def exists(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).exists(new org.apache.hadoop.fs.Path(dir))
+
+  /** Decide one batch against the corpus-so-far at `workDir`, emit one
+    * [[Verdict]] per batch doc, and append the admitted docs' index
+    * rows. Works identically as the first batch (empty corpus) and as
+    * a one-shot batch call (= the greedy fold from an empty corpus).
+    * `batch` must have (doc_id long, text string).
+    */
+  def admissionStep(
+      batch: DataFrame, workDir: String, threshold: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val bandsPath = s"$workDir/bands"
+    val sigPath = s"$workDir/sigdocs"
+
+    val docs = batch
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .localCheckpoint()
+    val sigs = docs.filter(length(col("text")) >= Dedup.GramLen)
+      .select(col("doc_id"),
+        graft.functions.minhash_text(
+          col("text"), lit(Dedup.GramLen), lit(Dedup.NumHashes)).as("sig"))
+      .localCheckpoint()
+    val bands = Dedup.minhashBands(sigs)
+      .withColumn("__bucket", pmod(hash(col("band"), col("bucket")), lit(IndexBuckets)))
+      .localCheckpoint()
+
+    // ---- candidates vs the admitted corpus (partition-pruned probe) ----
+    val oldNewVerified: DataFrame =
+      if (!exists(spark, bandsPath)) {
+        spark.emptyDataset[(Long, Long, Double)].toDF("d1", "d2", "jac")
+      } else {
+        val probeBuckets = bands.select("__bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq // ≤ IndexBuckets: bounded
+        val cand = spark.read.parquet(bandsPath)
+          .filter(col("__bucket").isin(probeBuckets: _*))
+          .select(col("doc_id").as("d1"), col("band"), col("bucket"))
+          .join(bands.select(col("doc_id").as("d2"), col("band"), col("bucket")),
+            Seq("band", "bucket"))
+          .select("d1", "d2")
+          .localCheckpoint()
+        if (cand.isEmpty) {
+          spark.emptyDataset[(Long, Long, Double)].toDF("d1", "d2", "jac")
+        } else {
+          val sigBuckets = cand
+            .select(pmod(hash(col("d1")), lit(IndexBuckets)).as("__sb"))
+            .distinct().collect().map(_.getInt(0)).toSeq // bounded
+          val oldSigDocs = spark.read.parquet(sigPath)
+            .filter(col("__sbucket").isin(sigBuckets: _*))
+          val estFloor = Dedup.estimatorFloor(threshold)
+          val plausible = cand
+            .join(oldSigDocs.select(col("doc_id").as("d1"), col("sig").as("s1")), "d1")
+            .join(sigs.select(col("doc_id").as("d2"), col("sig").as("s2")), "d2")
+            .filter(graft.functions.sig_jaccard_est(col("s1"), col("s2")) >= estFloor)
+            .select("d1", "d2").distinct()
+          plausible
+            .join(oldSigDocs.select(col("doc_id").as("d1"), col("text").as("t1")), "d1")
+            .join(docs.select(col("doc_id").as("d2"), col("text").as("t2")), "d2")
+            .withColumn("g1", Dedup.charGramsOf(col("t1")))
+            .withColumn("g2", Dedup.charGramsOf(col("t2")))
+            .withColumn("i", size(array_intersect(col("g1"), col("g2"))).cast("long"))
+            .withColumn("jac",
+              col("i").cast("double") /
+                (size(col("g1")).cast("long") + size(col("g2")).cast("long") - col("i")))
+            .filter(col("jac") >= threshold)
+            .select(col("d1"), col("d2"), round(col("jac"), 6).as("jac"))
+        }
+      }
+
+    // ---- in-batch verified pairs (batch-sized; full banded machinery) ----
+    val newNew = Dedup.nearDupPairs(docs, sigs, threshold).localCheckpoint()
+
+    // best admitted-corpus match per new doc: highest jac, tie lowest old id
+    val cm = oldNewVerified
+      .groupBy(col("d2").as("doc_id"))
+      .agg(
+        max_by(col("d1"), struct(col("jac"), -col("d1"))).as("cm_dup"),
+        max(struct(col("jac"), -col("d1"))).getField("jac").as("cm_jac"))
+      .localCheckpoint()
+
+    // ---- per-component sequential greedy, executor-side ----
+    val labels = Dedup.connectedComponents(newNew.select("d1", "d2"))
+    val memberRows = labels
+      .join(cm, labels("node") === cm("doc_id"), "left")
+      .select(col("label"), lit(0).as("kind"), col("node").as("a"),
+        lit(-1L).as("b"), lit(Double.NaN).as("jac"),
+        coalesce(col("cm_dup"), lit(-1L)).as("dupOf"),
+        coalesce(col("cm_jac"), lit(Double.NaN)).as("dupJac"))
+    val edgeRows = newNew
+      .join(labels.select(col("node").as("d1"), col("label")), "d1")
+      .select(col("label"), lit(1).as("kind"), col("d1").as("a"),
+        col("d2").as("b"), col("jac"),
+        lit(-1L).as("dupOf"), lit(Double.NaN).as("dupJac"))
+    val greedy = memberRows.unionByName(edgeRows).as[GroupRow]
+      .groupByKey(_.label)
+      .flatMapGroups { (_: Long, it: Iterator[GroupRow]) =>
+        val rows = it.toVector
+        val members = rows.filter(_.kind == 0).sortBy(_.a)
+        val adj = scala.collection.mutable.Map
+          .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Double)]]
+        rows.filter(_.kind == 1).foreach { e =>
+          adj.getOrElseUpdate(e.a, scala.collection.mutable.ArrayBuffer.empty) += ((e.b, e.jac))
+          adj.getOrElseUpdate(e.b, scala.collection.mutable.ArrayBuffer.empty) += ((e.a, e.jac))
+        }
+        val admitted = scala.collection.mutable.Set.empty[Long]
+        members.iterator.map { m =>
+          val corpusHit =
+            if (m.dupOf >= 0) Seq((m.dupOf, m.dupJac)) else Seq.empty
+          val batchHits = adj.getOrElse(m.a, Seq.empty).filter(n => admitted(n._1))
+          val hits = corpusHit ++ batchHits
+          if (hits.isEmpty) {
+            admitted += m.a
+            Verdict(m.a, admitted = true, None, None)
+          } else {
+            val best = hits.maxBy(t => (t._2, -t._1))
+            Verdict(m.a, admitted = false, Some(best._1), Some(best._2))
+          }
+        }
+      }
+      .toDF()
+
+    // docs outside any in-batch component: corpus-matched → rejected;
+    // everything else (incl. short docs with no signature) → admitted
+    val inComp = labels.select(col("node").as("doc_id"))
+    val cmOnly = cm.join(inComp, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(false).as("admitted"),
+        col("cm_dup").as("dup_of"), col("cm_jac").as("jac"))
+    val decided = greedy.select("doc_id").unionByName(cmOnly.select("doc_id"))
+    val freePass = docs.join(decided, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), lit(true).as("admitted"),
+        lit(null).cast("long").as("dup_of"), lit(null).cast("double").as("jac"))
+
+    val verdicts = greedy.unionByName(cmOnly).unionByName(freePass)
+      .localCheckpoint()
+
+    // ---- index append for the admitted (only non-duplicates enter) ----
+    val admittedIds = verdicts.filter(col("admitted")).select("doc_id")
+    bands.join(admittedIds, "doc_id")
+      .write.mode("append").partitionBy("__bucket").parquet(bandsPath)
+    sigs.join(admittedIds, "doc_id")
+      .join(docs, "doc_id")
+      .withColumn("__sbucket", pmod(hash(col("doc_id")), lit(IndexBuckets)))
+      .write.mode("append").partitionBy("__sbucket").parquet(sigPath)
+
+    verdicts
+  }
+
+  /** Wire a (doc_id, text) stream through [[admissionStep]]; verdicts
+    * append to `workDir/verdicts` as the audit log. At-least-once on
+    * crash between the index append and the sink commit — the same
+    * replay window [[IndexMaintenance]] documents.
+    */
+  def start(
+      stream: DataFrame, workDir: String, checkpoint: String,
+      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        admissionStep(batch, workDir, threshold)
+          .write.mode("append").parquet(s"$workDir/verdicts")
+        ()
+      }
+      .start()
+}

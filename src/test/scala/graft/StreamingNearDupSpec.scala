@@ -1,0 +1,106 @@
+package graft
+
+import graft.pipeline.Dedup
+import graft.streaming.StreamingNearDup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingNearDupSpec extends AnyFunSuite with SharedSpark {
+
+  private def tempDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"neardup-$tag").toString
+
+  /** The sequential greedy fold the operator must equal: scan docs in
+    * id order, reject iff an ADMITTED earlier doc is a verified
+    * near-dup (best = highest jac, tie lowest id). Pair relation =
+    * the engine's own exact-verified pairs (proven equal to all-pairs
+    * Jaccard in DedupEquivalenceSpec).
+    */
+  private def referenceVerdicts(
+      ids: Seq[Long],
+      pairs: Seq[(Long, Long, Double)]): Map[Long, (Boolean, Option[Long], Option[Double])] = {
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Double)]]
+    pairs.foreach { case (a, b, j) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += ((b, j))
+      adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += ((a, j))
+    }
+    val admitted = scala.collection.mutable.Set.empty[Long]
+    ids.sorted.map { d =>
+      val hits = adj.getOrElse(d, Seq.empty).filter(n => admitted(n._1))
+      if (hits.isEmpty) {
+        admitted += d
+        d -> ((true, None: Option[Long], None: Option[Double]))
+      } else {
+        val best = hits.maxBy(t => (t._2, -t._1))
+        d -> ((false, Some(best._1), Some(best._2)))
+      }
+    }.toMap
+  }
+
+  private def collectVerdicts(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map { r =>
+      r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    }.toMap
+
+  private lazy val docs = Tables(spark, Sf0001, "documents")
+    .select(col("doc_id"), col("text")).orderBy("doc_id").collect()
+    .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+  private lazy val enginePairs: Seq[(Long, Long, Double)] = {
+    val d = Tables(spark, Sf0001, "documents").select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= Dedup.GramLen)
+    val sigs = d.select(col("doc_id"),
+      graft.functions.minhash_text(
+        col("text"), lit(Dedup.GramLen), lit(Dedup.NumHashes)).as("sig"))
+    Dedup.nearDupPairs(d, sigs, 0.5).collect()
+      .map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)), r.getDouble(2))).toSeq
+  }
+
+  test("one-shot admission equals the sequential greedy reference (sf0.001)") {
+    import spark.implicits._
+    val expected = referenceVerdicts(docs.map(_._1), enginePairs)
+    assert(enginePairs.nonEmpty, "fixture must contain near-dups for this spec to bite")
+    val got = collectVerdicts(
+      StreamingNearDup.admissionStep(docs.toDF("doc_id", "text"), tempDir("oneshot")))
+    assert(got == expected)
+    // sanity: some docs actually rejected
+    assert(got.values.exists(!_._1))
+  }
+
+  test("verdicts are invariant under micro-batch splits of the feed") {
+    import spark.implicits._
+    val expected = referenceVerdicts(docs.map(_._1), enginePairs)
+    val dir = tempDir("split")
+    // uneven id-ordered cuts, chosen so near-dup pairs straddle batches
+    val cuts = Seq(docs.take(137), docs.slice(137, 260), docs.slice(260, 261),
+      docs.drop(261))
+    val got = cuts.filter(_.nonEmpty).map { b =>
+      collectVerdicts(
+        StreamingNearDup.admissionStep(b.toDF("doc_id", "text"), dir))
+    }.reduce(_ ++ _)
+    assert(got == expected)
+  }
+
+  test("start() wires the step through foreachBatch and persists verdicts") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tempDir("stream")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingNearDup.start(
+      input.toDS().toDF("doc_id", "text"), dir, tempDir("ckpt"))
+    try {
+      input.addData(docs.take(200))
+      q.processAllAvailable()
+      input.addData(docs.drop(200))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = collectVerdicts(spark.read.parquet(s"$dir/verdicts")
+      .select("doc_id", "admitted", "dup_of", "jac"))
+    assert(got == referenceVerdicts(docs.map(_._1), enginePairs))
+  }
+}
