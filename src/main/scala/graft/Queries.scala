@@ -490,7 +490,9 @@ object Queries {
     "q93_streaming_asof" -> (Events.q93StreamingAsofParity _),
     "q94_lm_quality" -> (TextAnalysis.q94LmQuality _),
     "q95_bloom_decontamination" ->
-      ((s: SparkSession, d: String) => Decontamination.contaminatedBloom(s, d)))
+      ((s: SparkSession, d: String) => Decontamination.contaminatedBloom(s, d)),
+    "q96_shard_manifest" ->
+      (graft.pipeline.ScalableWindow.q96ShardManifest _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -1389,6 +1391,22 @@ object Queries {
         |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ref_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY purchase_id""".stripMargin,
+    // shard cuts stated declaratively as the window the distributed
+    // prefix-sum harness implements; integer floor division on both
+    // sides (all values non-negative)
+    "q96_shard_manifest" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n
+        |  FROM documents),
+        |t AS (SELECT sum(n)::BIGINT // 20 + 1 AS budget FROM d),
+        |c AS (SELECT doc_id, n,
+        |        (sum(n) OVER (ORDER BY doc_id))::BIGINT - n AS cum_excl
+        |      FROM d)
+        |SELECT (c.cum_excl // t.budget)::BIGINT AS shard_id,
+        |  count(*)::BIGINT AS n_docs, sum(c.n)::BIGINT AS shard_tokens,
+        |  min(c.doc_id) AS first_doc, max(c.doc_id) AS last_doc
+        |FROM c CROSS JOIN t GROUP BY 1 ORDER BY 1""".stripMargin,
     // corpus-trained add-one bigram LM scored in exact integer ppm:
     // DuckDB 1-based list indexing (toks[i], toks[i+1] over range(1,
     // len)) mirrors Spark's 0-based t[i-1], t[i] over sequence(1,

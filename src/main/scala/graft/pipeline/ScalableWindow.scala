@@ -112,4 +112,34 @@ object ScalableWindow {
       .select("doc_id", "n_tokens", "ratio_micro", "cum_tokens")
       .orderBy("doc_id")
   }
+
+  /** Q96: training-shard manifest — the export step that turns a
+    * cleaned corpus into fixed-token-budget shards for the trainer
+    * (each shard ≈ total/20 tokens; a document lands wholly in the
+    * shard its running offset starts in, the standard greedy cut).
+    * Shards are contiguous in the doc_id export order BY CONSTRUCTION —
+    * `shard_id = floor(exclusive_running_tokens / budget)` is monotone
+    * in the order — so a writer can stream each shard sequentially.
+    * The running offset comes from [[globalRunningSum]]: no
+    * single-partition window anywhere; the per-shard manifest rows are
+    * one agg shuffle over shard_id.
+    */
+  def q96ShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.parallelize(Tables(spark, dir, "documents"))
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val cum = globalRunningSum(d, "n_tokens", "__cum", col("doc_id").asc)
+      .withColumn("__cum_excl", col("__cum") - col("n_tokens"))
+    val budget = d.agg(expr("sum(n_tokens) div 20L + 1L").as("__budget"))
+    cum
+      .crossJoin(broadcast(budget))
+      .withColumn("shard_id", expr("__cum_excl div __budget"))
+      .groupBy("shard_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("shard_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+      .orderBy("shard_id")
+  }
 }

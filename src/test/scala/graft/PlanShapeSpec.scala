@@ -100,6 +100,41 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       s"expected the pre-filter aggregate under both join sides:\n${plan.take(2500)}")
   }
 
+  test("q95's Bloom pre-filter runs scan-side, below the exact verify join") {
+    val plan = graft.pipeline.Decontamination
+      .contaminatedBloom(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    val filterIdx = plan.indexOf("bloom_might_contain")
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    assert(filterIdx >= 0, "Bloom pre-filter missing from plan:\n" + plan.take(2000))
+    assert(joinIdx >= 0, "exact verify join not broadcast:\n" + plan.take(2000))
+    // physical plans print top-down: the filter must appear AFTER the
+    // join header, i.e. inside the join's input subtree
+    assert(filterIdx > joinIdx,
+      "Bloom filter not below the verify join:\n" + plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"),
+      "verify join fell back to sort-merge:\n" + plan.take(2000))
+  }
+
+  test("q94's model joins consume pre-aggregated frames; vocab broadcasts") {
+    val plan = graft.pipeline.TextAnalysis
+      .q94LmQuality(spark, Sf0001)
+      .queryExecution.optimizedPlan.toString
+    // the 1-row vocabulary scalar must broadcast (nested-loop on a
+    // single row), never shuffle the transitions against it
+    val execPlan = graft.pipeline.TextAnalysis
+      .q94LmQuality(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(execPlan.contains("BroadcastNestedLoopJoin"),
+      "vocab scalar not broadcast:\n" + execPlan.take(2000))
+    // transitions reach the bigram-count join only after the per-(doc,
+    // bigram) aggregate: the join inputs are Aggregates, not raw explodes
+    val joinIdx = plan.indexOf("Join Inner")
+    assert(joinIdx >= 0)
+    assert(plan.substring(joinIdx).split("Aggregate").length - 1 >= 3,
+      "expected aggregated inputs under the model joins:\n" + plan.take(2500))
+  }
+
   test("q64 packing shuffles once on the shard key before the typed fold") {
     val qe = graft.pipeline.SequencePacker.pack(spark, Sf0001).queryExecution
     val plan = qe.executedPlan.toString
