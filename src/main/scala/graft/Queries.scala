@@ -492,7 +492,9 @@ object Queries {
     "q95_bloom_decontamination" ->
       ((s: SparkSession, d: String) => Decontamination.contaminatedBloom(s, d)),
     "q96_shard_manifest" ->
-      (graft.pipeline.ScalableWindow.q96ShardManifest _))
+      (graft.pipeline.ScalableWindow.q96ShardManifest _),
+    "q97_leakage_safe_split" ->
+      ((s: SparkSession, d: String) => Dedup.q97LeakageSafeSplit(s, d)))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -1391,6 +1393,7 @@ object Queries {
         |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ref_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY purchase_id""".stripMargin,
+    "q97_leakage_safe_split" -> leakageSafeSplitOracle,
     // shard cuts stated declaratively as the window the distributed
     // prefix-sum harness implements; integer floor division on both
     // sides (all values non-negative)
@@ -2008,6 +2011,24 @@ object Queries {
       |  UNION
       |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
       |labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
+  /** Q97 oracle: cluster labels from the same recursive CTE as q32;
+    * split buckets in the engine-portable Knuth arithmetic (all values
+    * non-negative, so plain % equals pmod).
+    */
+  private lazy val leakageSafeSplitOracle: String =
+    clusterLabelsCte + "\n" +
+      """SELECT d.doc_id, d.source,
+        |  coalesce(l.cluster_id, d.doc_id) AS cluster_id,
+        |  CASE
+        |    WHEN (coalesce(l.cluster_id, d.doc_id) * 2654435761)
+        |         % 4294967296 % 1000 < 800 THEN 'train'
+        |    WHEN (coalesce(l.cluster_id, d.doc_id) * 2654435761)
+        |         % 4294967296 % 1000 < 900 THEN 'valid'
+        |    ELSE 'test'
+        |  END AS split
+        |FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+        |ORDER BY d.doc_id""".stripMargin
 
   private lazy val dedupClustersOracle: String =
     clusterLabelsCte + "\n" +

@@ -418,6 +418,34 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Q97: leakage-safe train/valid/test split — the assignment step
+    * where near-dup awareness actually pays off: hashing RAW doc ids
+    * into splits lets near-duplicate pairs straddle train and eval
+    * (silent benchmark leakage); hashing the near-dup CLUSTER id
+    * instead puts every member of a duplicate cluster in the same
+    * split by construction. Split buckets use the engine-portable
+    * Knuth multiplicative hash ([[Sampling.keepBucket]] — exact BIGINT
+    * arithmetic both engines reproduce), 80/10/10. Singletons (docs in
+    * no verified pair) are their own cluster. One extra left join over
+    * the q32 cluster frame — the split is deterministic, rerun-stable,
+    * and join-consistent across any table keyed by doc_id.
+    */
+  def q97LeakageSafeSplit(
+      spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val pairs = verifiedNearDupPairs(spark, dir, threshold).select("d1", "d2")
+    val labels = connectedComponents(pairs)
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val bucket = Sampling.keepBucket(col("cluster_id"))
+    docs.join(labels, docs("doc_id") === labels("node"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("split",
+        when(bucket < 800, "train")
+          .when(bucket < 900, "valid")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
   /** Q41: the end-to-end corpus-cleaning composition a training-data
     * pipeline actually runs — EXACT dedup first (collapses identical
     * payloads, which is also what keeps duplicate clusters out of the

@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Decontamination, SequencePacker, Sampling, TextAnalysis, PackedDoc}
+import graft.pipeline.{Decontamination, Dedup, SequencePacker, Sampling, TextAnalysis, PackedDoc}
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -197,5 +197,19 @@ class TrainingPipelineSpec extends AnyFunSuite with SharedSpark {
     val expectedPairs = docs.keySet.toSeq.sorted.combinations(2)
       .count { case Seq(a, b) => (docs(a) intersect docs(b)).nonEmpty }
     assert(rows.length === expectedPairs)
+  }
+
+  test("q97: no near-dup pair ever straddles a split boundary") {
+    val split = Dedup.q97LeakageSafeSplit(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val pairs = Dedup.minhashNearDup(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture must contain near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"pair ($a,$b) split across partitions")
+    }
+    // all three splits are actually populated at fixture scale
+    assert(split.values.toSet == Set("train", "valid", "test"))
+    Dedup.unpersistSigs(spark, Sf0001)
   }
 }
