@@ -214,6 +214,20 @@ object StreamingNearDup {
     verdicts
   }
 
+  /** Compact both index tables ([[graft.util.Compaction]]): per-batch
+    * appends land one file per bucket per batch, so at micro-batch
+    * cadence the index decays into thousands of small files — run this
+    * off the admission path on a maintenance cadence. Partition
+    * layouts are preserved, so the pruned probes are unaffected.
+    */
+  def compactIndex(spark: SparkSession, workDir: String): Seq[graft.util.Compaction.Report] =
+    Seq(
+      (s"$workDir/bands", "__bucket"),
+      (s"$workDir/sigdocs", "__sbucket")).collect {
+      case (dir, pcol) if exists(spark, dir) =>
+        graft.util.Compaction.compact(spark, dir, Seq(pcol))
+    }
+
   /** Wire a (doc_id, text) stream through [[admissionStep]]; verdicts
     * append to `workDir/verdicts` as the audit log. At-least-once on
     * crash between the index append and the sink commit — the same

@@ -78,9 +78,16 @@ class StreamingNearDupSpec extends AnyFunSuite with SharedSpark {
     // uneven id-ordered cuts, chosen so near-dup pairs straddle batches
     val cuts = Seq(docs.take(137), docs.slice(137, 260), docs.slice(260, 261),
       docs.drop(261))
-    val got = cuts.filter(_.nonEmpty).map { b =>
-      collectVerdicts(
+    val got = cuts.filter(_.nonEmpty).zipWithIndex.map { case (b, i) =>
+      val v = collectVerdicts(
         StreamingNearDup.admissionStep(b.toDF("doc_id", "text"), dir))
+      // compacting the index mid-stream must be invisible to later
+      // batches (same layout, same data, fewer files)
+      if (i == 1) {
+        val reports = StreamingNearDup.compactIndex(spark, dir)
+        assert(reports.nonEmpty && reports.forall(r => r.filesAfter <= r.filesBefore))
+      }
+      v
     }.reduce(_ ++ _)
     assert(got == expected)
   }
