@@ -92,6 +92,25 @@ class StreamingNearDupSpec extends AnyFunSuite with SharedSpark {
     assert(got == expected)
   }
 
+  test("split invariance holds for random cut points (seeded)") {
+    import spark.implicits._
+    val expected = referenceVerdicts(docs.map(_._1), enginePairs)
+    val rnd = new scala.util.Random(43)
+    (0 until 3).foreach { trial =>
+      val dir = tempDir(s"rand$trial")
+      // 2-5 random cut points over the id-ordered feed
+      val cutsAt = (0 until 2 + rnd.nextInt(4))
+        .map(_ => rnd.nextInt(docs.size)).distinct.sorted
+      val bounds = (0 +: cutsAt :+ docs.size).distinct.sorted
+      val batches = bounds.sliding(2).map { case Seq(a, b) => docs.slice(a, b) }
+      val got = batches.filter(_.nonEmpty).map { b =>
+        collectVerdicts(
+          StreamingNearDup.admissionStep(b.toDF("doc_id", "text"), dir))
+      }.reduce(_ ++ _)
+      assert(got == expected, s"trial $trial, cuts $cutsAt")
+    }
+  }
+
   test("start() wires the step through foreachBatch and persists verdicts") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
