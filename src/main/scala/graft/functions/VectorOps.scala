@@ -147,4 +147,31 @@ object VectorOps {
     while (i < text.length) { h = h * 1000003L + text.charAt(i); i += 1 }
     h
   }
+
+  /** Deterministic ±1 random projection (Achlioptas 2003 sign matrix;
+    * Johnson–Lindenstrauss guarantee): out[j] = Σ_i sign(i,j)·v[i],
+    * signs from a splitmix64 finalizer of (i, j) — the matrix is never
+    * materialized, both engines of a pipeline regenerate it
+    * bit-identically from the indices alone.
+    */
+  def rpProject(v: Array[Float], m: Int): Array[Float] = {
+    val out = new Array[Float](math.max(m, 0))
+    if (v == null || m <= 0) return out
+    var j = 0
+    while (j < m) {
+      var acc = 0.0
+      var i = 0
+      while (i < v.length) {
+        var z = (i.toLong << 32) ^ (j.toLong * 0x9E3779B97F4A7C15L)
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= z >>> 31
+        acc += (if ((z & 1L) == 0L) v(i) else -v(i))
+        i += 1
+      }
+      out(j) = acc.toFloat
+      j += 1
+    }
+    out
+  }
 }

@@ -171,6 +171,33 @@ case class RollingHash(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Deterministic ±1 random projection of a float vector to `m` dims
+  * ([[VectorOps.rpProject]]) — the dimensionality-reduction half of
+  * compressed retrieval (the value-quantization half is
+  * [[graft.query.QuantizedSearch]]).
+  */
+case class RpProject(child: Expression, mExpr: Expression)
+    extends BinaryExpression with Serializable {
+  override def prettyName: String = "rp_project"
+  override def left: Expression = child
+  override def right: Expression = mExpr
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any, m: Any): Any =
+    new GenericArrayData(
+      VectorOps.rpProject(
+        v.asInstanceOf[ArrayData].toFloatArray(), m.asInstanceOf[Int]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, m) =>
+      s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.functions.VectorOps.rpProject($v.toFloatArray(), $m));""".stripMargin)
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(child = l, mExpr = r)
+}
+
 /** Executor-side Bloom-filter membership over a driver-foldable
   * serialized filter (`org.apache.spark.util.sketch.BloomFilter`
   * bytes). The filter deserializes ONCE per task (codegen holds it as

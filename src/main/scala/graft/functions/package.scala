@@ -35,6 +35,8 @@ package object functions {
     Bridge.column(BpeTokenCount(st(text)))
   def bloom_might_contain(filterBytes: Column, value: Column): Column =
     Bridge.column(BloomMightContain(b(filterBytes.cast("binary")), st(value)))
+  def rp_project(vec: Column, m: Column): Column =
+    Bridge.column(RpProject(fa(vec), b(m.cast("int"))))
 
   /** Single source of the SQL-name → expression-builder table, shared by
     * [[registerAll]] (imperative, current-session) and
@@ -57,7 +59,8 @@ package object functions {
     "byte_histogram" -> (es => ByteHistogram(es(0), es(1))),
     "byte_stride" -> (es => ByteStride(es(0), es(1))),
     "bpe_token_count" -> (es => BpeTokenCount(es.head)),
-    "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))))
+    "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))),
+    "rp_project" -> (es => RpProject(es(0), es(1))))
 
   /** Register all graft functions for SQL text / `call_function`. */
   def registerAll(spark: SparkSession): Unit =
