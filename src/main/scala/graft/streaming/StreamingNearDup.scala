@@ -229,18 +229,27 @@ object StreamingNearDup {
     }
 
   /** Wire a (doc_id, text) stream through [[admissionStep]]; verdicts
-    * append to `workDir/verdicts` as the audit log. At-least-once on
-    * crash between the index append and the sink commit — the same
-    * replay window [[IndexMaintenance]] documents.
+    * append to `workDir/verdicts` as the audit log. Replayed batch ids
+    * are fenced exactly like [[IndexMaintenance.applyBatch]] (skip ids
+    * at or below the recorded last-applied id), narrowing replay
+    * duplication to at most the one in-flight batch; the residual
+    * window between the index appends and the fence write is the same
+    * documented at-least-once gap.
     */
   def start(
       stream: DataFrame, workDir: String, checkpoint: String,
       threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        admissionStep(batch, workDir, threshold)
-          .write.mode("append").parquet(s"$workDir/verdicts")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (batchId > IndexMaintenance.lastApplied(spark, workDir) && !batch.isEmpty) {
+          admissionStep(batch, workDir, threshold)
+            .write.mode("append").parquet(s"$workDir/verdicts")
+          import spark.implicits._
+          Seq(batchId).toDF("applied_batch_id")
+            .write.mode("overwrite").parquet(s"$workDir/applied_batch")
+        }
         ()
       }
       .start()

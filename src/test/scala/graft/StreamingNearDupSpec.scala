@@ -128,5 +128,32 @@ class StreamingNearDupSpec extends AnyFunSuite with SharedSpark {
     val got = collectVerdicts(spark.read.parquet(s"$dir/verdicts")
       .select("doc_id", "admitted", "dup_of", "jac"))
     assert(got == referenceVerdicts(docs.map(_._1), enginePairs))
+    // the replay fence recorded the last applied micro-batch id
+    assert(spark.read.parquet(s"$dir/applied_batch").head.getLong(0) == 1L)
+  }
+
+  test("a fenced (already-applied) batch id is a no-op on replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tempDir("fence")
+    // pretend ids 0 and 1 were already applied before the "crash"
+    Seq(1L).toDF("applied_batch_id")
+      .write.mode("overwrite").parquet(s"$dir/applied_batch")
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingNearDup.start(
+      input.toDS().toDF("doc_id", "text"), dir, tempDir("fence-ckpt"))
+    try {
+      input.addData(docs.take(50)) // batch id 0 -> fenced
+      q.processAllAvailable()
+      input.addData(docs.slice(50, 100)) // batch id 1 -> fenced
+      q.processAllAvailable()
+      input.addData(docs.slice(100, 150)) // batch id 2 -> applied
+      q.processAllAvailable()
+    } finally q.stop()
+    val verdictIds = spark.read.parquet(s"$dir/verdicts")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(verdictIds == docs.slice(100, 150).map(_._1).toSet,
+      "fenced batches must not write verdicts or touch the index")
   }
 }
