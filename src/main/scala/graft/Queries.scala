@@ -494,7 +494,8 @@ object Queries {
     "q96_shard_manifest" ->
       (graft.pipeline.ScalableWindow.q96ShardManifest _),
     "q97_leakage_safe_split" ->
-      ((s: SparkSession, d: String) => Dedup.q97LeakageSafeSplit(s, d)))
+      ((s: SparkSession, d: String) => Dedup.q97LeakageSafeSplit(s, d)),
+    "q98_budget_waterfill" -> (Sampling.q98BudgetWaterfill _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -1394,6 +1395,40 @@ object Queries {
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY purchase_id""".stripMargin,
     "q97_leakage_safe_split" -> leakageSafeSplitOracle,
+    // the ascending water-filling scan stated with explicit ROWS frames
+    // (DuckDB's default ORDER BY frame is RANGE); all BIGINT, floor
+    // division and % identical on non-negative values
+    "q98_budget_waterfill" ->
+      """WITH s AS (
+        |  SELECT source,
+        |    sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS avail
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(avail)::BIGINT AS total, count(*)::BIGINT AS k FROM s),
+        |a AS (
+        |  SELECT s.source, s.avail, t.total // 2 AS budget, t.k,
+        |    row_number() OVER (ORDER BY s.avail ASC, s.source ASC) AS rn,
+        |    coalesce(sum(s.avail) OVER (ORDER BY s.avail ASC, s.source ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pfx
+        |  FROM s CROSS JOIN t),
+        |b AS (SELECT *, (avail * (k - rn + 1) <= budget - pfx) AS saturated
+        |      FROM a),
+        |c AS (
+        |  SELECT *,
+        |    coalesce(sum(CASE WHEN saturated THEN avail END) OVER (), 0)::BIGINT
+        |      AS sat_sum,
+        |    (sum(CASE WHEN saturated THEN 0 ELSE 1 END) OVER ())::BIGINT AS u,
+        |    (sum(CASE WHEN saturated THEN 0 ELSE 1 END) OVER (
+        |       ORDER BY avail DESC, source ASC
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+        |      AS unsat_rank
+        |  FROM b)
+        |SELECT source, avail, saturated,
+        |  (CASE WHEN saturated THEN avail
+        |        ELSE (budget - sat_sum) // u
+        |          + (CASE WHEN unsat_rank <= (budget - sat_sum) % u
+        |             THEN 1 ELSE 0 END)
+        |   END)::BIGINT AS allocated
+        |FROM c ORDER BY source""".stripMargin,
     // shard cuts stated declaratively as the window the distributed
     // prefix-sum harness implements; integer floor division on both
     // sides (all values non-negative)

@@ -105,4 +105,67 @@ object Sampling {
         col("bucket"))
       .orderBy("doc_id")
   }
+
+  /** Q98: water-filling token-budget allocation across sources — the
+    * budget-capped counterpart of [[temperatureMix]]'s rate-based
+    * mixing: given a global token budget B (here total div 2), each
+    * source receives min(its availability, λ) with the water level λ
+    * set so allocations sum exactly to B. Small sources saturate (take
+    * everything they have); the survivors split the remainder evenly,
+    * with the integer remainder going to the LARGEST unsaturated
+    * sources (ties to source name order) so the answer is exact and
+    * deterministic — every arithmetic step is BIGINT, both engines
+    * floor-divide identically.
+    *
+    * The classic ascending scan decides saturation: with sources
+    * sorted by availability, source j saturates iff
+    * `avail_j · slots_j ≤ B − prefix_j` (everything smaller already
+    * taken in full; slots = sources from j on). Scale shape: one
+    * per-source aggregation (k rows); the windows run over that k-row
+    * frame — query-compilation-sized, the [[temperatureMix]] /
+    * prefix-sum-offsets class, never over the corpus.
+    */
+  def q98BudgetWaterfill(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = Tables(spark, dir, "documents")
+      .groupBy("source")
+      .agg(sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("avail"))
+    waterfill(sizes)
+  }
+
+  /** The allocation core over any (source, avail) frame; budget =
+    * total div 2. Exposed for the saturation-path spec (the fixture's
+    * near-equal sources never saturate).
+    */
+  private[graft] def waterfill(sizes: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wAll = W.partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val wAsc = W.orderBy(col("avail").asc, col("source").asc)
+    val scanned = sizes
+      .withColumn("__total", sum(col("avail")).over(wAll))
+      .withColumn("__budget", expr("__total div 2"))
+      .withColumn("__rn", row_number().over(wAsc).cast("long"))
+      .withColumn("__k", count(lit(1)).over(wAll))
+      .withColumn("__prefix",
+        coalesce(sum(col("avail")).over(
+          wAsc.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("saturated",
+        col("avail") * (col("__k") - col("__rn") + 1L)
+          <= col("__budget") - col("__prefix"))
+    val wDesc = W.orderBy(col("avail").desc, col("source").asc)
+    scanned
+      .withColumn("__sat_sum",
+        coalesce(sum(when(col("saturated"), col("avail"))).over(wAll), lit(0L)))
+      .withColumn("__u",
+        sum(when(!col("saturated"), 1L).otherwise(0L)).over(wAll))
+      .withColumn("__rem", col("__budget") - col("__sat_sum"))
+      .withColumn("__unsat_rank",
+        sum(when(!col("saturated"), 1L).otherwise(0L)).over(
+          wDesc.rowsBetween(W.unboundedPreceding, 0)))
+      .withColumn("allocated",
+        when(col("saturated"), col("avail")).otherwise(
+          expr("__rem div __u")
+            + when(col("__unsat_rank") <= expr("__rem % __u"), 1L).otherwise(0L)))
+      .select(col("source"), col("avail"), col("saturated"), col("allocated"))
+      .orderBy("source")
+  }
 }

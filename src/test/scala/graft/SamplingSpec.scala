@@ -1,4 +1,5 @@
 package graft
+// (waterfill saturation tests appended at the bottom of this suite)
 
 import graft.pipeline.Sampling
 import org.apache.spark.sql.functions._
@@ -37,5 +38,29 @@ class SamplingSpec extends AnyFunSuite with SharedSpark {
       .select("id").as[Long].collect().toSet
     val shared = (1000L until 2000L).toSet
     assert((keptA & shared) == (keptB & shared))
+  }
+
+  test("waterfill: small sources saturate, allocations sum exactly to budget") {
+    // skewed availabilities: total 2000, budget 1000 — the two tiny
+    // sources (10, 40) saturate; the rest split 950
+    val sizes = Seq(("tiny", 10L), ("small", 40L), ("mid", 450L),
+      ("big", 700L), ("huge", 800L)).toDF("source", "avail")
+    val got = Sampling.waterfill(sizes).collect()
+      .map(r => r.getString(0) -> ((r.getBoolean(2), r.getLong(3)))).toMap
+    assert(got("tiny") == ((true, 10L)) && got("small") == ((true, 40L)))
+    assert(!got("mid")._1 && !got("big")._1 && !got("huge")._1)
+    val unsat = Seq(got("mid")._2, got("big")._2, got("huge")._2)
+    assert(unsat.sum == 950L)
+    // even split 316 each, remainder 2 to the two LARGEST unsaturated
+    assert(got("mid")._2 == 316L && got("big")._2 == 317L && got("huge")._2 == 317L)
+    assert(got.values.map(_._2).sum == 1000L)
+  }
+
+  test("waterfill: no saturation on near-equal sources; allocation never exceeds avail") {
+    val sizes = Seq(("a", 400L), ("b", 401L), ("c", 399L)).toDF("source", "avail")
+    val rows = Sampling.waterfill(sizes).collect()
+    assert(rows.forall(r => !r.getBoolean(2)))
+    assert(rows.forall(r => r.getLong(3) <= r.getLong(1)))
+    assert(rows.map(_.getLong(3)).sum == 1200L / 2)
   }
 }
