@@ -495,7 +495,8 @@ object Queries {
       (graft.pipeline.ScalableWindow.q96ShardManifest _),
     "q97_leakage_safe_split" ->
       ((s: SparkSession, d: String) => Dedup.q97LeakageSafeSplit(s, d)),
-    "q98_budget_waterfill" -> (Sampling.q98BudgetWaterfill _))
+    "q98_budget_waterfill" -> (Sampling.q98BudgetWaterfill _),
+    "q99_quota_gate" -> (Sampling.q99QuotaGate _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -1399,36 +1400,25 @@ object Queries {
     // (DuckDB's default ORDER BY frame is RANGE); all BIGINT, floor
     // division and % identical on non-negative values
     "q98_budget_waterfill" ->
-      """WITH s AS (
-        |  SELECT source,
-        |    sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS avail
-        |  FROM documents GROUP BY source),
-        |t AS (SELECT sum(avail)::BIGINT AS total, count(*)::BIGINT AS k FROM s),
-        |a AS (
-        |  SELECT s.source, s.avail, t.total // 2 AS budget, t.k,
-        |    row_number() OVER (ORDER BY s.avail ASC, s.source ASC) AS rn,
-        |    coalesce(sum(s.avail) OVER (ORDER BY s.avail ASC, s.source ASC
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pfx
-        |  FROM s CROSS JOIN t),
-        |b AS (SELECT *, (avail * (k - rn + 1) <= budget - pfx) AS saturated
-        |      FROM a),
-        |c AS (
-        |  SELECT *,
-        |    coalesce(sum(CASE WHEN saturated THEN avail END) OVER (), 0)::BIGINT
-        |      AS sat_sum,
-        |    (sum(CASE WHEN saturated THEN 0 ELSE 1 END) OVER ())::BIGINT AS u,
-        |    (sum(CASE WHEN saturated THEN 0 ELSE 1 END) OVER (
-        |       ORDER BY avail DESC, source ASC
-        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
-        |      AS unsat_rank
-        |  FROM b)
-        |SELECT source, avail, saturated,
-        |  (CASE WHEN saturated THEN avail
-        |        ELSE (budget - sat_sum) // u
-        |          + (CASE WHEN unsat_rank <= (budget - sat_sum) % u
-        |             THEN 1 ELSE 0 END)
-        |   END)::BIGINT AS allocated
-        |FROM c ORDER BY source""".stripMargin,
+      (waterfillCtes + "\n" +
+        """SELECT source, avail, saturated, allocated
+          |FROM alloc ORDER BY source""".stripMargin),
+    // q98's allocations enforced as a per-source admission gate: admit
+    // docs in id order while the source's running token total fits its
+    // allocation — the same window both engines state declaratively
+    "q99_quota_gate" ->
+      (waterfillCtes + ",\n" +
+        """d AS (
+          |  SELECT doc_id, source,
+          |    len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_tokens,
+          |    (sum(len(string_split_regex(trim(text), '\s+'))) OVER (
+          |       PARTITION BY source ORDER BY doc_id
+          |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+          |      AS cum_tokens
+          |  FROM documents)
+          |SELECT d.doc_id, d.source, d.n_tokens, d.cum_tokens,
+          |  (d.cum_tokens <= alloc.allocated) AS admitted
+          |FROM d JOIN alloc USING (source) ORDER BY d.doc_id""".stripMargin),
     // shard cuts stated declaratively as the window the distributed
     // prefix-sum harness implements; integer floor division on both
     // sides (all values non-negative)
@@ -2046,6 +2036,42 @@ object Queries {
       |  UNION
       |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
       |labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
+  /** Shared water-filling CTE chain (q98/q99): `alloc` ends with one
+    * row per source carrying (source, avail, saturated, allocated).
+    */
+  private lazy val waterfillCtes: String =
+    """WITH s AS (
+      |  SELECT source,
+      |    sum(len(string_split_regex(trim(text), '\s+')))::BIGINT AS avail
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT sum(avail)::BIGINT AS total, count(*)::BIGINT AS k FROM s),
+      |a AS (
+      |  SELECT s.source, s.avail, t.total // 2 AS budget, t.k,
+      |    row_number() OVER (ORDER BY s.avail ASC, s.source ASC) AS rn,
+      |    coalesce(sum(s.avail) OVER (ORDER BY s.avail ASC, s.source ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS pfx
+      |  FROM s CROSS JOIN t),
+      |b AS (SELECT *, (avail * (k - rn + 1) <= budget - pfx) AS saturated
+      |      FROM a),
+      |c AS (
+      |  SELECT *,
+      |    coalesce(sum(CASE WHEN saturated THEN avail END) OVER (), 0)::BIGINT
+      |      AS sat_sum,
+      |    (sum(CASE WHEN saturated THEN 0 ELSE 1 END) OVER ())::BIGINT AS u,
+      |    (sum(CASE WHEN saturated THEN 0 ELSE 1 END) OVER (
+      |       ORDER BY avail DESC, source ASC
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT
+      |      AS unsat_rank
+      |  FROM b),
+      |alloc AS (
+      |  SELECT source, avail, saturated,
+      |    (CASE WHEN saturated THEN avail
+      |          ELSE (budget - sat_sum) // u
+      |            + (CASE WHEN unsat_rank <= (budget - sat_sum) % u
+      |               THEN 1 ELSE 0 END)
+      |     END)::BIGINT AS allocated
+      |  FROM c)""".stripMargin
 
   /** Q97 oracle: cluster labels from the same recursive CTE as q32;
     * split buckets in the engine-portable Knuth arithmetic (all values

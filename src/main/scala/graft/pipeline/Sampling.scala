@@ -168,4 +168,28 @@ object Sampling {
       .select(col("source"), col("avail"), col("saturated"), col("allocated"))
       .orderBy("source")
   }
+
+  /** Q99: [[q98BudgetWaterfill]]'s allocations enforced as a per-source
+    * admission gate — docs admit in id order while their source's
+    * running token total fits its allocation. The row-level output a
+    * feed materializes (admitted flag, not just counts), and the batch
+    * face of [[graft.streaming.StreamingQuota]]. Scale shape: one
+    * per-source window over the corpus (partitioned — never global)
+    * plus the broadcast k-row allocation frame.
+    */
+  def q99QuotaGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+    val alloc = q98BudgetWaterfill(spark, dir).select("source", "allocated")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Long.MinValue, 0)
+    docs
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .join(broadcast(alloc), "source")
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= col("allocated")).as("admitted"))
+      .orderBy("doc_id")
+  }
 }
