@@ -63,4 +63,34 @@ class SamplingSpec extends AnyFunSuite with SharedSpark {
     assert(rows.forall(r => r.getLong(3) <= r.getLong(1)))
     assert(rows.map(_.getLong(3)).sum == 1200L / 2)
   }
+
+  test("waterfill invariants on random availability profiles") {
+    val rnd = new scala.util.Random(11)
+    (0 until 8).foreach { trial =>
+      val k = 2 + rnd.nextInt(9)
+      // heavy-tailed sizes so saturation actually occurs in most trials
+      val sizes = (0 until k).map(i =>
+        (s"src_$i", (math.pow(10, rnd.nextInt(4)) * (1 + rnd.nextInt(9))).toLong))
+      val total = sizes.map(_._2).sum
+      val rows = Sampling.waterfill(sizes.toDF("source", "avail")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getLong(3)))
+      // feasibility: 0 <= allocated <= avail, exact budget partition
+      rows.foreach { case (s, avail, _, alloc) =>
+        assert(alloc >= 0L && alloc <= avail, s"trial $trial $s: $alloc vs $avail")
+      }
+      assert(rows.map(_._4).sum == total / 2, s"trial $trial budget")
+      // saturated sources take everything; unsaturated allocations are
+      // within 1 token of each other (even split + remainder spread)
+      rows.filter(_._3).foreach { case (s, avail, _, alloc) =>
+        assert(alloc == avail, s"trial $trial $s saturated but partial")
+      }
+      val unsat = rows.filterNot(_._3).map(_._4)
+      if (unsat.nonEmpty)
+        assert(unsat.max - unsat.min <= 1L, s"trial $trial uneven split $unsat")
+      // water level: every saturated avail <= every unsaturated allocation
+      val satAvail = rows.filter(_._3).map(_._2)
+      if (satAvail.nonEmpty && unsat.nonEmpty)
+        assert(satAvail.max <= unsat.min, s"trial $trial level violated")
+    }
+  }
 }
