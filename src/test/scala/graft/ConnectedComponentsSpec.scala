@@ -53,4 +53,33 @@ class ConnectedComponentsSpec extends AnyFunSuite with SharedSpark {
 
   private def rndShuffle(xs: Seq[(Long, Long)]): Seq[(Long, Long)] =
     new scala.util.Random(23).shuffle(xs.toVector)
+
+  test("random graphs agree with a union-find reference") {
+    val rnd = new scala.util.Random(31)
+    (0 until 3).foreach { trial =>
+      val n = 300
+      val edges = (0 until 400).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      // plain union-find with path compression
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      // union-find roots are not necessarily component minima; remap
+      val minOfRoot = expected.groupBy(_._2).map { case (r, m) => r -> m.keys.min }
+      val want = expected.map { case (v, r) => v -> minOfRoot(r) }
+      assert(cc(edges) == want, s"trial $trial")
+    }
+  }
 }
