@@ -101,10 +101,18 @@ object StreamingNearDup {
       } else {
         val probeBuckets = bands.select("__bucket").distinct()
           .collect().map(_.getInt(0)).toSeq // ≤ IndexBuckets: bounded
+        // corpus-side occupancy is naturally low (only mutually
+        // non-duplicate docs are indexed), but the BATCH side has no
+        // such guarantee — a boilerplate-heavy batch would flood the
+        // probe join; same capped-with-logged-drops discipline as the
+        // in-batch path (Dedup.minhashCollisions)
+        val cappedBands = graft.util.BucketGuard.capOccupancy(
+          bands, Seq("band", "bucket"),
+          Dedup.MaxBucketOccupancy, "streaming near-dup corpus probe")
         val cand = spark.read.parquet(bandsPath)
           .filter(col("__bucket").isin(probeBuckets: _*))
           .select(col("doc_id").as("d1"), col("band"), col("bucket"))
-          .join(bands.select(col("doc_id").as("d2"), col("band"), col("bucket")),
+          .join(cappedBands.select(col("doc_id").as("d2"), col("band"), col("bucket")),
             Seq("band", "bucket"))
           .select("d1", "d2")
           .localCheckpoint()
