@@ -496,7 +496,9 @@ object Queries {
     "q97_leakage_safe_split" ->
       ((s: SparkSession, d: String) => Dedup.q97LeakageSafeSplit(s, d)),
     "q98_budget_waterfill" -> (Sampling.q98BudgetWaterfill _),
-    "q99_quota_gate" -> (Sampling.q99QuotaGate _))
+    "q99_quota_gate" -> (Sampling.q99QuotaGate _),
+    "q100_best_of_cluster" ->
+      ((s: SparkSession, d: String) => Dedup.q100BestOfCluster(s, d)))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -1440,27 +1442,25 @@ object Queries {
     // len)) mirrors Spark's 0-based t[i-1], t[i] over sequence(1,
     // size-1); both floor-divide positives so div == // exactly
     "q94_lm_quality" ->
-      """WITH t AS (
-        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
-        |  FROM documents),
-        |v AS (SELECT count(DISTINCT tok)::BIGINT AS vsz
-        |      FROM t, unnest(toks) AS u(tok)),
-        |tr AS (
-        |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-        |  FROM t, unnest(range(1, len(toks))) AS r(i)
-        |  WHERE len(toks) >= 2),
-        |c1 AS (SELECT w1, count(*)::BIGINT AS c1 FROM tr GROUP BY 1),
-        |c12 AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM tr GROUP BY 1, 2),
-        |d AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS m
-        |      FROM tr GROUP BY 1, 2, 3)
-        |SELECT d.doc_id,
-        |  sum(d.m)::BIGINT AS n_trans,
-        |  sum(d.m * ((c12.c12 + 1) * 1000000 // (c1.c1 + v.vsz)))::BIGINT
-        |    AS sum_prob_ppm,
-        |  (sum(d.m * ((c12.c12 + 1) * 1000000 // (c1.c1 + v.vsz)))
-        |    // sum(d.m))::BIGINT AS avg_prob_ppm
-        |FROM d JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+      ("WITH " + lmQualityCtes + "\n" +
+        """SELECT doc_id, n_trans, sum_prob_ppm, avg_prob_ppm
+          |FROM lm_scores ORDER BY doc_id""".stripMargin),
+    // quality-aware canonical selection: q32's near-dup clusters keep
+    // their HIGHEST-q94-scoring member (tie lowest id), not the min id;
+    // singleton scored docs are their own cluster. Both CTE chains are
+    // the shared constants the q32/q94 oracles use, so the composition
+    // cannot drift from its parts.
+    "q100_best_of_cluster" ->
+      (clusterLabelsCte + ",\n" + lmQualityCtes + ",\n" +
+        """m AS (
+          |  SELECT s.doc_id, coalesce(l.cluster_id, s.doc_id) AS cluster_id,
+          |    s.avg_prob_ppm
+          |  FROM lm_scores s LEFT JOIN labels l ON s.doc_id = l.node)
+          |SELECT cluster_id,
+          |  count(*)::BIGINT AS cluster_size,
+          |  arg_max(doc_id, avg_prob_ppm * 1000000000 - doc_id) AS kept_doc,
+          |  max(avg_prob_ppm)::BIGINT AS kept_quality_ppm
+          |FROM m GROUP BY 1 ORDER BY 1""".stripMargin),
     // q87's running sum is computed by the distributed prefix-sum
     // harness (range partition + per-partition fold + offset join);
     // the oracle states the same total-order ROWS window declaratively
@@ -2036,6 +2036,35 @@ object Queries {
       |  UNION
       |  SELECT reach.node, e.b FROM reach JOIN edges e ON reach.r = e.a),
       |labels AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
+  /** Shared bigram-LM CTE chain (q94/q100), WITHOUT the leading WITH so
+    * it composes after other chains: `lm_scores` ends with one row per
+    * scored (≥2-token) doc carrying (doc_id, n_trans, sum_prob_ppm,
+    * avg_prob_ppm).
+    */
+  private lazy val lmQualityCtes: String =
+    """lt AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      |  FROM documents),
+      |v AS (SELECT count(DISTINCT tok)::BIGINT AS vsz
+      |      FROM lt, unnest(toks) AS u(tok)),
+      |tr AS (
+      |  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      |  FROM lt, unnest(range(1, len(toks))) AS r(i)
+      |  WHERE len(toks) >= 2),
+      |uni AS (SELECT w1, count(*)::BIGINT AS c1 FROM tr GROUP BY 1),
+      |bi AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM tr GROUP BY 1, 2),
+      |dg AS (SELECT doc_id, w1, w2, count(*)::BIGINT AS m
+      |       FROM tr GROUP BY 1, 2, 3),
+      |lm_scores AS (
+      |  SELECT dg.doc_id,
+      |    sum(dg.m)::BIGINT AS n_trans,
+      |    sum(dg.m * ((bi.c12 + 1) * 1000000 // (uni.c1 + v.vsz)))::BIGINT
+      |      AS sum_prob_ppm,
+      |    (sum(dg.m * ((bi.c12 + 1) * 1000000 // (uni.c1 + v.vsz)))
+      |      // sum(dg.m))::BIGINT AS avg_prob_ppm
+      |  FROM dg JOIN bi USING (w1, w2) JOIN uni USING (w1) CROSS JOIN v
+      |  GROUP BY 1)""".stripMargin
 
   /** Shared water-filling CTE chain (q98/q99): `alloc` ends with one
     * row per source carrying (source, avail, saturated, allocated).

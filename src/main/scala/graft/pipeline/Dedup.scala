@@ -446,6 +446,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Q100: quality-aware canonical selection — each near-dup cluster
+    * keeps its HIGHEST-quality member (q94's bigram-LM score, exact
+    * integer ppm; ties to the lowest id) instead of q32/q41's min-id
+    * convention. This is the SemDeDup-style refinement real pipelines
+    * run: when boilerplate variants cluster, keep the most fluent copy,
+    * not the accidentally-first one. Singleton scored docs are their
+    * own cluster. Reuses the session-shared verified-pair frame and
+    * q94's plan; one left join + one agg shuffle on cluster_id beyond
+    * their cost.
+    */
+  def q100BestOfCluster(
+      spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val labels = connectedComponents(
+      verifiedNearDupPairs(spark, dir, threshold).select("d1", "d2"))
+    val quality = TextAnalysis.q94LmQuality(spark, dir)
+      .select(col("doc_id"), col("avg_prob_ppm"))
+    quality.join(labels, quality("doc_id") === labels("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"),
+        col("avg_prob_ppm"))
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).as("cluster_size"),
+        // single composite BIGINT key (quality major, lowest-id tie
+        // minor — exact for doc_id < 10^9): DuckDB's arg_max cannot
+        // take a struct/list ordering key, so both engines state the
+        // same scalar
+        max_by(col("doc_id"),
+          col("avg_prob_ppm") * lit(1000000000L) - col("doc_id"))
+          .as("kept_doc"),
+        max(col("avg_prob_ppm")).as("kept_quality_ppm"))
+      .orderBy("cluster_id")
+  }
+
   /** Q41: the end-to-end corpus-cleaning composition a training-data
     * pipeline actually runs — EXACT dedup first (collapses identical
     * payloads, which is also what keeps duplicate clusters out of the
