@@ -562,39 +562,61 @@ object Dedup {
     * quoted chunks — that document-level near-dup never sees).
     *
     * Shape: one narrow pass explodes each document into its k-token
-    * windows with a 64-bit window hash; a tiny pre-aggregation keeps
-    * only hashes seen in ≥ 2 distinct documents (min(doc) ≠ max(doc) —
-    * no count-distinct), which discards the overwhelmingly-unique
-    * window mass BEFORE the self-join; the surviving candidates
-    * equi-join on the hash with exact window-text verification (hash
-    * collisions produce candidates, never results). Per (d1 < d2)
-    * pair: matching window-occurrence pairs + distinct shared windows.
+    * windows with a 64-bit window hash, immediately collapsed to
+    * per-(doc, window) occurrence COUNTS — the self-join below joins
+    * count rows, so a window repeated t times inside one document
+    * costs one row, not t, and `n_matches = sum(m1 * m2)` recovers
+    * the exact occurrence-pair count without an occurrence-level
+    * quadratic join. A tiny pre-aggregation keeps only hashes seen in
+    * ≥ 2 distinct documents (min(doc) ≠ max(doc) — no count-distinct),
+    * which discards the overwhelmingly-unique window mass BEFORE the
+    * self-join; the surviving candidates equi-join on the hash with
+    * exact window-text verification (hash collisions produce
+    * candidates, never results). Per (d1 < d2) pair: matching
+    * window-occurrence pairs + distinct shared windows.
     *
     * 100 TB note: n-gram windowing inflates the corpus ~k× by
     * construction; the pre-filter keeps the JOIN input proportional to
-    * actually-repeated text. The sub-linear alternative is the paper's
-    * suffix-array pipeline — a different engine, out of scope; this is
-    * the Spark-native shape of the same contract.
+    * actually-repeated text, and [[graft.util.BucketGuard.capOccupancy]]
+    * bounds the remaining hazard — a boilerplate window (license
+    * header, nav text) stamped on m documents would still emit O(m²)
+    * pairs, so windows spanning more than `maxDocsPerWindow` documents
+    * are excluded from candidate generation with a logged (never
+    * silent) drop, the same discipline as every banded-LSH path here.
+    * The sub-linear alternative is the paper's suffix-array pipeline —
+    * a different engine, out of scope; this is the Spark-native shape
+    * of the same contract.
     */
-  def q92RepeatedPassages(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+  def q92RepeatedPassages(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 8,
+      maxDocsPerWindow: Int = 1000): DataFrame = {
     val docs = Tables.parallelize(Tables(spark, dir, "documents"))
     val wins = docs.select(
         col("doc_id"),
         explode(TextAnalysis.wordGrams(split(trim(col("text")), "\\s+"), k)).as("win"))
       .select(col("doc_id"), col("win"), xxhash64(col("win")).as("h"))
-    // hashes spanning ≥ 2 docs; map-side combine collapses each
-    // partition's duplicate windows before the shuffle
-    val multiDoc = wins.groupBy("h")
+    // per-(doc, window) occurrence counts; map-side combine collapses
+    // each partition's duplicate windows before the shuffle
+    val perDoc = wins.groupBy("doc_id", "h", "win").agg(count(lit(1)).as("m"))
+    // hashes spanning ≥ 2 docs
+    val multiDoc = perDoc.groupBy("h")
       .agg(min("doc_id").as("__mn"), max("doc_id").as("__mx"))
       .filter(col("__mn") =!= col("__mx"))
       .select("h")
-    val cand = wins.join(multiDoc, "h")
+    // occupancy on `h` over per-doc rows ≈ number of documents sharing
+    // the window (one row per (doc, win); collisions are candidates
+    // only) — cap it so boilerplate cannot go quadratic
+    val cand = graft.util.BucketGuard.capOccupancy(
+      perDoc.join(multiDoc, "h"), Seq("h"), maxDocsPerWindow,
+      "q92 repeated-passage window")
     cand.as("a")
       .join(cand.as("b"),
         col("a.h") === col("b.h") && col("a.win") === col("b.win") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-      .agg(count(lit(1)).as("n_matches"),
+      .agg(sum(col("a.m") * col("b.m")).as("n_matches"),
         count_distinct(col("a.win")).as("n_windows"))
       .orderBy("d1", "d2")
   }

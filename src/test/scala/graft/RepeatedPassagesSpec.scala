@@ -63,6 +63,32 @@ class RepeatedPassagesSpec extends AnyFunSuite with SharedSpark {
     assert(got == ref(docs, 8))
   }
 
+  test("adversarial boilerplate: occupancy cap bounds the pair blow-up") {
+    import spark.implicits._
+    // one boilerplate k-window stamped on 500 docs would emit
+    // 500*499/2 ≈ 125k pairs; with the cap it must emit none of them,
+    // while a genuine 2-doc shared passage in the same corpus survives
+    val boiler = "this site is licensed under the creative commons license"
+    val real = "a genuinely shared passage between exactly two documents"
+    val docs =
+      (1L to 500L).map(i => i -> s"doc $i says $boiler and unique w$i") ++
+        Seq(1001L -> s"first copy of $real here", 1002L -> s"second copy of $real too")
+    val dir = java.nio.file.Files.createTempDirectory("graft-rps-cap").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Dedup.q92RepeatedPassages(spark, dir, k = 4, maxDocsPerWindow = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // boilerplate pairs excluded (bounded output), real pair retained
+    assert(got.keySet == Set((1001L, 1002L)))
+    // and without the cap the blow-up is real: the uncapped run emits
+    // the full quadratic pair set the guard exists to prevent
+    val uncapped = Dedup.q92RepeatedPassages(spark, dir, k = 4,
+      maxDocsPerWindow = 1000).count()
+    assert(uncapped == 500L * 499L / 2 + 1)
+  }
+
   test("pre-filter is result-invisible: single-doc windows never pair") {
     // every window unique to its doc -> empty result, no exception
     val docs = (1L to 6L).map(i =>
