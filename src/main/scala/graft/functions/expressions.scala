@@ -217,17 +217,20 @@ case class BloomMightContain(left: Expression, right: Expression)
   // Literal/foldable filter (the intended use) yields the same array
   // instance every call, so it deserializes exactly once per task; a
   // non-foldable source stays correct but re-deserializes per new
-  // instance.
-  @transient private var cachedBytes: Array[Byte] = _
-  @transient private var cachedFilter: org.apache.spark.util.sketch.BloomFilter = _
+  // instance. The (bytes, filter) pair lives in ONE volatile field so a
+  // concurrent evaluation can never observe a filter paired with the
+  // other thread's bytes — racing threads at worst both deserialize.
+  @transient @volatile private var cached
+      : (Array[Byte], org.apache.spark.util.sketch.BloomFilter) = _
 
   def probe(bytes: Array[Byte], value: UTF8String): Boolean = {
-    if ((cachedFilter eq null) || (cachedBytes ne bytes)) {
-      cachedFilter = org.apache.spark.util.sketch.BloomFilter.readFrom(
-        new java.io.ByteArrayInputStream(bytes))
-      cachedBytes = bytes
+    var c = cached
+    if ((c eq null) || (c._1 ne bytes)) {
+      c = (bytes, org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bytes)))
+      cached = c
     }
-    cachedFilter.mightContainBinary(value.getBytes)
+    c._2.mightContainBinary(value.getBytes)
   }
 
   override def nullSafeEval(a: Any, b: Any): Any =

@@ -112,7 +112,15 @@ object Decontamination {
     }
     val candidates =
       train.filter(graft.functions.bloom_might_contain(lit(bits), col("gram")))
-    candidates.join(broadcast(eval_), "gram")
+    // no broadcast hint here, deliberately: this is the scale path for
+    // exactly the case where the raw eval gram set is too large to ship
+    // (the Bloom bits stand in for it) — forcing a broadcast would
+    // reintroduce the OOM the filter exists to avoid. Post-Bloom the
+    // candidate side is ~fpp of the corpus, so the planner's shuffle
+    // (or AQE's runtime broadcast, when eval genuinely fits) is the
+    // right call. q63's `contaminated` keeps the explicit hint as the
+    // fixture-scale exact path.
+    candidates.join(eval_, "gram")
       .groupBy(col("doc_id"))
       .agg(
         countDistinct(col("gram")).as("n_shared_grams"),

@@ -176,7 +176,15 @@ object TextAnalysis {
     Tables.parallelize(Tables(spark, dir, "documents"))
       .select(
         col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("ws_tokens"),
+        // Match Python str.split() — the golden generator — exactly:
+        // regex-trim ALL whitespace (Spark's trim strips spaces only),
+        // and guard the empty case, where Spark's split("") yields
+        // [""] (size 1) but Python yields []
+        {
+          val t = regexp_replace(col("text"), "^\\s+|\\s+$", "")
+          when(length(t) === 0, 0L)
+            .otherwise(size(split(t, "\\s+")).cast("long"))
+        }.as("ws_tokens"),
         graft.functions.bpe_token_count(col("text")).as("bpe_tokens"))
       .orderBy("doc_id")
 

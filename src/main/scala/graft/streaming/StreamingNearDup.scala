@@ -114,6 +114,14 @@ object StreamingNearDup {
           .select(col("doc_id").as("d1"), col("band"), col("bucket"))
           .join(cappedBands.select(col("doc_id").as("d2"), col("band"), col("bucket")),
             Seq("band", "bucket"))
+          // ids are contractually increasing, so corpus ids are always
+          // smaller than batch ids — EXCEPT on crash replay inside the
+          // documented fence window (index appended, fence not yet
+          // written), where a replayed doc meets its own just-indexed
+          // copy at jac 1.0 and would reject every previously admitted
+          // doc. The strict inequality degrades that to the documented
+          // duplicate-verdict case instead of self-rejection.
+          .filter(col("d1") < col("d2"))
           .select("d1", "d2")
           .localCheckpoint()
         if (cand.isEmpty) {

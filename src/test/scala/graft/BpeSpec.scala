@@ -53,6 +53,19 @@ class BpeSpec extends AnyFunSuite with SharedSpark {
       Bpe.tokenCount("hash join"), Bpe.tokenCount("zqz"), 0L))
   }
 
+  test("q91 ws_tokens of empty/whitespace-only text is 0 (Python split parity)") {
+    import spark.implicits._
+    // Spark's split("", "\\s+") yields [""] (size 1); the golden
+    // generator's str.split() yields []. The guard must make them agree.
+    val dir = java.nio.file.Files.createTempDirectory("graft-q91-empty").toString
+    Seq((1L, ""), (2L, "   \n\t "), (3L, "one two"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.pipeline.TextAnalysis.q91BpeMergeTokens(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 2L))
+  }
+
   test("q91 equals the committed golden oracle row-for-row (sf0.01)") {
     val got = Queries.all("q91_bpe_merge_tokens")(spark, Sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
