@@ -228,14 +228,23 @@ object IvfIndex {
         col("ub_sim"), col("crank"))
 
     val cells = spark.read.parquet(s"$indexPath/cells")
-    // probe: candidates of the selected (query, cell) rows, exact-ranked
-    def probe(sel: DataFrame): DataFrame =
-      cells.join(
-          broadcast(sel.select(col(queryIdCol), col(queryVecCol), col("centroid_id"))),
-          "centroid_id")
+    // probe: candidates of the selected (query, cell) rows, exact-ranked.
+    // The selection is materialized once and its distinct cell ids
+    // (driver collect ≤ nCentroids, the LexicalSearch bucket pattern)
+    // are pushed as a STATIC `isin` partition filter — the cells scan
+    // prunes to the probed `centroid_id=` directories at planning time
+    // instead of reading the whole index and relying on DPP to fire.
+    def probe(sel: DataFrame): DataFrame = {
+      val selM = sel.select(col(queryIdCol), col(queryVecCol), col("centroid_id"))
+        .localCheckpoint()
+      val probed = selM.select("centroid_id").distinct()
+        .collect().map(_.get(0)).toSeq
+      cells.filter(col("centroid_id").isin(probed: _*))
+        .join(broadcast(selM), "centroid_id")
         .withColumn("sim", cosine_sim(col(embCol), col(queryVecCol)))
         .filter(col("sim") > threshold)
         .select(col(queryIdCol), col(idCol), col("sim"))
+    }
 
     val wTop = Window.partitionBy(col(queryIdCol))
       .orderBy(col("sim").desc, col(idCol).asc)
@@ -349,7 +358,17 @@ object IvfIndex {
       .join(floor, Seq("query_id"), "left")
       .filter(col("ub_sim") >= coalesce(col("floor_sim"), lit(-1.0)))
       .select(col("query_id"), col("__qv"), col("centroid_id"))
-    val pass2 = rank(corpus.join(probeSel, "centroid_id"))
+      .localCheckpoint()
+    // foreign probes re-read the index pruned to the probed cells: the
+    // distinct probed ids (≤ nCentroids, driver-bounded) become a
+    // static partition filter, so on a clustered corpus — where pass-2
+    // touches few cells — the second scan reads only those directories
+    val probedIds = probeSel.select("centroid_id").distinct()
+      .collect().map(_.get(0)).toSeq
+    val prunedCorpus = spark.read.parquet(s"$indexPath/cells")
+      .filter(col("centroid_id").isin(probedIds: _*))
+      .select(col(idCol), col(embCol), col("centroid_id"))
+    val pass2 = rank(prunedCorpus.join(probeSel, "centroid_id"))
 
     pass1.unionByName(pass2)
       .withColumn("rn", row_number().over(wTop).cast("long"))
@@ -510,7 +529,17 @@ object IvfIndex {
           bound(col("__rneg")) >= coalesce(col("floor_neg"), lit(-1.0)))
     val probeSel = base.filter(col("__pos_ok") || col("__neg_ok"))
       .select(col("query_id"), col("__qv"), col("__qlabel"), col("centroid_id"))
-    val pass2 = rank(corpus.join(probeSel, "centroid_id"))
+      .localCheckpoint()
+    // same static-pruning discipline as [[selfKnnGraph]]: pass 2 reads
+    // only the probed cell directories (labels re-attached to just
+    // those rows)
+    val probedIds = probeSel.select("centroid_id").distinct()
+      .collect().map(_.get(0)).toSeq
+    val prunedCorpus = spark.read.parquet(s"$indexPath/cells")
+      .filter(col("centroid_id").isin(probedIds: _*))
+      .select(col(idCol), col(embCol), col("centroid_id"))
+      .join(labels.select(col(idCol), col(labelCol).as("__clabel")), Seq(idCol))
+    val pass2 = rank(prunedCorpus.join(probeSel, "centroid_id"))
 
     val best = pass1.unionByName(pass2)
       .withColumn("rn", row_number().over(wSide))

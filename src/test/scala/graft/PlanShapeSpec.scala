@@ -135,6 +135,32 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "expected aggregated inputs under the model joins:\n" + plan.take(2500))
   }
 
+  test("IVF probes prune the cells scan with a static partition filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-prune").toString
+    val e = Tables(spark, Sf0001, "embeddings")
+    graft.query.IvfIndex.build(e.select("vec_id", "embedding"),
+      "vec_id", "embedding", dir, graft.query.IvfIndex.Params(nCentroids = 8))
+    // a scan carrying "PartitionFilters: [centroid_id ... IN (...)]" is
+    // the static pruning contract: the probed cell ids were collected
+    // (bounded by nCentroids) and pushed at plan time, so only the
+    // probed centroid_id= directories are read — DPP never needs to fire
+    def pruned(df: org.apache.spark.sql.DataFrame): Boolean =
+      "PartitionFilters: \\[centroid_id[^\\]]{0,200}? IN ".r
+        .findFirstIn(df.queryExecution.executedPlan.toString).isDefined
+
+    val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("qvec"))
+    assert(pruned(graft.query.IvfIndex.queryTopK(spark, dir, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, threshold = 0.0)),
+      "q39-shape probe scan not statically pruned")
+    assert(pruned(graft.query.IvfIndex.selfKnnGraph(spark, dir, "vec_id", "embedding", 5)),
+      "q77-shape pass-2 scan not statically pruned")
+    assert(pruned(graft.query.IvfIndex.contrastivePairs(spark, dir, "vec_id", "embedding",
+        e.select("vec_id", "label"), "label")),
+      "q82-shape pass-2 scan not statically pruned")
+  }
+
   test("q64 packing shuffles once on the shard key before the typed fold") {
     val qe = graft.pipeline.SequencePacker.pack(spark, Sf0001).queryExecution
     val plan = qe.executedPlan.toString
