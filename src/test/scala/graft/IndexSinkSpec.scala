@@ -45,4 +45,53 @@ class IndexSinkSpec extends AnyFunSuite with SharedSpark {
     val e = intercept[Exception](sink.write(df, SaveMode.Append))
     assert(!e.isInstanceOf[IllegalArgumentException])
   }
+
+  test("JdbcSink round-trips through a real JDBC database (embedded Derby)") {
+    // Derby ships on the Spark classpath, so this exercises the sink
+    // end-to-end through an actual JDBC connection: write the serving
+    // rows, read them back over JDBC, and parse the two wire shapes —
+    // comma-joined vector body and JSON metadata — back into the
+    // source values
+    val dbDir = java.nio.file.Files.createTempDirectory("graft-derby").toString
+    val url = s"jdbc:derby:$dbDir/servedb;create=true"
+    val driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    val src = IngestJob.index(spark, Sf0001).limit(20).cache()
+    JdbcSink(url, "graft_index", Map("driver" -> driver))
+      .write(src, SaveMode.Overwrite)
+
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "graft_index")
+      .option("driver", driver).load()
+    assert(back.count() == src.count())
+
+    // vector wire shape parses back to the exact float embedding
+    def key(c: String) = col(c).cast("long")
+    val parsed = back.select(key("doc_id"), key("chunk_id"), key("piece_id"),
+        split(col("embedding"), ",").cast("array<float>").as("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getSeq[Float](3))
+      .toMap
+    val want = src.select(key("doc_id"), key("chunk_id"), key("piece_id"),
+        col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getSeq[Float](3))
+      .toMap
+    assert(parsed == want)
+
+    // JSON metadata wire shape parses back to the source struct fields
+    val metaSchema = src.schema("metadata").dataType
+    val metaBack = back.select(key("doc_id"), key("chunk_id"), key("piece_id"),
+        from_json(col("metadata"), metaSchema).as("m"))
+      .select(col("doc_id"), col("chunk_id"), col("piece_id"),
+        col("m.header").as("header"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getString(3))
+      .toMap
+    val metaWant = src.select(key("doc_id"), key("chunk_id"), key("piece_id"),
+        col("metadata.header"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getString(3))
+      .toMap
+    assert(metaBack == metaWant)
+    src.unpersist()
+  }
 }
