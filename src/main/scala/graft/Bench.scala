@@ -39,7 +39,11 @@ object Bench {
     "q51_bucketed_join" -> "bucketed_tables",
     "q73_lexical_index_topk" -> "lexical_index",
     "q85_ivf_upsert" -> "ivf_upsert",
-    "q89_lex_upsert" -> "lex_upsert")
+    "q89_lex_upsert" -> "lex_upsert",
+    // q100 sorts first in the sweep, so the curation-store build (which
+    // also warms the session LSH pair cache) is priced here; q97 then
+    // reads the same store warm
+    "q100_best_of_cluster" -> "curation_store")
 
   /** Fixed contention-calibration kernel: a deterministic CPU + shuffle
     * probe whose clean-box cost is recorded in the standing baseline

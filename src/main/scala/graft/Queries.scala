@@ -99,6 +99,25 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** Q97/Q100 via the maintained curation-signal store (cluster labels
+    * + frozen-LM scores persisted once, read per query — see
+    * [[graft.pipeline.CurationStore]]): same outputs and oracles as
+    * the recompute paths ([[Dedup.q97LeakageSafeSplit]] /
+    * [[Dedup.q100BestOfCluster]]), with the LSH + LM passes priced in
+    * the bench `builds` map instead of re-paid per run.
+    */
+  def q97LeakageSafeSplitStored(spark: SparkSession, dir: String): DataFrame = {
+    val work = indexWorkDir("curation", dir)
+    buildOnce(work)(graft.pipeline.CurationStore.build(spark, dir, work))
+    graft.pipeline.CurationStore.leakageSafeSplit(spark, work)
+  }
+
+  def q100BestOfClusterStored(spark: SparkSession, dir: String): DataFrame = {
+    val work = indexWorkDir("curation", dir)
+    buildOnce(work)(graft.pipeline.CurationStore.build(spark, dir, work))
+    graft.pipeline.CurationStore.bestOfCluster(spark, work)
+  }
+
   /** Q77: exact k-NN GRAPH over the corpus via the persisted IVF index
     * (shared with q39 — one index, two query patterns): every vector's
     * 5 nearest neighbors, self excluded. Unlike q39's point-batch probe,
@@ -494,11 +513,11 @@ object Queries {
     "q96_shard_manifest" ->
       (graft.pipeline.ScalableWindow.q96ShardManifest _),
     "q97_leakage_safe_split" ->
-      ((s: SparkSession, d: String) => Dedup.q97LeakageSafeSplit(s, d)),
+      ((s: SparkSession, d: String) => q97LeakageSafeSplitStored(s, d)),
     "q98_budget_waterfill" -> (Sampling.q98BudgetWaterfill _),
     "q99_quota_gate" -> (Sampling.q99QuotaGate _),
     "q100_best_of_cluster" ->
-      ((s: SparkSession, d: String) => Dedup.q100BestOfCluster(s, d)))
+      ((s: SparkSession, d: String) => q100BestOfClusterStored(s, d)))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic

@@ -558,16 +558,25 @@ object TextAnalysis {
     * V is a broadcast 1-row scalar. Head-bigram skew in the join is
     * AQE's skew-join case.
     */
-  def q94LmQuality(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.parallelize(Tables(spark, dir, "documents"))
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-    val vocab = toks.select(explode(col("t")).as("w"))
-      .agg(count_distinct(col("w")).as("vsz"))
-    val trans = toks.filter(size(col("t")) >= 2)
+  /** Per-doc token arrays / word transitions of q94's LM — shared with
+    * [[CurationStore]] so the frozen-model scoring path tokenizes and
+    * windows EXACTLY like the model build did.
+    */
+  private[pipeline] def lmToks(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("t"))
+
+  private[pipeline] def lmTrans(toks: DataFrame): DataFrame =
+    toks.filter(size(col("t")) >= 2)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2))"))
         .as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
+  def q94LmQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = lmToks(Tables.parallelize(Tables(spark, dir, "documents")))
+    val vocab = toks.select(explode(col("t")).as("w"))
+      .agg(count_distinct(col("w")).as("vsz"))
+    val trans = lmTrans(toks)
     val c1 = trans.groupBy("w1").agg(count(lit(1)).as("c1"))
     val c12 = trans.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val perDoc = trans.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
