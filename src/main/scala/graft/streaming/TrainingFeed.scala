@@ -1,0 +1,179 @@
+package graft.streaming
+
+import graft.query.IvfIndex
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** The COMPOSED continuous training-data pipeline: one micro-batch
+  * step chaining the four admission stages every per-operator face
+  * ships separately —
+  *
+  *   exact dedup  →  near-dup admission  →  per-source quota gate
+  *                →  ANN index maintenance
+  *
+  * with every stage's cross-batch state persisted under `workDir`:
+  *
+  *   - `shas/`     seen payload hashes (exact-dedup state; a payload
+  *     seen once never re-enters, even if a later stage rejected it —
+  *     [[StreamingDedup]]'s first-occurrence contract).
+  *   - `neardup/`  [[StreamingNearDup]]'s probe index: only documents
+  *     that stage ADMITS are indexed, so the corpus side stays
+  *     mutually non-duplicate.
+  *   - `gated/batch=N/` the quota verdict ledger, one partition per
+  *     micro-batch (doc_id, source, n_tokens, cum_tokens, admitted).
+  *     [[StreamingQuota]] semantics: every gated document's tokens
+  *     consume budget, admission is `cum ≤ quota`.
+  *   - `index/`    the IVF index over finally-admitted documents
+  *     (built on first admission, [[IvfIndex.upsert]]-maintained
+  *     after).
+  *   - `applied_batch` the replay fence, written LAST.
+  *
+  * Restart contract (the composed version of the per-operator fences):
+  * a batch id at or below the fence is a no-op; a crash inside the
+  * step replays it, and each write degrades instead of corrupting —
+  * the near-dup probe join discards self-matches (corpus ids <
+  * batch ids), the quota ledger partition is reused if it already
+  * exists (first write wins, so budgets are never double-counted),
+  * the index upsert can at worst duplicate one batch's rows
+  * (surfaced, never silently dropped — [[IndexMaintenance]]'s
+  * documented at-least-once window), and the seen-sha append runs
+  * last so exact-dedup can never eat a batch the downstream stages
+  * haven't finished. Feed ids must increase across batches (the
+  * ordered-feed contract all streaming faces share).
+  *
+  * 100 TB shape: per-batch cost scales with the batch — its shas,
+  * its band buckets, its per-source counters (one long each), its
+  * upsert — never with the corpus.
+  */
+object TrainingFeed {
+
+  case class Config(
+      quotas: Map[String, Long],
+      threshold: Double = 0.5,
+      embedDim: Int = 16,
+      nCentroids: Int = 8)
+
+  private def fs(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def exists(spark: SparkSession, dir: String): Boolean =
+    fs(spark, dir).exists(new org.apache.hadoop.fs.Path(dir))
+
+  /** Whitespace token count, Python-split parity (empty → 0; regex
+    * trim because Spark's `trim` strips spaces only).
+    */
+  def tokenCount(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val t = regexp_replace(text, "^\\s+|\\s+$", "")
+    when(length(t) === 0, 0L)
+      .otherwise(size(split(t, "\\s+")).cast("long"))
+  }
+
+  /** Apply one micro-batch (doc_id, text, source) through the chain.
+    * Exposed for direct testing of the replay behavior; [[start]]
+    * wires it through foreachBatch.
+    */
+  def step(batch: DataFrame, batchId: Long, workDir: String, cfg: Config): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    if (batchId <= IndexMaintenance.lastApplied(spark, workDir) || batch.isEmpty)
+      return
+    val docs = batch
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
+      .localCheckpoint()
+
+    // ---- stage 1: exact dedup (first occurrence per payload sha) ----
+    val wSha = Window.partitionBy("content_sha").orderBy("doc_id")
+    val firstPerSha = docs
+      .withColumn("content_sha", sha2(col("text"), 256))
+      .withColumn("__rn", row_number().over(wSha))
+      .filter(col("__rn") === 1).drop("__rn")
+    val shasPath = s"$workDir/shas"
+    val fresh =
+      (if (exists(spark, shasPath))
+         firstPerSha.join(spark.read.parquet(shasPath), Seq("content_sha"), "left_anti")
+       else firstPerSha).localCheckpoint()
+
+    val gatedDir = s"$workDir/gated/batch=$batchId"
+    val gated =
+      if (exists(spark, gatedDir)) spark.read.parquet(gatedDir)
+      else {
+        // ---- stage 2: near-dup admission (persisted probe index) ----
+        val verdicts = StreamingNearDup.admissionStep(
+          fresh.select("doc_id", "text"), s"$workDir/neardup", cfg.threshold)
+        val ndOk = fresh
+          .join(verdicts.filter(col("admitted")).select("doc_id"), "doc_id")
+
+        // ---- stage 3: per-source quota gate ----
+        val gatedPath = s"$workDir/gated"
+        val prior =
+          if (exists(spark, gatedPath))
+            spark.read.parquet(gatedPath)
+              .groupBy("source").agg(sum("n_tokens").as("__consumed"))
+          else spark.emptyDataset[(String, Long)].toDF("source", "__consumed")
+        val quotasDf = cfg.quotas.toSeq.toDF("source", "__quota")
+        val wSrc = Window.partitionBy("source").orderBy("doc_id")
+        val g = ndOk
+          .withColumn("n_tokens", tokenCount(col("text")))
+          .join(broadcast(prior), Seq("source"), "left")
+          .join(broadcast(quotasDf), Seq("source"), "left")
+          .withColumn("cum_tokens",
+            sum("n_tokens").over(wSrc) + coalesce(col("__consumed"), lit(0L)))
+          .withColumn("admitted",
+            col("cum_tokens") <= coalesce(col("__quota"), lit(0L)))
+          .select("doc_id", "source", "n_tokens", "cum_tokens", "admitted")
+          .localCheckpoint()
+        g.write.mode("overwrite").parquet(gatedDir)
+        g
+      }
+
+    // ---- stage 4: index maintenance over the finally admitted ----
+    // own fence (inside the index dir, [[IndexMaintenance]] shape): a
+    // replay whose quota ledger already existed must not upsert the
+    // same rows twice
+    val indexPath = s"$workDir/index"
+    if (batchId > IndexMaintenance.lastApplied(spark, indexPath)) {
+      val vecs = gated.filter(col("admitted"))
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(col("doc_id"),
+          graft.functions.hash_embed(col("text"), lit(cfg.embedDim)).as("embedding"))
+        .localCheckpoint()
+      val n = vecs.count()
+      if (n > 0) {
+        if (!exists(spark, s"$indexPath/cells_meta"))
+          IvfIndex.build(vecs, "doc_id", "embedding", indexPath,
+            IvfIndex.Params(nCentroids = math.min(cfg.nCentroids.toLong, n).toInt))
+        else
+          IvfIndex.upsert(spark, indexPath, "doc_id", "embedding", vecs)
+      }
+      Seq(batchId).toDF("applied_batch_id")
+        .write.mode("overwrite").parquet(s"$indexPath/applied_batch")
+    }
+
+    // ---- seen-payload shas (LAST state write before the fence) ----
+    fresh.select("content_sha").write.mode("append").parquet(shasPath)
+    Seq(batchId).toDF("applied_batch_id")
+      .write.mode("overwrite").parquet(s"$workDir/applied_batch")
+  }
+
+  /** Wire a (doc_id, text, source) stream through [[step]]. */
+  def start(
+      stream: DataFrame,
+      workDir: String,
+      checkpoint: String,
+      cfg: Config): StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        step(batch, batchId, workDir, cfg)
+      }
+      .start()
+
+  /** The admitted feed so far: the quota ledger's admitted rows. */
+  def admittedFeed(spark: SparkSession, workDir: String): DataFrame =
+    spark.read.parquet(s"$workDir/gated")
+      .filter(col("admitted"))
+      .select("doc_id", "source", "n_tokens", "cum_tokens")
+}

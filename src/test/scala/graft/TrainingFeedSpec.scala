@@ -1,0 +1,180 @@
+package graft
+
+import graft.pipeline.Dedup
+import graft.streaming.TrainingFeed
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end spec of the COMPOSED streaming pipeline: ingest → exact
+  * dedup → near-dup admission → quota gate → index maintenance as one
+  * continuous chained query, with a query restart mid-feed and crash
+  * replays of the final batch. The reference is the sequential fold of
+  * the four stage contracts over arrival order.
+  */
+class TrainingFeedSpec extends AnyFunSuite with SharedSpark {
+
+  private def tempDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"feed-$tag").toString
+
+  private def sha256(t: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def wsTokens(t: String): Long = {
+    val tt = t.trim
+    if (tt.isEmpty) 0L else tt.split("\\s+").length.toLong
+  }
+
+  /** The feed: 200 fixture docs renumbered to sequential ids with 30
+    * EXACT duplicates of earlier payloads injected mid-stream (the
+    * fixture itself has no identical texts, so stage 1 needs them to
+    * bite), then 40 more originals.
+    */
+  private lazy val feed: Seq[(Long, String, String)] = {
+    val base = Tables(spark, Sf0001, "documents")
+      .select("doc_id", "text", "source").orderBy("doc_id").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val entries = base.take(160) ++
+      base.slice(20, 50) ++ // exact duplicates, re-sent later
+      base.slice(160, 200)
+    entries.zipWithIndex.map { case ((t, s), i) => (i.toLong, t, s) }
+  }
+
+  /** Sequential reference fold; returns (admitted rows with cum
+    * tokens, exact-survivor count, near-dup-admitted ids).
+    */
+  private def reference(
+      quotas: Map[String, Long]): (Seq[(Long, String, Long, Long)], Seq[Long], Seq[Long]) = {
+    import spark.implicits._
+    // stage 1: first occurrence per payload
+    val seen = scala.collection.mutable.Set.empty[String]
+    val fresh = feed.filter { case (_, t, _) => seen.add(sha256(t)) }
+    // stage 2: greedy near-dup over the survivors, pair relation = the
+    // engine's own exact-verified pairs (DedupEquivalenceSpec proves
+    // them equal to all-pairs Jaccard)
+    val freshDf = fresh.toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("text"))
+      .filter(length(col("text")) >= Dedup.GramLen)
+    val sigs = freshDf.select(col("doc_id"),
+      graft.functions.minhash_text(
+        col("text"), lit(Dedup.GramLen), lit(Dedup.NumHashes)).as("sig"))
+    val adj = scala.collection.mutable.Map
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    Dedup.nearDupPairs(freshDf, sigs, 0.5).collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+    }
+    val ndAdmitted = scala.collection.mutable.LinkedHashSet.empty[Long]
+    fresh.foreach { case (id, _, _) =>
+      if (!adj.getOrElse(id, Seq.empty).exists(ndAdmitted)) ndAdmitted += id
+    }
+    // stage 3: per-source budget fold (every doc consumes)
+    val consumed = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val admitted = fresh.filter(f => ndAdmitted(f._1)).flatMap { case (id, t, s) =>
+      val n = wsTokens(t)
+      consumed(s) += n
+      if (consumed(s) <= quotas.getOrElse(s, 0L))
+        Some((id, s, n, consumed(s)))
+      else None
+    }
+    (admitted, fresh.map(_._1), ndAdmitted.toSeq)
+  }
+
+  test("chained stream with mid-feed restart equals the sequential fold; replays are no-ops") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // quotas at ~60% of each source's near-dup-admitted token mass so
+    // the gate genuinely rejects
+    val tokBySource = {
+      val unlimited = feed.map(_._3).distinct.map(_ -> Long.MaxValue / 4).toMap
+      val (_, _, nd) = reference(unlimited)
+      val ndSet = nd.toSet
+      feed.filter(f => ndSet(f._1))
+        .groupBy(_._3).map { case (s, fs) => s -> fs.map(f => wsTokens(f._2)).sum }
+    }
+    val quotas = tokBySource.map { case (s, t) => s -> (t * 6 / 10) }
+    val cfg = TrainingFeed.Config(quotas = quotas)
+    val (wantAdmitted, wantFresh, wantNd) = reference(quotas)
+    assert(wantFresh.size < feed.size, "exact dedup must bite")
+    assert(wantNd.size < wantFresh.size, "near-dup admission must bite")
+    assert(wantAdmitted.size < wantNd.size, "quota gate must bite")
+
+    val work = tempDir("work"); val ckpt = tempDir("ckpt")
+    val input = MemoryStream[(Long, String, String)]
+    val stream = input.toDS().toDF("doc_id", "text", "source")
+    // two batches, then STOP the query (simulated shutdown), restart
+    // from the same checkpoint, two more batches
+    val q1 = TrainingFeed.start(stream, work, ckpt, cfg)
+    try {
+      input.addData(feed.take(90))
+      q1.processAllAvailable()
+      input.addData(feed.slice(90, 170))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = TrainingFeed.start(stream, work, ckpt, cfg)
+    try {
+      input.addData(feed.slice(170, 171))
+      q2.processAllAvailable()
+      input.addData(feed.drop(171))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    // admitted feed equals the fold: ids, sources, tokens, budgets
+    def admittedNow() = TrainingFeed.admittedFeed(spark, work)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(admittedNow() == wantAdmitted.toSet)
+    // no duplicate payloads anywhere past stage 1, and no quota breach
+    val gated = spark.read.parquet(s"$work/gated")
+    assert(gated.select("doc_id").distinct().count() == gated.count())
+    val byId = feed.map(f => f._1 -> f._2).toMap
+    val admittedTexts = admittedNow().toSeq.map(a => byId(a._1))
+    assert(admittedTexts.distinct.size == admittedTexts.size)
+    for ((s, cum) <- admittedNow().groupBy(_._2).map { case (s, rows) => s -> rows.map(_._4).max })
+      assert(cum <= quotas(s), s"source $s over quota")
+
+    // the maintained index holds exactly the admitted ids, and its
+    // answers equal a fresh batch build over the same vectors
+    val indexed = spark.read.parquet(s"$work/index/cells")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(indexed == wantAdmitted.map(_._1).toSet)
+    val vecs = feed.filter(f => indexed(f._1)).toDF("doc_id", "text", "source")
+      .select(col("doc_id"),
+        graft.functions.hash_embed(col("text"), lit(cfg.embedDim)).as("embedding"))
+    val queries = vecs.limit(5)
+      .select(col("doc_id").as("query_id"), col("embedding").as("qvec"))
+    val fresh = tempDir("freshidx")
+    graft.query.IvfIndex.build(vecs, "doc_id", "embedding", fresh,
+      graft.query.IvfIndex.Params(nCentroids = cfg.nCentroids))
+    def topk(path: String) = graft.query.IvfIndex
+      .queryTopK(spark, path, "doc_id", "embedding", queries, "query_id", "qvec",
+        k = 5, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(topk(s"$work/index") == topk(fresh))
+
+    // fenced replay: re-running the last batch id is a complete no-op
+    val lastBatch = feed.drop(171).toDF("doc_id", "text", "source")
+    val cellsBefore = spark.read.parquet(s"$work/index/cells").count()
+    val shaBefore = spark.read.parquet(s"$work/shas").count()
+    TrainingFeed.step(lastBatch, 3L, work, cfg)
+    assert(admittedNow() == wantAdmitted.toSet)
+    assert(spark.read.parquet(s"$work/index/cells").count() == cellsBefore)
+    assert(spark.read.parquet(s"$work/shas").count() == shaBefore)
+
+    // crash replay INSIDE the fence window (chain fence lost after all
+    // state writes): the guards — reused quota ledger, index fence,
+    // self-match-proof probe — make the rerun converge to the same
+    // state instead of double-counting or self-rejecting
+    fs(work).delete(new org.apache.hadoop.fs.Path(s"$work/applied_batch"), true)
+    TrainingFeed.step(lastBatch, 3L, work, cfg)
+    assert(admittedNow() == wantAdmitted.toSet)
+    assert(spark.read.parquet(s"$work/index/cells").count() == cellsBefore)
+  }
+
+  private def fs(dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+}
