@@ -517,7 +517,9 @@ object Queries {
     "q98_budget_waterfill" -> (Sampling.q98BudgetWaterfill _),
     "q99_quota_gate" -> (Sampling.q99QuotaGate _),
     "q100_best_of_cluster" ->
-      ((s: SparkSession, d: String) => q100BestOfClusterStored(s, d)))
+      ((s: SparkSession, d: String) => q100BestOfClusterStored(s, d)),
+    "q101_repeated_spans" ->
+      ((s: SparkSession, d: String) => Dedup.q101RepeatedSpans(s, d)))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -1401,6 +1403,29 @@ object Queries {
         |SELECT d1, d2, count(*)::BIGINT AS n_matches,
         |  count(DISTINCT win)::BIGINT AS n_windows
         |FROM p GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin,
+    // q101: merged maximal runs of q92's windows — diagonal (p1-p2) +
+    // gaps-and-islands run grouping, expressed identically here
+    "q101_repeated_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i AS p, list_aggr(toks[i:i+7], 'string_agg', ' ') AS win
+        |  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)),
+        |m AS (
+        |  SELECT a.doc_id AS d1, b.doc_id AS d2, a.p AS p1, b.p AS p2
+        |  FROM w a JOIN w b ON a.win = b.win AND a.doc_id < b.doc_id),
+        |r AS (
+        |  SELECT d1, d2, p1 - p2 AS diag,
+        |    p1 - row_number() OVER (PARTITION BY d1, d2, p1 - p2 ORDER BY p1) AS isl
+        |  FROM m),
+        |s AS (
+        |  SELECT d1, d2, count(*) AS n_win
+        |  FROM r GROUP BY d1, d2, diag, isl)
+        |SELECT d1, d2, count(*)::BIGINT AS n_spans,
+        |  max(n_win + 7)::BIGINT AS max_span_tokens,
+        |  sum(n_win + 7)::BIGINT AS total_span_tokens
+        |FROM s GROUP BY d1, d2 ORDER BY d1, d2""".stripMargin,
     // the streaming as-of fold must equal DuckDB's native inclusive
     // ASOF JOIN; reference ties at one (user, ts) resolve to the max
     // event id on both sides (fold's last write == arg_max)

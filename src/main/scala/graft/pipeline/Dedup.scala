@@ -621,6 +621,67 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** Q101: MERGED-SPAN repeated-passage detection — [[q92RepeatedPassages]]
+    * extended from fixed k-token windows to maximal matching runs, the
+    * shape Lee et al. 2022 actually deduplicate on: adjacent matching
+    * windows (consecutive start positions in BOTH documents) collapse
+    * into one span of `k + run_len - 1` tokens, so a 50-token shared
+    * passage reports as ONE span of 50 tokens instead of 43 overlapping
+    * 8-token windows.
+    *
+    * Shape: the q92 candidate machinery (position-carrying this time —
+    * runs need start offsets), then pure window-function run merging:
+    * a match (p1, p2) lies on diagonal p1 − p2, and consecutive p1
+    * within a diagonal form one run (the gaps-and-islands idiom:
+    * island id = p1 − row_number over the diagonal). One extra shuffle
+    * on (d1, d2) beyond q92, over post-cap match rows only.
+    *
+    * The occupancy cap here bounds OCCURRENCE rows per window hash
+    * (positions matter, so occurrences cannot pre-aggregate the way
+    * q92's counts do) — strictly tighter than q92's per-doc cap, same
+    * logged-drop contract.
+    *
+    * Output per (d1 < d2): n_spans, max_span_tokens, total_span_tokens.
+    */
+  def q101RepeatedSpans(
+      spark: SparkSession,
+      dir: String,
+      k: Int = 8,
+      maxOccurrencesPerWindow: Int = 1000): DataFrame = {
+    val docs = Tables.parallelize(Tables(spark, dir, "documents"))
+    val wins = docs.select(
+        col("doc_id"),
+        posexplode(TextAnalysis.wordGrams(split(trim(col("text")), "\\s+"), k)))
+      .select(col("doc_id"), col("pos").as("p"), col("col").as("win"),
+        xxhash64(col("col")).as("h"))
+    val multiDoc = wins.groupBy("h")
+      .agg(min("doc_id").as("__mn"), max("doc_id").as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select("h")
+    val cand = graft.util.BucketGuard.capOccupancy(
+      wins.join(multiDoc, "h"), Seq("h"), maxOccurrencesPerWindow,
+      "q101 repeated-span window")
+    val matches = cand.as("a")
+      .join(cand.as("b"),
+        col("a.h") === col("b.h") && col("a.win") === col("b.win") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+        col("a.p").as("p1"), col("b.p").as("p2"))
+    val wIsl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d1"), col("d2"), col("diag")).orderBy(col("p1"))
+    matches
+      .withColumn("diag", col("p1") - col("p2"))
+      .withColumn("isl", col("p1") - row_number().over(wIsl))
+      .groupBy("d1", "d2", "diag", "isl")
+      .agg(count(lit(1)).as("n_win"))
+      .groupBy("d1", "d2")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        max(col("n_win") + lit(k - 1)).cast("long").as("max_span_tokens"),
+        sum(col("n_win") + lit(k - 1)).cast("long").as("total_span_tokens"))
+      .orderBy("d1", "d2")
+  }
+
   /** Q25: embedding-cosine near-dup via the LSH-bucketed ANN join (B-3/B-4
     * scale path) — same output contract as [[cosineNearDup]] and verified
     * against the same exact DuckDB oracle; candidates come from hash

@@ -95,4 +95,77 @@ class RepeatedPassagesSpec extends AnyFunSuite with SharedSpark {
       i -> (1 to 12).map(j => s"w${i}_$j").mkString(" "))
     assert(run(docs, k = 8).isEmpty)
   }
+
+  /** In-memory merged-span reference: diagonal runs over exact window
+    * matches, per (d1 < d2): (n_spans, max_span_tokens, total_span_tokens).
+    */
+  private def refSpans(
+      docs: Seq[(Long, String)], k: Int): Map[(Long, Long), (Long, Long, Long)] = {
+    val wins = docs.map { case (id, t) =>
+      id -> t.trim.split("\\s+").toSeq.sliding(k).filter(_.size == k)
+        .map(_.mkString(" ")).toVector
+    }
+    val out = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long, Long)]
+    for ((d1, w1) <- wins; (d2, w2) <- wins if d1 < d2) {
+      val matches = for {
+        (a, i) <- w1.zipWithIndex; (b, j) <- w2.zipWithIndex if a == b
+      } yield (i, j)
+      if (matches.nonEmpty) {
+        val runs = matches.groupBy { case (i, j) => i - j }.toSeq.flatMap {
+          case (_, ps) =>
+            val sorted = ps.map(_._1).sorted
+            // split consecutive-i runs within the diagonal
+            sorted.foldLeft(List.empty[List[Int]]) {
+              case (acc @ (h :: rest), i) if h.head == i - 1 => (i :: h) :: rest
+              case (acc, i) => List(i) :: acc
+            }.map(_.size)
+        }
+        out((d1, d2)) = (
+          runs.size.toLong,
+          runs.map(_ + k - 1).max.toLong,
+          runs.map(_ + k - 1).sum.toLong)
+      }
+    }
+    out.toMap
+  }
+
+  test("q101 merges adjacent windows into maximal spans") {
+    import spark.implicits._
+    val passage = (1 to 20).map(i => s"p$i").mkString(" ") // 20 shared tokens
+    val docs = Seq(
+      1L -> s"alpha beta $passage gamma delta",
+      2L -> s"$passage one two three four five",
+      // doc 3 shares two DISJOINT 10-token halves of the passage with 1/2
+      3L -> ((1 to 10).map(i => s"p$i").mkString(" ") + " zzz " +
+        (11 to 20).map(i => s"p$i").mkString(" ")),
+      4L -> "nothing shared with anyone here at all in this text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Dedup.q101RepeatedSpans(spark, dir, k = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == refSpans(docs, 4))
+    // the 20-token passage shared by 1 and 2 is ONE maximal span of 20
+    assert(got((1L, 2L)) == ((1L, 20L, 20L)))
+    // docs 1/3 share two disjoint 10-token runs -> two spans of 10
+    assert(got((1L, 3L)) == ((2L, 10L, 20L)))
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("q101 equals the reference on the fixture (sf0.001)") {
+    val docs = Tables(spark, Sf0001, "documents")
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans-fx").toString
+    import spark.implicits._
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Dedup.q101RepeatedSpans(spark, dir, k = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got == refSpans(docs, 8))
+  }
 }
