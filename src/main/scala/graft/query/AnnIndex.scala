@@ -64,9 +64,21 @@ object AnnIndex {
       .setSeed(params.seed)
       .fit(prepared)
 
+  /** Partition-directory count for the persisted index tables. */
+  val IndexBuckets = 64
+
   /** Batch index build (the `spark_approach` named in BASELINE.json):
-    * persist the fitted model and the per-row hash tables as parquet so
-    * query batches rehash only their own side.
+    * persist the fitted model plus two PRUNABLE tables (the
+    * [[graft.streaming.StreamingNearDup]] / lexical-index layout):
+    *
+    *   - `buckets/` (id, table, bucket), parquet-partitioned by a
+    *     (table, bucket)-hash directory key — point probes read only
+    *     the directories the query batch's own hashes land in;
+    *   - `vectors/` (id, embedding), partitioned by an id-hash key —
+    *     exact-verification payloads are fetched for candidate ids'
+    *     buckets only, and each vector is stored ONCE (the previous
+    *     layout duplicated the embedding into every hash-table row of
+    *     a monolithic table that every probe had to scan in full).
     */
   def buildIndex(
       df: DataFrame,
@@ -78,17 +90,25 @@ object AnnIndex {
     val model = fit(prep, params)
     model.write.overwrite().save(s"$outPath/model")
     model.transform(prep)
-      .select(col(idCol), col(embCol), col("hashes"))
-      .write.mode("overwrite").parquet(s"$outPath/hashes")
+      .select(col(idCol), posexplode(col("hashes")))
+      .select(col(idCol), col("pos").as("table"),
+        element_at(vector_to_array(col("col")), 1).cast("long").as("bucket"))
+      .withColumn("__bucket", pmod(hash(col("table"), col("bucket")), lit(IndexBuckets)))
+      .write.mode("overwrite").partitionBy("__bucket").parquet(s"$outPath/buckets")
+    prep.select(col(idCol), col(embCol))
+      .withColumn("__vbucket", pmod(hash(col(idCol)), lit(IndexBuckets)))
+      .write.mode("overwrite").partitionBy("__vbucket").parquet(s"$outPath/vectors")
     model
   }
 
   /** Batch top-k retrieval against a PERSISTED index (the A-14 query
-    * shape at scale): load the fitted model + pre-hashed index rows,
-    * hash only the query batch, bucket-join queries to index rows,
-    * verify candidates with the exact cosine kernel, keep per-query
-    * top-k above the threshold. Approximate: a true neighbor sharing no
-    * bucket with the query is missed (recall rises with
+    * shape at scale): hash only the query batch, probe the bucket
+    * table pruned to the batch's own partition directories, fetch
+    * exact-verification vectors pruned to the candidate ids' buckets,
+    * keep per-query top-k above the threshold. Both driver-side id
+    * collections are bounded by [[IndexBuckets]] — query compilation,
+    * not data movement. Approximate: a true neighbor sharing no bucket
+    * with the query is missed (recall rises with
     * `Params.numHashTables`); every returned similarity is exact.
     *
     * Output: (queryIdCol, idCol, sim, rn) — rn 1..k by descending sim.
@@ -104,26 +124,38 @@ object AnnIndex {
       k: Int,
       threshold: Double): DataFrame = {
     val model = BucketedRandomProjectionLSHModel.load(s"$indexPath/model")
-    val index = spark.read.parquet(s"$indexPath/hashes")
-    val indexBuckets = index
-      .select(col(idCol), col(embCol), posexplode(col("hashes")))
-      .select(col(idCol), col(embCol), col("pos").as("table"),
-        element_at(vector_to_array(col("col")), 1).cast("long").as("bucket"))
     val qPrep = model.transform(
       prepared(queries.select(col(queryIdCol), col(queryVecCol).as(embCol)), queryIdCol, embCol))
     val qBuckets = qPrep
-      .select(col(queryIdCol), col(embCol).as("qvec"), posexplode(col("hashes")))
-      .select(col(queryIdCol), col("qvec"), col("pos").as("table"),
+      .select(col(queryIdCol), posexplode(col("hashes")))
+      .select(col(queryIdCol), col("pos").as("table"),
         element_at(vector_to_array(col("col")), 1).cast("long").as("bucket"))
-    // big index side streams; the query batch broadcasts (small by contract)
-    val cand = indexBuckets.join(broadcast(qBuckets), Seq("table", "bucket"))
-      .select(col(queryIdCol), col(idCol), col(embCol), col("qvec"))
+      .withColumn("__bucket", pmod(hash(col("table"), col("bucket")), lit(IndexBuckets)))
+      .localCheckpoint()
+    val probeBuckets = qBuckets.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ IndexBuckets: bounded
+    // probe: index side pruned + streamed, query buckets broadcast
+    // (small by contract); candidates dedup BEFORE the vector fetch
+    val cand = spark.read.parquet(s"$indexPath/buckets")
+      .filter(col("__bucket").isin(probeBuckets: _*))
+      .join(broadcast(qBuckets.select(col(queryIdCol), col("table"), col("bucket"))),
+        Seq("table", "bucket"))
+      .select(col(queryIdCol), col(idCol))
       .distinct()
+      .localCheckpoint()
+    val vBuckets = cand
+      .select(pmod(hash(col(idCol)), lit(IndexBuckets)).as("__vb"))
+      .distinct().collect().map(_.getInt(0)).toSeq // bounded
+    val qVecs = qPrep.select(col(queryIdCol), col(embCol).as("qvec"))
+    val scored = spark.read.parquet(s"$indexPath/vectors")
+      .filter(col("__vbucket").isin(vBuckets: _*))
+      .join(broadcast(cand), idCol)
+      .join(broadcast(qVecs), queryIdCol)
       .withColumn("sim", cosine_sim(col(embCol), col("qvec")))
       .filter(col("sim") > threshold)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol).asc)
-    cand
+    scored
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
       .select(col(queryIdCol), col(idCol), col("sim"), col("rn"))

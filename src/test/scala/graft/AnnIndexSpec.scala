@@ -10,16 +10,22 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class AnnIndexSpec extends AnyFunSuite with SharedSpark {
 
-  test("buildIndex persists model + hashes; queryTopK serves a batch from disk") {
+  test("buildIndex persists model + prunable tables; queryTopK serves a batch from disk") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-index").toString
     val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
     AnnIndex.buildIndex(e, "vec_id", "embedding", dir)
 
     assert(new java.io.File(s"$dir/model").exists())
-    assert(new java.io.File(s"$dir/hashes").exists())
-    val hashes = spark.read.parquet(s"$dir/hashes")
-    assert(hashes.count() == e.count())
-    assert(hashes.columns.toSet == Set("vec_id", "embedding", "hashes"))
+    // bucket rows: one per (vector, hash table), ids only, partitioned
+    // by the probe directory key; vectors stored once, id-partitioned
+    val buckets = spark.read.parquet(s"$dir/buckets")
+    assert(buckets.count() == e.count() * AnnIndex.Params().numHashTables)
+    assert(buckets.columns.toSet == Set("vec_id", "table", "bucket", "__bucket"))
+    val vectors = spark.read.parquet(s"$dir/vectors")
+    assert(vectors.count() == e.count())
+    assert(vectors.columns.toSet == Set("vec_id", "embedding", "__vbucket"))
+    assert(new java.io.File(s"$dir/buckets").listFiles()
+      .exists(_.getName.startsWith("__bucket=")))
 
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))

@@ -145,7 +145,7 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     // (bounded by nCentroids) and pushed at plan time, so only the
     // probed centroid_id= directories are read — DPP never needs to fire
     def pruned(df: org.apache.spark.sql.DataFrame): Boolean =
-      "PartitionFilters: \\[centroid_id[^\\]]{0,200}? IN ".r
+      "PartitionFilters: \\[centroid_id[^\\]]{0,200}? IN".r
         .findFirstIn(df.queryExecution.executedPlan.toString).isDefined
 
     val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
@@ -159,6 +159,23 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert(pruned(graft.query.IvfIndex.contrastivePairs(spark, dir, "vec_id", "embedding",
         e.select("vec_id", "label"), "label")),
       "q82-shape pass-2 scan not statically pruned")
+  }
+
+  test("LSH queryTopK prunes the vector fetch with a static partition filter") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lsh-prune").toString
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    graft.query.AnnIndex.buildIndex(e, "vec_id", "embedding", dir)
+    val queries = e.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("qvec"))
+    val plan = graft.query.AnnIndex.queryTopK(spark, dir, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, threshold = 0.0)
+      .queryExecution.executedPlan.toString
+    // the exact-verification payload scan reads only the candidate
+    // ids' partition directories (the bucket probe itself is
+    // materialized pre-plan, same collected-ids discipline)
+    assert("PartitionFilters: \\[__vbucket[^\\]]{0,200}? IN".r.findFirstIn(plan).isDefined,
+      "q38-shape vector fetch not statically pruned:\n" + plan.take(2000))
   }
 
   test("q64 packing shuffles once on the shard key before the typed fold") {
