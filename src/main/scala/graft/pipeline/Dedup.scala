@@ -600,17 +600,27 @@ object Dedup {
     // per-(doc, window) occurrence counts; map-side combine collapses
     // each partition's duplicate windows before the shuffle
     val perDoc = wins.groupBy("doc_id", "h", "win").agg(count(lit(1)).as("m"))
-    // hashes spanning ≥ 2 docs
-    val multiDoc = perDoc.groupBy("h")
-      .agg(min("doc_id").as("__mn"), max("doc_id").as("__mx"))
+    // hashes spanning ≥ 2 docs, WITH their occupancy (≈ #docs sharing
+    // the window — one row per (doc, win), collisions are candidates
+    // only) folded into the SAME aggregation: the cap accounting costs
+    // no extra pass over the corpus, only this checkpoint of the
+    // already-small repeated-hash set
+    val hashStats = perDoc.groupBy("h")
+      .agg(min("doc_id").as("__mn"), max("doc_id").as("__mx"),
+        count(lit(1)).as("__occ"))
       .filter(col("__mn") =!= col("__mx"))
-      .select("h")
-    // occupancy on `h` over per-doc rows ≈ number of documents sharing
-    // the window (one row per (doc, win); collisions are candidates
-    // only) — cap it so boilerplate cannot go quadratic
-    val cand = graft.util.BucketGuard.capOccupancy(
-      perDoc.join(multiDoc, "h"), Seq("h"), maxDocsPerWindow,
-      "q92 repeated-passage window")
+      .select("h", "__occ")
+      .localCheckpoint()
+    // boilerplate guard, the BucketGuard logged-drop contract: windows
+    // spanning more docs than the cap are excluded LOUDLY, never silently
+    val over = hashStats.filter(col("__occ") > maxDocsPerWindow).count()
+    if (over > 0)
+      org.slf4j.LoggerFactory.getLogger("graft.BucketGuard").warn(
+        s"q92 repeated-passage window: excluding $over window hash(es) over " +
+          s"occupancy cap $maxDocsPerWindow from candidate generation; run " +
+          "exact dedup upstream to collapse boilerplate clusters first")
+    val multiDoc = hashStats.filter(col("__occ") <= maxDocsPerWindow).select("h")
+    val cand = perDoc.join(multiDoc, "h")
     cand.as("a")
       .join(cand.as("b"),
         col("a.h") === col("b.h") && col("a.win") === col("b.win") &&
@@ -654,13 +664,22 @@ object Dedup {
         posexplode(TextAnalysis.wordGrams(split(trim(col("text")), "\\s+"), k)))
       .select(col("doc_id"), col("pos").as("p"), col("col").as("win"),
         xxhash64(col("col")).as("h"))
-    val multiDoc = wins.groupBy("h")
-      .agg(min("doc_id").as("__mn"), max("doc_id").as("__mx"))
+    // pre-filter + occupancy accounting in ONE aggregation (the q92
+    // shape): occurrence counts here, since positions cannot pre-agg
+    val hashStats = wins.groupBy("h")
+      .agg(min("doc_id").as("__mn"), max("doc_id").as("__mx"),
+        count(lit(1)).as("__occ"))
       .filter(col("__mn") =!= col("__mx"))
-      .select("h")
-    val cand = graft.util.BucketGuard.capOccupancy(
-      wins.join(multiDoc, "h"), Seq("h"), maxOccurrencesPerWindow,
-      "q101 repeated-span window")
+      .select("h", "__occ")
+      .localCheckpoint()
+    val over = hashStats.filter(col("__occ") > maxOccurrencesPerWindow).count()
+    if (over > 0)
+      org.slf4j.LoggerFactory.getLogger("graft.BucketGuard").warn(
+        s"q101 repeated-span window: excluding $over window hash(es) over " +
+          s"occupancy cap $maxOccurrencesPerWindow from candidate generation; " +
+          "run exact dedup upstream to collapse boilerplate clusters first")
+    val multiDoc = hashStats.filter(col("__occ") <= maxOccurrencesPerWindow).select("h")
+    val cand = wins.join(multiDoc, "h")
     val matches = cand.as("a")
       .join(cand.as("b"),
         col("a.h") === col("b.h") && col("a.win") === col("b.win") &&

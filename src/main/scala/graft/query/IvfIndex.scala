@@ -358,11 +358,13 @@ object IvfIndex {
       .join(floor, Seq("query_id"), "left")
       .filter(col("ub_sim") >= coalesce(col("floor_sim"), lit(-1.0)))
       .select(col("query_id"), col("__qv"), col("centroid_id"))
-      .localCheckpoint()
     // foreign probes re-read the index pruned to the probed cells: the
     // distinct probed ids (≤ nCentroids, driver-bounded) become a
     // static partition filter, so on a clustered corpus — where pass-2
-    // touches few cells — the second scan reads only those directories
+    // touches few cells — the second scan reads only those directories.
+    // The id collection recomputes the (cheap, checkpointed-input)
+    // selection COLUMN-PRUNED — materializing the vector-carrying probe
+    // frame just to read its cell ids costs more than this recompute
     val probedIds = probeSel.select("centroid_id").distinct()
       .collect().map(_.get(0)).toSeq
     val prunedCorpus = spark.read.parquet(s"$indexPath/cells")
@@ -529,10 +531,10 @@ object IvfIndex {
           bound(col("__rneg")) >= coalesce(col("floor_neg"), lit(-1.0)))
     val probeSel = base.filter(col("__pos_ok") || col("__neg_ok"))
       .select(col("query_id"), col("__qv"), col("__qlabel"), col("centroid_id"))
-      .localCheckpoint()
     // same static-pruning discipline as [[selfKnnGraph]]: pass 2 reads
     // only the probed cell directories (labels re-attached to just
-    // those rows)
+    // those rows); ids collected from a column-pruned recompute, never
+    // a materialization of the vector-carrying probe frame
     val probedIds = probeSel.select("centroid_id").distinct()
       .collect().map(_.get(0)).toSeq
     val prunedCorpus = spark.read.parquet(s"$indexPath/cells")
