@@ -102,10 +102,14 @@ object CurationStore {
     val sigs = Dedup.minhashSigs(spark, fromCorpus)
     Dedup.minhashBands(sigs)
       .withColumn("__bucket", pmod(hash(col("band"), col("bucket")), lit(IndexBuckets)))
+      // co-locate each bucket in one task — a bare partitionBy write
+      // emits task × bucket tiny files and probe cost is file count
+      .repartition(IndexBuckets, col("__bucket"))
       .write.mode("append").partitionBy("__bucket").parquet(s"$workDir/bands")
     sigs.join(docs, "doc_id")
       .select(col("doc_id"), col("sig"), col("text"))
       .withColumn("__sbucket", pmod(hash(col("doc_id")), lit(IndexBuckets)))
+      .repartition(IndexBuckets, col("__sbucket"))
       .write.mode("append").partitionBy("__sbucket").parquet(s"$workDir/sigdocs")
   }
 
@@ -185,10 +189,13 @@ object CurationStore {
       docs: DataFrame, sigs: DataFrame, workDir: String): Unit = {
     Dedup.minhashBands(sigs)
       .withColumn("__bucket", pmod(hash(col("band"), col("bucket")), lit(IndexBuckets)))
+      // one file per touched bucket per batch (vs task × bucket)
+      .repartition(IndexBuckets, col("__bucket"))
       .write.mode("append").partitionBy("__bucket").parquet(s"$workDir/bands")
     sigs.join(docs.select("doc_id", "text"), "doc_id")
       .select(col("doc_id"), col("sig"), col("text"))
       .withColumn("__sbucket", pmod(hash(col("doc_id")), lit(IndexBuckets)))
+      .repartition(IndexBuckets, col("__sbucket"))
       .write.mode("append").partitionBy("__sbucket").parquet(s"$workDir/sigdocs")
   }
 

@@ -67,6 +67,20 @@ object AnnIndex {
   /** Partition-directory count for the persisted index tables. */
   val IndexBuckets = 64
 
+  /** Per-JVM cache of loaded LSH models keyed by index path — the
+    * production retrieval shape holds the (tiny: numHashTables random
+    * unit vectors) model resident instead of re-reading its parquet on
+    * every query batch. [[buildIndex]] invalidates its path after an
+    * overwrite, so a stale model can never serve a rebuilt index
+    * within one JVM; cross-JVM staleness is impossible (cache is
+    * process-local).
+    */
+  private val modelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, BucketedRandomProjectionLSHModel]()
+  private def loadModel(indexPath: String): BucketedRandomProjectionLSHModel =
+    modelCache.computeIfAbsent(indexPath,
+      p => BucketedRandomProjectionLSHModel.load(s"$p/model"))
+
   /** Batch index build (the `spark_approach` named in BASELINE.json):
     * persist the fitted model plus two PRUNABLE tables (the
     * [[graft.streaming.StreamingNearDup]] / lexical-index layout):
@@ -89,14 +103,22 @@ object AnnIndex {
     val prep = prepared(df, idCol, embCol)
     val model = fit(prep, params)
     model.write.overwrite().save(s"$outPath/model")
+    modelCache.remove(outPath)
     model.transform(prep)
       .select(col(idCol), posexplode(col("hashes")))
       .select(col(idCol), col("pos").as("table"),
         element_at(vector_to_array(col("col")), 1).cast("long").as("bucket"))
       .withColumn("__bucket", pmod(hash(col("table"), col("bucket")), lit(IndexBuckets)))
+      // co-locate each directory's rows in one task before the
+      // partitioned write: without this every shuffle task emits a
+      // file into every directory (tasks × IndexBuckets tiny files;
+      // observed 704 at sf0.1), and probe-time scan overhead is file
+      // count, not bytes
+      .repartition(IndexBuckets, col("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket").parquet(s"$outPath/buckets")
     prep.select(col(idCol), col(embCol))
       .withColumn("__vbucket", pmod(hash(col(idCol)), lit(IndexBuckets)))
+      .repartition(IndexBuckets, col("__vbucket"))
       .write.mode("overwrite").partitionBy("__vbucket").parquet(s"$outPath/vectors")
     model
   }
@@ -105,10 +127,17 @@ object AnnIndex {
     * shape at scale): hash only the query batch, probe the bucket
     * table pruned to the batch's own partition directories, fetch
     * exact-verification vectors pruned to the candidate ids' buckets,
-    * keep per-query top-k above the threshold. Both driver-side id
-    * collections are bounded by [[IndexBuckets]] — query compilation,
-    * not data movement. Approximate: a true neighbor sharing no bucket
-    * with the query is missed (recall rises with
+    * keep per-query top-k above the threshold. Two driver collects:
+    * the transformed query batch (small by contract — it is the
+    * point-lookup input) and the candidate (query, id) pairs, whose
+    * volume is the occupancy of the probed buckets × the batch's
+    * matching hashes — the same boundedness class as the broadcast
+    * hash-join these pairs feed, so collecting them moves no more data
+    * to the driver than broadcasting did. Everything else is literal
+    * frames / isin pruning built from those two collects, keeping the
+    * whole retrieval at 3 Spark jobs (query hash, candidate probe,
+    * pruned scored fetch). Approximate: a true neighbor sharing no
+    * bucket with the query is missed (recall rises with
     * `Params.numHashTables`); every returned similarity is exact.
     *
     * Output: (queryIdCol, idCol, sim, rn) — rn 1..k by descending sim.
@@ -123,34 +152,58 @@ object AnnIndex {
       queryVecCol: String,
       k: Int,
       threshold: Double): DataFrame = {
-    val model = BucketedRandomProjectionLSHModel.load(s"$indexPath/model")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    val model = loadModel(indexPath)
     val qPrep = model.transform(
       prepared(queries.select(col(queryIdCol), col(queryVecCol).as(embCol)), queryIdCol, embCol))
-    val qBuckets = qPrep
-      .select(col(queryIdCol), posexplode(col("hashes")))
-      .select(col(queryIdCol), col("pos").as("table"),
+    // job 1: collect the hashed query batch once — vectors + their
+    // (table, bucket) probes; ≤ batch × numHashTables rows
+    val qPlan = qPrep
+      .select(col(queryIdCol), col(embCol).as("qvec"), posexplode(col("hashes")))
+      .select(col(queryIdCol), col("qvec"), col("pos").as("table"),
         element_at(vector_to_array(col("col")), 1).cast("long").as("bucket"))
       .withColumn("__bucket", pmod(hash(col("table"), col("bucket")), lit(IndexBuckets)))
-      .localCheckpoint()
-    val probeBuckets = qBuckets.select("__bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq // ≤ IndexBuckets: bounded
-    // probe: index side pruned + streamed, query buckets broadcast
-    // (small by contract); candidates dedup BEFORE the vector fetch
-    val cand = spark.read.parquet(s"$indexPath/buckets")
+    val qSchema = qPlan.schema
+    val qRows = qPlan.collect()
+    def fieldsOf(names: Seq[String]) =
+      StructType(names.map(n => qSchema(qSchema.fieldIndex(n))))
+    def literalDf(rows: Seq[Row], names: Seq[String]) =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), fieldsOf(names))
+    val probeBuckets = qRows.map(_.getAs[Int]("__bucket")).distinct.toSeq
+    val qbDf = literalDf(
+      qRows.toSeq.map(r => Row(r.getAs[Any](queryIdCol),
+        r.getAs[Any]("table"), r.getAs[Any]("bucket"))),
+      Seq(queryIdCol, "table", "bucket"))
+    val qVecsDf = literalDf(
+      qRows.toSeq.map(r => r.getAs[Any](queryIdCol) -> r.getAs[Any]("qvec"))
+        .distinct.map { case (id, v) => Row(id, v) },
+      Seq(queryIdCol, "qvec"))
+    // job 2: candidate probe — index side pruned to the batch's own
+    // partition directories + streamed against the literal query
+    // buckets; collected pairs dedup driver-side BEFORE the vector
+    // fetch (dedup here replaces a distinct shuffle + checkpoint)
+    val candPlan = spark.read.parquet(s"$indexPath/buckets")
       .filter(col("__bucket").isin(probeBuckets: _*))
-      .join(broadcast(qBuckets.select(col(queryIdCol), col("table"), col("bucket"))),
-        Seq("table", "bucket"))
-      .select(col(queryIdCol), col(idCol))
-      .distinct()
-      .localCheckpoint()
-    val vBuckets = cand
-      .select(pmod(hash(col(idCol)), lit(IndexBuckets)).as("__vb"))
-      .distinct().collect().map(_.getInt(0)).toSeq // bounded
-    val qVecs = qPrep.select(col(queryIdCol), col(embCol).as("qvec"))
+      .join(broadcast(qbDf), Seq("table", "bucket"))
+      .select(col(queryIdCol), col(idCol),
+        pmod(hash(col(idCol)), lit(IndexBuckets)).as("__vb"))
+    val candSchema = candPlan.schema
+    val candRows = candPlan.collect()
+    val vBuckets = candRows.map(_.getAs[Int]("__vb")).distinct.toSeq
+    val candDf = spark.createDataFrame(
+      java.util.Arrays.asList(
+        candRows.toSeq
+          .map(r => r.getAs[Any](queryIdCol) -> r.getAs[Any](idCol)).distinct
+          .map { case (q, i) => Row(q, i) }: _*),
+      StructType(Seq(candSchema(candSchema.fieldIndex(queryIdCol)),
+        candSchema(candSchema.fieldIndex(idCol)))))
+    // job 3: exact verification against the pruned vector partitions
     val scored = spark.read.parquet(s"$indexPath/vectors")
       .filter(col("__vbucket").isin(vBuckets: _*))
-      .join(broadcast(cand), idCol)
-      .join(broadcast(qVecs), queryIdCol)
+      .join(broadcast(candDf), idCol)
+      .join(broadcast(qVecsDf), queryIdCol)
       .withColumn("sim", cosine_sim(col(embCol), col("qvec")))
       .filter(col("sim") > threshold)
     val w = org.apache.spark.sql.expressions.Window

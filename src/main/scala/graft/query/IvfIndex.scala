@@ -91,6 +91,9 @@ object IvfIndex {
     try {
       assigned
         .select(col(idCol), col(embCol), col("centroid_id"))
+        // co-locate each cell in one task: a bare partitionBy write
+        // emits a file per (task × cell) — scan cost is file count
+        .repartition(col("centroid_id"))
         .write.partitionBy("centroid_id").mode("overwrite")
         .parquet(s"$outPath/cells")
       // one tiny frame per index: each cell's centroid plus the max
@@ -157,6 +160,8 @@ object IvfIndex {
     try {
       assigned
         .select(col(idCol), col(embCol), col("centroid_id"))
+        // one file per touched cell per append (vs task × cell)
+        .repartition(col("centroid_id"))
         .write.partitionBy("centroid_id").mode("append")
         .parquet(s"$indexPath/cells")
       // grow radii to cover the new members; localCheckpoint materializes

@@ -182,6 +182,9 @@ object LexicalSearch {
       .write.mode("overwrite").parquet(s"$workDir/stats")
     postings(docs, idCol, textCol, "__term")
       .withColumn("__bucket", pmod(hash(col("__term")), lit(IndexBuckets)))
+      // co-locate each bucket in one task — a bare partitionBy write
+      // emits task × bucket tiny files and probe cost is file count
+      .repartition(IndexBuckets, col("__bucket"))
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(s"$workDir/postings")
   }
@@ -207,6 +210,8 @@ object LexicalSearch {
       newDocs: DataFrame): Unit = {
     postings(newDocs, idCol, textCol, "__term")
       .withColumn("__bucket", pmod(hash(col("__term")), lit(IndexBuckets)))
+      // one file per touched bucket per append (vs task × bucket)
+      .repartition(IndexBuckets, col("__bucket"))
       .write.mode("append").partitionBy("__bucket")
       .parquet(s"$workDir/postings")
     val add = newDocs

@@ -221,10 +221,13 @@ object StreamingNearDup {
     // ---- index append for the admitted (only non-duplicates enter) ----
     val admittedIds = verdicts.filter(col("admitted")).select("doc_id")
     bands.join(admittedIds, "doc_id")
+      // one file per touched bucket per batch (vs task × bucket)
+      .repartition(IndexBuckets, col("__bucket"))
       .write.mode("append").partitionBy("__bucket").parquet(bandsPath)
     sigs.join(admittedIds, "doc_id")
       .join(docs, "doc_id")
       .withColumn("__sbucket", pmod(hash(col("doc_id")), lit(IndexBuckets)))
+      .repartition(IndexBuckets, col("__sbucket"))
       .write.mode("append").partitionBy("__sbucket").parquet(sigPath)
 
     verdicts
