@@ -75,21 +75,55 @@ object CurationStore {
         Dedup.verifiedNearDupPairs(spark, dir, threshold).select("d1", "d2"))
       .write.mode("overwrite").parquet(s"$workDir/clusters")
 
-    TextAnalysis.q94LmQuality(spark, dir)
-      .write.mode("overwrite").parquet(s"$workDir/scores")
-
-    // frozen model: the count frames q94 trains per run, persisted
+    // frozen model first, from ONE cached tokenization pass (the
+    // regex tokenizer dominates these aggregations; uncached, each of
+    // the three model writes re-tokenized the corpus)
     val toks = TextAnalysis.lmToks(docsAll)
-    val trans = TextAnalysis.lmTrans(toks)
-    trans.groupBy("w1").agg(count(lit(1)).as("c1"))
-      .write.mode("overwrite").parquet(s"$workDir/model/unigrams")
-    trans.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .write.mode("overwrite").parquet(s"$workDir/model/bigrams")
-    toks.select(explode(col("t")).as("w"))
-      .agg(count_distinct(col("w")).as("vsz"))
-      .write.mode("overwrite").parquet(s"$workDir/model/vocab")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val trans = TextAnalysis.lmTrans(toks)
+      trans.groupBy("w1").agg(count(lit(1)).as("c1"))
+        .write.mode("overwrite").parquet(s"$workDir/model/unigrams")
+      trans.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+        .write.mode("overwrite").parquet(s"$workDir/model/bigrams")
+      toks.select(explode(col("t")).as("w"))
+        .agg(count_distinct(col("w")).as("vsz"))
+        .write.mode("overwrite").parquet(s"$workDir/model/vocab")
+
+      // corpus scores UNDER the just-persisted frozen model — the same
+      // code path `append` scores with, and exact-equal to the per-run
+      // q94 recompute because every corpus transition is in the model
+      // (the left joins' unseen-coalesce branches never fire)
+      scoreUnderModel(spark, toks, workDir)
+        .write.mode("overwrite").parquet(s"$workDir/scores")
+    } finally { toks.unpersist(); () }
 
     writeProbeIndex(docsAll.select("doc_id", "text"), spark, dir, workDir)
+  }
+
+  /** Score tokenized documents under the PERSISTED frozen model (left
+    * joins + add-one smoothing: an unseen bigram scores
+    * (0+1)·10^6 div (c1 + V), an unseen head token 10^6 div V — the
+    * additive-smoothing contract). Shared by [[build]] (corpus pass)
+    * and [[append]] (batch pass) so both score bit-identically.
+    */
+  private def scoreUnderModel(
+      spark: SparkSession, toks: DataFrame, workDir: String): DataFrame = {
+    val uni = spark.read.parquet(s"$workDir/model/unigrams")
+    val bi = spark.read.parquet(s"$workDir/model/bigrams")
+    val vocab = spark.read.parquet(s"$workDir/model/vocab")
+    TextAnalysis.lmTrans(toks)
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+      .join(bi, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__ppm",
+        expr("(coalesce(c12, 0) + 1) * 1000000 div (coalesce(c1, 0) + vsz)"))
+      .groupBy("doc_id")
+      .agg(
+        sum("m").cast("long").as("n_trans"),
+        sum(col("m") * col("__ppm")).cast("long").as("sum_prob_ppm"))
+      .withColumn("avg_prob_ppm", expr("sum_prob_ppm div n_trans"))
   }
 
   /** Probe-index rows for a document frame. Signatures come from the
@@ -132,25 +166,7 @@ object CurationStore {
     docs.select("doc_id", "source")
       .write.mode("append").parquet(s"$workDir/docs")
 
-    // ---- frozen-model scoring (left joins + add-one smoothing: an
-    // unseen bigram scores (0+1)·10^6 div (c1 + V), an unseen head
-    // token 10^6 div V — the additive-smoothing contract) ----
-    val uni = spark.read.parquet(s"$workDir/model/unigrams")
-    val bi = spark.read.parquet(s"$workDir/model/bigrams")
-    val vocab = spark.read.parquet(s"$workDir/model/vocab")
-    val perDoc = TextAnalysis.lmTrans(TextAnalysis.lmToks(docs))
-      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
-    perDoc
-      .join(bi, Seq("w1", "w2"), "left")
-      .join(uni, Seq("w1"), "left")
-      .crossJoin(broadcast(vocab))
-      .withColumn("__ppm",
-        expr("(coalesce(c12, 0) + 1) * 1000000 div (coalesce(c1, 0) + vsz)"))
-      .groupBy("doc_id")
-      .agg(
-        sum("m").cast("long").as("n_trans"),
-        sum(col("m") * col("__ppm")).cast("long").as("sum_prob_ppm"))
-      .withColumn("avg_prob_ppm", expr("sum_prob_ppm div n_trans"))
+    scoreUnderModel(spark, TextAnalysis.lmToks(docs), workDir)
       .write.mode("append").parquet(s"$workDir/scores")
 
     // ---- near-dup pairs of the batch ----
