@@ -4,12 +4,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-/** Fixture-table loaders (TESTDATA.md). One place normalizes the quirks:
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot represent —
-  * with `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as LongType
-  * nanoseconds and is converted here to a microsecond TimestampType column
-  * (the DuckDB oracle only ever compares second-resolution derivations, so
-  * the ns->us truncation is oracle-safe).
+/** Fixture-table loaders (TESTDATA.md). One place normalizes the quirks of
+  * `events.ts`, which has shipped in two parquet shapes across fixture
+  * regenerations:
+  *   - TIMESTAMP(NANOS): Spark cannot represent it; with
+  *     `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as LongType
+  *     nanoseconds and is converted here to microsecond TimestampType
+  *     (the DuckDB oracle only compares second-resolution derivations, so
+  *     the ns->us truncation is oracle-safe).
+  *   - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark 4 infers
+  *     TIMESTAMP_NTZ by default, which `unix_micros`/`withWatermark`
+  *     reject. `spark.sql.parquet.inferTimestampNTZ=false` in
+  *     [[configure]] restores TimestampType inference (session TZ is
+  *     pinned to UTC, so the instant semantics match the oracle); the
+  *     NTZ cast arm below covers sessions configured elsewhere.
   */
 object Tables {
 
@@ -27,6 +35,9 @@ object Tables {
         // (53-bit mantissa) and lose up to ~256 ns before dividing, which
         // can flip a sessionization gap sitting exactly on the boundary
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // session TZ is UTC, so NTZ wall-clock == the oracle's instant
+        df.withColumn("ts", col("ts").cast("timestamp"))
       case _ => df
     }
   }
@@ -87,5 +98,6 @@ object Tables {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ", "false")
       .config("spark.sql.warehouse.dir", warehouseDir)
 }

@@ -4,7 +4,7 @@ import graft.pipeline.Events
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType}
 
 /** Structured Streaming ingest over the events table (SURVEY §2 B-7):
   * file-source replay of the parquet fixture, watermarked tumbling /
@@ -20,8 +20,11 @@ import org.apache.spark.sql.types.{LongType, StructType}
   */
 object EventStream {
 
-  /** The events schema as stored (ts is TIMESTAMP(NANOS) parquet, read as
-    * LongType nanoseconds under `spark.sql.legacy.parquet.nanosAsLong`).
+  /** The events schema as stored. `ts` has shipped as TIMESTAMP(NANOS)
+    * (read as LongType ns under `spark.sql.legacy.parquet.nanosAsLong`)
+    * and as TIMESTAMP(MICROS, isAdjustedToUTC=false) (TimestampType under
+    * `spark.sql.parquet.inferTimestampNTZ=false`, NTZ otherwise); the
+    * normalization in [[readEvents]] covers all three shapes.
     */
   def eventsSchema(spark: SparkSession, dir: String): StructType =
     spark.read.parquet(s"$dir/events.parquet").schema
@@ -46,6 +49,9 @@ object EventStream {
       .parquet(streamPath)
     schema("ts").dataType match {
       case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _: TimestampNTZType =>
+        // session TZ pinned to UTC: NTZ wall-clock == oracle instant
+        raw.withColumn("ts", col("ts").cast("timestamp"))
       case _ => raw
     }
   }
