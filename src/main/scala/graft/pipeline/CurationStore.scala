@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.Tables
+import graft.util.PartitionedWrite
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -136,14 +137,16 @@ object CurationStore {
     val sigs = Dedup.minhashSigs(spark, fromCorpus)
     Dedup.minhashBands(sigs)
       .withColumn("__bucket", pmod(hash(col("band"), col("bucket")), lit(IndexBuckets)))
-      // co-locate each bucket in one task — a bare partitionBy write
-      // emits task × bucket tiny files and probe cost is file count
-      .repartition(IndexBuckets, col("__bucket"))
+      // bounded files/dir AND cluster-scaled write parallelism — see
+      // graft.util.PartitionedWrite
+      .transform(PartitionedWrite.spread(
+        _, IndexBuckets, col("__bucket"), col("doc_id")))
       .write.mode("append").partitionBy("__bucket").parquet(s"$workDir/bands")
     sigs.join(docs, "doc_id")
       .select(col("doc_id"), col("sig"), col("text"))
       .withColumn("__sbucket", pmod(hash(col("doc_id")), lit(IndexBuckets)))
-      .repartition(IndexBuckets, col("__sbucket"))
+      .transform(PartitionedWrite.spread(
+        _, IndexBuckets, col("__sbucket"), col("doc_id")))
       .write.mode("append").partitionBy("__sbucket").parquet(s"$workDir/sigdocs")
   }
 
@@ -205,13 +208,15 @@ object CurationStore {
       docs: DataFrame, sigs: DataFrame, workDir: String): Unit = {
     Dedup.minhashBands(sigs)
       .withColumn("__bucket", pmod(hash(col("band"), col("bucket")), lit(IndexBuckets)))
-      // one file per touched bucket per batch (vs task × bucket)
-      .repartition(IndexBuckets, col("__bucket"))
+      // bounded files/dir per batch, cluster-scaled parallelism
+      .transform(PartitionedWrite.spread(
+        _, IndexBuckets, col("__bucket"), col("doc_id")))
       .write.mode("append").partitionBy("__bucket").parquet(s"$workDir/bands")
     sigs.join(docs.select("doc_id", "text"), "doc_id")
       .select(col("doc_id"), col("sig"), col("text"))
       .withColumn("__sbucket", pmod(hash(col("doc_id")), lit(IndexBuckets)))
-      .repartition(IndexBuckets, col("__sbucket"))
+      .transform(PartitionedWrite.spread(
+        _, IndexBuckets, col("__sbucket"), col("doc_id")))
       .write.mode("append").partitionBy("__sbucket").parquet(s"$workDir/sigdocs")
   }
 

@@ -1,6 +1,7 @@
 package graft.query
 
 import graft.functions.cosine_sim
+import graft.util.PartitionedWrite
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, BucketedRandomProjectionLSHModel, Normalizer}
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.DataFrame
@@ -109,16 +110,13 @@ object AnnIndex {
       .select(col(idCol), col("pos").as("table"),
         element_at(vector_to_array(col("col")), 1).cast("long").as("bucket"))
       .withColumn("__bucket", pmod(hash(col("table"), col("bucket")), lit(IndexBuckets)))
-      // co-locate each directory's rows in one task before the
-      // partitioned write: without this every shuffle task emits a
-      // file into every directory (tasks × IndexBuckets tiny files;
-      // observed 704 at sf0.1), and probe-time scan overhead is file
-      // count, not bytes
-      .repartition(IndexBuckets, col("__bucket"))
+      // bounded files/dir AND cluster-scaled write parallelism — see
+      // graft.util.PartitionedWrite
+      .transform(PartitionedWrite.spread(_, IndexBuckets, col("__bucket"), col(idCol)))
       .write.mode("overwrite").partitionBy("__bucket").parquet(s"$outPath/buckets")
     prep.select(col(idCol), col(embCol))
       .withColumn("__vbucket", pmod(hash(col(idCol)), lit(IndexBuckets)))
-      .repartition(IndexBuckets, col("__vbucket"))
+      .transform(PartitionedWrite.spread(_, IndexBuckets, col("__vbucket"), col(idCol)))
       .write.mode("overwrite").partitionBy("__vbucket").parquet(s"$outPath/vectors")
     model
   }

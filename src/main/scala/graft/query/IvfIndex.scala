@@ -91,9 +91,10 @@ object IvfIndex {
     try {
       assigned
         .select(col(idCol), col(embCol), col("centroid_id"))
-        // co-locate each cell in one task: a bare partitionBy write
-        // emits a file per (task × cell) — scan cost is file count
-        .repartition(col("centroid_id"))
+        // bounded files/cell AND cluster-scaled write parallelism — see
+        // graft.util.PartitionedWrite
+        .transform(graft.util.PartitionedWrite.spread(
+          _, params.nCentroids, col("centroid_id"), col(idCol)))
         .write.partitionBy("centroid_id").mode("overwrite")
         .parquet(s"$outPath/cells")
       // one tiny frame per index: each cell's centroid plus the max
@@ -160,8 +161,10 @@ object IvfIndex {
     try {
       assigned
         .select(col(idCol), col(embCol), col("centroid_id"))
-        // one file per touched cell per append (vs task × cell)
-        .repartition(col("centroid_id"))
+        // bounded files/cell per append, cluster-scaled parallelism
+        // (cellMeta is nCentroids rows — the count is a trivial job)
+        .transform(graft.util.PartitionedWrite.spread(
+          _, cellMeta.count().toInt.max(1), col("centroid_id"), col(idCol)))
         .write.partitionBy("centroid_id").mode("append")
         .parquet(s"$indexPath/cells")
       // grow radii to cover the new members; localCheckpoint materializes

@@ -182,9 +182,10 @@ object LexicalSearch {
       .write.mode("overwrite").parquet(s"$workDir/stats")
     postings(docs, idCol, textCol, "__term")
       .withColumn("__bucket", pmod(hash(col("__term")), lit(IndexBuckets)))
-      // co-locate each bucket in one task — a bare partitionBy write
-      // emits task × bucket tiny files and probe cost is file count
-      .repartition(IndexBuckets, col("__bucket"))
+      // bounded files/dir AND cluster-scaled write parallelism — see
+      // graft.util.PartitionedWrite
+      .transform(graft.util.PartitionedWrite.spread(
+        _, IndexBuckets, col("__bucket"), col(idCol)))
       .write.mode("overwrite").partitionBy("__bucket")
       .parquet(s"$workDir/postings")
   }
@@ -210,8 +211,9 @@ object LexicalSearch {
       newDocs: DataFrame): Unit = {
     postings(newDocs, idCol, textCol, "__term")
       .withColumn("__bucket", pmod(hash(col("__term")), lit(IndexBuckets)))
-      // one file per touched bucket per append (vs task × bucket)
-      .repartition(IndexBuckets, col("__bucket"))
+      // bounded files/dir per append, cluster-scaled parallelism
+      .transform(graft.util.PartitionedWrite.spread(
+        _, IndexBuckets, col("__bucket"), col(idCol)))
       .write.mode("append").partitionBy("__bucket")
       .parquet(s"$workDir/postings")
     val add = newDocs

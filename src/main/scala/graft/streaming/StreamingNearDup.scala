@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.pipeline.Dedup
+import graft.util.PartitionedWrite
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -221,13 +222,15 @@ object StreamingNearDup {
     // ---- index append for the admitted (only non-duplicates enter) ----
     val admittedIds = verdicts.filter(col("admitted")).select("doc_id")
     bands.join(admittedIds, "doc_id")
-      // one file per touched bucket per batch (vs task × bucket)
-      .repartition(IndexBuckets, col("__bucket"))
+      // bounded files/dir per batch, cluster-scaled parallelism
+      .transform(PartitionedWrite.spread(
+        _, IndexBuckets, col("__bucket"), col("doc_id")))
       .write.mode("append").partitionBy("__bucket").parquet(bandsPath)
     sigs.join(admittedIds, "doc_id")
       .join(docs, "doc_id")
       .withColumn("__sbucket", pmod(hash(col("doc_id")), lit(IndexBuckets)))
-      .repartition(IndexBuckets, col("__sbucket"))
+      .transform(PartitionedWrite.spread(
+        _, IndexBuckets, col("__sbucket"), col("doc_id")))
       .write.mode("append").partitionBy("__sbucket").parquet(sigPath)
 
     verdicts
