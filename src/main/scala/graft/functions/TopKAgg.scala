@@ -1,0 +1,169 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Bounded per-group top-k state: at most k (id, score) entries, kept in
+  * a binary min-heap whose head is the WORST retained entry (lowest
+  * score, ties broken toward the higher id — the exact inverse of the
+  * output order), so an incoming candidate needs one head comparison to
+  * be accepted or rejected. Insertion order never affects the result:
+  * the retained SET is uniquely determined by the total order
+  * (score desc, id asc), and [[sorted]] lays it out in that order.
+  */
+private[graft] final class TopKHeap(val k: Int) {
+  var size = 0
+  val ids = new Array[Long](k)
+  val scores = new Array[Double](k)
+
+  /** a strictly worse than b under (score desc, id asc). */
+  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
+    sa < sb || (sa == sb && ia > ib)
+
+  private def siftUp(i0: Int): Unit = {
+    var i = i0
+    while (i > 0) {
+      val p = (i - 1) >> 1
+      if (worse(scores(i), ids(i), scores(p), ids(p))) {
+        val ts = scores(i); val ti = ids(i)
+        scores(i) = scores(p); ids(i) = ids(p)
+        scores(p) = ts; ids(p) = ti
+        i = p
+      } else return
+    }
+  }
+
+  private def siftDown(): Unit = {
+    var i = 0
+    while (true) {
+      val l = 2 * i + 1
+      val r = l + 1
+      var m = i
+      if (l < size && worse(scores(l), ids(l), scores(m), ids(m))) m = l
+      if (r < size && worse(scores(r), ids(r), scores(m), ids(m))) m = r
+      if (m == i) return
+      val ts = scores(i); val ti = ids(i)
+      scores(i) = scores(m); ids(i) = ids(m)
+      scores(m) = ts; ids(m) = ti
+      i = m
+    }
+  }
+
+  def insert(id: Long, score: Double): Unit =
+    if (size < k) {
+      ids(size) = id; scores(size) = score; size += 1
+      siftUp(size - 1)
+    } else if (k > 0 && worse(scores(0), ids(0), score, id)) {
+      ids(0) = id; scores(0) = score
+      siftDown()
+    }
+
+  /** Entries in output order: score desc, ties id asc. */
+  def sorted: Array[(Long, Double)] = {
+    val out = Array.tabulate(size)(i => (ids(i), scores(i)))
+    out.sortInPlace()(Ordering.fromLessThan[(Long, Double)] { (a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+    })
+    out
+  }
+}
+
+/** `topk_by(id, score, k)` — per-group top-k of (id, score) pairs by
+  * (score desc, id asc), as `array<struct<id: long, score: double>>` in
+  * that order.
+  *
+  * This is the shuffle-shape fix for batch retrieval: a windowed
+  * `row_number() ... <= k` must shuffle EVERY threshold-surviving
+  * (candidate × query) row into the per-query partition before any is
+  * discarded — O(N·Q) rows over the wire at corpus size N. As a typed
+  * aggregate the partial (map-side) step already reduces each task's
+  * contribution to ≤ k entries per query, so the exchange carries
+  * O(P·Q·k) heap dumps instead. At 100 TB that is the difference
+  * between shuffling the corpus per query batch and shuffling the
+  * answer. Null ids/scores (none are produced by the retrieval kernels)
+  * are skipped.
+  */
+case class TopKByScore(
+    id: Expression,
+    score: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKHeap] {
+
+  private lazy val k: Int = kExpr.eval(InternalRow.empty) match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other =>
+      throw new IllegalArgumentException(s"topk_by k must be a foldable int, got $other")
+  }
+
+  override def children: Seq[Expression] = Seq(id, score, kExpr)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(math.max(k, 0))
+
+  override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
+    val i = id.eval(input)
+    val s = score.eval(input)
+    if (i != null && s != null)
+      buf.insert(i.asInstanceOf[Long], s.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: TopKHeap, other: TopKHeap): TopKHeap = {
+    var i = 0
+    while (i < other.size) {
+      buf.insert(other.ids(i), other.scores(i))
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: TopKHeap): Any =
+    new GenericArrayData(buf.sorted.map { case (i, s) =>
+      InternalRow(i, s): Any
+    })
+
+  override def serialize(buf: TopKHeap): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 16 * buf.size)
+    bb.putInt(buf.size)
+    var i = 0
+    while (i < buf.size) {
+      bb.putLong(buf.ids(i)); bb.putDouble(buf.scores(i)); i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKHeap = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKHeap(math.max(k, 0))
+    var i = 0
+    while (i < n) {
+      buf.insert(bb.getLong, bb.getDouble)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByScore =
+    copy(id = newChildren(0), score = newChildren(1), kExpr = newChildren(2))
+
+  override def prettyName: String = "topk_by"
+}

@@ -37,6 +37,9 @@ package object functions {
     Bridge.column(BloomMightContain(b(filterBytes.cast("binary")), st(value)))
   def rp_project(vec: Column, m: Column): Column =
     Bridge.column(RpProject(fa(vec), b(m.cast("int"))))
+  def topk_by(id: Column, score: Column, k: Column): Column =
+    Bridge.aggColumn(TopKByScore(
+      b(id.cast("long")), b(score.cast("double")), b(k.cast("int"))))
 
   /** Single source of the SQL-name → expression-builder table, shared by
     * [[registerAll]] (imperative, current-session) and
@@ -60,7 +63,8 @@ package object functions {
     "byte_stride" -> (es => ByteStride(es(0), es(1))),
     "bpe_token_count" -> (es => BpeTokenCount(es.head)),
     "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))),
-    "rp_project" -> (es => RpProject(es(0), es(1))))
+    "rp_project" -> (es => RpProject(es(0), es(1))),
+    "topk_by" -> (es => TopKByScore(es(0), es(1), es(2))))
 
   /** Register all graft functions for SQL text / `call_function`. */
   def registerAll(spark: SparkSession): Unit =

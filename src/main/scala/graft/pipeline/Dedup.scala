@@ -545,12 +545,14 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val cross = nearDupPairs(minhashDocs(spark, dir), minhashSigs(spark, dir), threshold)
       .filter(col("d1") < cutoff && col("d2") >= cutoff)
-    val best = org.apache.spark.sql.expressions.Window
-      .partitionBy("d2").orderBy(col("jac").desc, col("d1").asc)
+    // per-new-doc argmax by (jac desc, d1 asc) as a k=1 topk_by: the
+    // map-side partial keeps the verified pair stream off the wire
     cross
-      .withColumn("rn", row_number().over(best))
-      .filter(col("rn") === 1)
-      .select(col("d2").as("new_id"), col("d1").as("dup_of"), col("jac"))
+      .groupBy(col("d2"))
+      .agg(graft.functions.topk_by(col("d1"), col("jac"), lit(1)).as("__t"))
+      .select(col("d2").as("new_id"),
+        col("__t").getItem(0).getField("id").as("dup_of"),
+        col("__t").getItem(0).getField("score").as("jac"))
       .orderBy("new_id")
   }
 

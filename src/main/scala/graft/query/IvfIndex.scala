@@ -254,18 +254,20 @@ object IvfIndex {
         .select(col(queryIdCol), col(idCol), col("sim"))
     }
 
-    val wTop = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("sim").desc, col(idCol).asc)
     // materialized once: the pass-1 candidates feed the floor AND the
     // final union — without this the probed cells are re-scanned and
     // re-ranked per consumer (2-3x the first-pass cost)
     val pass1 = probe(qCells.filter(col("crank") <= probeWidth)).localCheckpoint()
     // per-query floor: the k-th best pass-1 similarity (absent when the
-    // nearest cells held fewer than k candidates -> floor = threshold)
+    // nearest cells held fewer than k candidates -> floor = threshold).
+    // topk_by, not a window: the map-side partial caps the shuffle at k
+    // entries per query per task instead of every probed candidate
     val floor = pass1
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") === k)
-      .select(col(queryIdCol), col("sim").as("floor_sim"))
+      .groupBy(col(queryIdCol))
+      .agg(graft.functions.topk_by(col(idCol), col("sim"), lit(k)).as("__t"))
+      .filter(size(col("__t")) === k)
+      .select(col(queryIdCol),
+        element_at(col("__t"), k).getField("score").as("floor_sim"))
     // second pass: exactly the cells whose bound can still matter. >= on
     // the floor (not >): a bound-equal cell can hold a tie that wins the
     // ascending-id tie-break.
@@ -276,9 +278,7 @@ object IvfIndex {
           col("ub_sim") >= coalesce(col("floor_sim"), lit(threshold))))
 
     pass1.unionByName(pass2)
-      .withColumn("rn", row_number().over(wTop).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col(queryIdCol), col(idCol), col("sim"), col("rn"))
+      .transform(SimilaritySearch.topKExplode(_, queryIdCol, idCol, "sim", k))
   }
 
   /** Exact k-NN GRAPH over the indexed corpus: every vector's k nearest
@@ -338,18 +338,21 @@ object IvfIndex {
     def rank(cand: DataFrame): DataFrame = cand
       .withColumn("sim", cosine_sim(col("__qv"), col(embCol)))
       .select(col("query_id"), col(idCol), col("sim"))
-    val wTop = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col(idCol).asc)
 
     // pass 1: own cell, self excluded. Materialized once — it feeds the
     // floor AND the final union (the queryTopK discipline).
     val pass1 = rank(
       queries.join(corpus, "centroid_id").filter(col("query_id") =!= col(idCol)))
       .localCheckpoint()
+    // k-th best via topk_by: pass-1 is own-cell × corpus sized, so the
+    // map-side partial (k per query per task) is the difference between
+    // shuffling the candidate set and shuffling the answer
     val floor = pass1
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") === k)
-      .select(col("query_id"), col("sim").as("floor_sim"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.topk_by(col(idCol), col("sim"), lit(k)).as("__t"))
+      .filter(size(col("__t")) === k)
+      .select(col("query_id"),
+        element_at(col("__t"), k).getField("score").as("floor_sim"))
 
     // pass 2: foreign cells whose bound still reaches the floor. >= on
     // the floor: a bound-equal cell can hold a tie that wins the
@@ -381,9 +384,7 @@ object IvfIndex {
     val pass2 = rank(prunedCorpus.join(probeSel, "centroid_id"))
 
     pass1.unionByName(pass2)
-      .withColumn("rn", row_number().over(wTop).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col(idCol), col("sim"), col("rn"))
+      .transform(SimilaritySearch.topKExplode(_, "query_id", idCol, "sim", k))
   }
 
   /** Contrastive PAIR MINING over the indexed corpus: for every vector,
@@ -464,22 +465,18 @@ object IvfIndex {
       .withColumn("sim", cosine_sim(col("__qv"), col(embCol)))
       .select(col("query_id"), col(idCol), col("sim"),
         (col("__qlabel") === col("__clabel")).as("__same"))
-    // per (query, side) ranking: the positive is rank 1 among same-label
-    // candidates, the negative rank 1 among different-label ones
-    val wSide = Window.partitionBy(col("query_id"), col("__same"))
-      .orderBy(col("sim").desc, col(idCol).asc)
-
     val pass1 = rank(
       queries.join(corpus, "centroid_id").filter(col("query_id") =!= col(idCol)))
       .localCheckpoint()
-    // per-side own-cell bests; a missing side probes fully FOR THAT SIDE
+    // per-side own-cell bests; a missing side probes fully FOR THAT
+    // SIDE. The floor only needs each side's best SIMILARITY, which is
+    // a plain max — one partial-aggregating groupBy, no window, no
+    // shuffle of the own-cell candidate set
     val floors = pass1
-      .withColumn("rn", row_number().over(wSide))
-      .filter(col("rn") === 1)
       .groupBy("query_id")
       .agg(
-        min(when(col("__same"), col("sim"))).as("__fp"),
-        min(when(!col("__same"), col("sim"))).as("__fn"))
+        max(when(col("__same"), col("sim"))).as("__fp"),
+        max(when(!col("__same"), col("sim"))).as("__fn"))
       .select(col("query_id"),
         coalesce(col("__fp"), lit(-1.0)).as("floor_pos"),
         coalesce(col("__fn"), lit(-1.0)).as("floor_neg"))
@@ -551,9 +548,14 @@ object IvfIndex {
       .join(labels.select(col(idCol), col(labelCol).as("__clabel")), Seq(idCol))
     val pass2 = rank(prunedCorpus.join(probeSel, "centroid_id"))
 
+    // per-(query, side) argmax by (sim desc, id asc) as a k=1 topk_by —
+    // map-side partials keep the union's candidate volume off the wire
     val best = pass1.unionByName(pass2)
-      .withColumn("rn", row_number().over(wSide))
-      .filter(col("rn") === 1)
+      .groupBy(col("query_id"), col("__same"))
+      .agg(graft.functions.topk_by(col(idCol), col("sim"), lit(1)).as("__t"))
+      .select(col("query_id"), col("__same"),
+        col("__t").getItem(0).getField("id").as(idCol),
+        col("__t").getItem(0).getField("score").as("sim"))
     val pos = best.filter(col("__same"))
       .select(col("query_id"), col(idCol).as("pos_id"),
         round(col("sim"), 6).as("pos_sim"))

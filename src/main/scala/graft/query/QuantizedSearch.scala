@@ -1,7 +1,6 @@
 package graft.query
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Int8 embedding quantization + similarity over the quantized codes —
@@ -62,14 +61,12 @@ object QuantizedSearch {
       .withColumn("__nc", intDot(col("__c"), col("__c")))
     val q = queries.select(col(queryIdCol), quantize(col(queryVecCol)).as("__q"))
       .withColumn("__nq", intDot(col("__q"), col("__q")))
-    val w = Window.partitionBy(queryIdCol)
-      .orderBy(col("qsim").desc, col(idCol).asc)
     c.crossJoin(broadcast(q))
       .withColumn("__dot", intDot(col("__q"), col("__c")))
       .withColumn("qsim",
         quantizedCosine(col("__dot"), col("__nq"), col("__nc")))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col(queryIdCol), col(idCol), col("qsim"), col("rn"))
+      // answer-sized shuffle: map-side partial top-k per query, not a
+      // corpus-sized row_number window (see SimilaritySearch.topKExplode)
+      .transform(SimilaritySearch.topKExplode(_, queryIdCol, idCol, "qsim", k))
   }
 }

@@ -2,7 +2,6 @@ package graft.query
 
 import graft.functions._
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Threshold-filtered top-k cosine similarity — the reference's core query
@@ -39,7 +38,16 @@ object SimilaritySearch {
   }
 
   /** Batch of query vectors: broadcast the query side across the index,
-    * threshold-filter, then per-query top-k with a deterministic tie-break.
+    * threshold-filter, then per-query top-k with a deterministic tie-break
+    * (sim desc, id asc).
+    *
+    * The per-query top-k is the [[graft.functions.TopKByScore]] typed
+    * aggregate, NOT a `row_number()` window: a window must shuffle every
+    * threshold-surviving (candidate × query) row before discarding any —
+    * O(N·Q) rows at corpus size N — while the aggregate's map-side
+    * partial step caps each task's contribution at k entries per query,
+    * so the exchange carries O(tasks·Q·k). Same output, answer-sized
+    * shuffle.
     *
     * @param queries DataFrame with (queryIdCol, queryVecCol)
     */
@@ -51,15 +59,31 @@ object SimilaritySearch {
       queryIdCol: String,
       queryVecCol: String,
       k: Int,
-      threshold: Double): DataFrame = {
-    val joined = index.crossJoin(broadcast(queries))
+      threshold: Double): DataFrame =
+    index.crossJoin(broadcast(queries))
       .withColumn("sim", cosine_sim(col(embeddingCol), col(queryVecCol)))
       .filter(col("sim") > threshold)
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("sim").desc, col(idCol).asc)
-    joined
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col(queryIdCol), col(idCol), col("sim"), col("rn"))
-  }
+      .transform(topKExplode(_, queryIdCol, idCol, "sim", k))
+
+  /** Shared (group, score)-top-k tail: aggregate to per-group
+    * `array<struct<id, score>>`, explode back to ranked rows
+    * (groupCol, idAlias, scoreAlias, rn) with rn 1..k by (score desc,
+    * id asc). Extracted so every batch-retrieval kernel shares one
+    * shuffle shape.
+    */
+  private[graft] def topKExplode(
+      scored: DataFrame,
+      groupCol: String,
+      idAlias: String,
+      scoreAlias: String,
+      k: Int): DataFrame =
+    scored
+      .groupBy(col(groupCol))
+      .agg(topk_by(col(idAlias), col(scoreAlias), lit(k)).as("__topk"))
+      .select(col(groupCol), posexplode(col("__topk")))
+      .select(
+        col(groupCol),
+        col("col.id").as(idAlias),
+        col("col.score").as(scoreAlias),
+        (col("pos") + 1).cast("long").as("rn"))
 }

@@ -57,6 +57,19 @@ object PlanAudit {
       prep.unpersist()
     }
 
+    if (what == "topk") {
+      // the batch-retrieval shuffle shape: partial topk_by must appear
+      // BEFORE the exchange (answer-sized shuffle), final after it
+      import graft.query.SimilaritySearch
+      val e = Tables(spark, sfDir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val out = SimilaritySearch.topKBatch(
+        e, "embedding", "vec_id", q, "query_id", "qvec", k = 20, threshold = -2.0)
+      out.explain("formatted")
+      timed("topKBatch collect")(println(s"[audit] rows: ${out.count()}"))
+    }
+
     if (what == "plans") {
       graft.Queries.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         println(s"\n===== $name =====")

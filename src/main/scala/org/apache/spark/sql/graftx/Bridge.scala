@@ -18,6 +18,14 @@ object Bridge {
   /** Unwrap a Column to its Catalyst expression. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a native aggregate function as a user-facing aggregate Column
+    * (`toAggregateExpression` is `private[sql]`).
+    */
+  def aggColumn(
+      f: org.apache.spark.sql.catalyst.expressions.aggregate.AggregateFunction)
+      : Column =
+    ExpressionUtils.column(f.toAggregateExpression())
+
   /** Register a native expression builder under `name` so it is callable
     * from SQL text and via `functions.call_function(name, ...)`.
     */
