@@ -3,6 +3,7 @@ package graft.functions
 import java.nio.ByteBuffer
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -15,15 +16,25 @@ import org.apache.spark.sql.types._
   * be accepted or rejected. Insertion order never affects the result:
   * the retained SET is uniquely determined by the total order
   * (score desc, id asc), and [[sorted]] lays it out in that order.
+  *
+  * Scores are stored as raw Long payloads: the score value itself for
+  * integer scores (`longScores = true`, exact at any magnitude — the
+  * fixed-point BM25 path needs order past 2^53), IEEE bits for double
+  * scores. NaN never enters (the aggregate skips null; the kernels
+  * never produce NaN sims).
   */
-private[graft] final class TopKHeap(val k: Int) {
+private[graft] final class TopKHeap(val k: Int, val longScores: Boolean) {
   var size = 0
   val ids = new Array[Long](k)
-  val scores = new Array[Double](k)
+  val scores = new Array[Long](k)
+
+  @inline private def lt(a: Long, b: Long): Boolean =
+    if (longScores) a < b
+    else java.lang.Double.longBitsToDouble(a) < java.lang.Double.longBitsToDouble(b)
 
   /** a strictly worse than b under (score desc, id asc). */
-  @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
-    sa < sb || (sa == sb && ia > ib)
+  @inline private def worse(sa: Long, ia: Long, sb: Long, ib: Long): Boolean =
+    lt(sa, sb) || (sa == sb && ia > ib)
 
   private def siftUp(i0: Int): Unit = {
     var i = i0
@@ -54,7 +65,7 @@ private[graft] final class TopKHeap(val k: Int) {
     }
   }
 
-  def insert(id: Long, score: Double): Unit =
+  def insert(id: Long, score: Long): Unit =
     if (size < k) {
       ids(size) = id; scores(size) = score; size += 1
       siftUp(size - 1)
@@ -64,18 +75,19 @@ private[graft] final class TopKHeap(val k: Int) {
     }
 
   /** Entries in output order: score desc, ties id asc. */
-  def sorted: Array[(Long, Double)] = {
+  def sorted: Array[(Long, Long)] = {
     val out = Array.tabulate(size)(i => (ids(i), scores(i)))
-    out.sortInPlace()(Ordering.fromLessThan[(Long, Double)] { (a, b) =>
-      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+    out.sortInPlace()(Ordering.fromLessThan[(Long, Long)] { (a, b) =>
+      lt(b._2, a._2) || (a._2 == b._2 && a._1 < b._1)
     })
     out
   }
 }
 
 /** `topk_by(id, score, k)` — per-group top-k of (id, score) pairs by
-  * (score desc, id asc), as `array<struct<id: long, score: double>>` in
-  * that order.
+  * (score desc, id asc), as `array<struct<id: long, score>>` in that
+  * order; the struct's score field keeps the input score type (long
+  * scores compare exactly at any magnitude, doubles by IEEE order).
   *
   * This is the shuffle-shape fix for batch retrieval: a windowed
   * `row_number() ... <= k` must shuffle EVERY threshold-surviving
@@ -103,21 +115,40 @@ case class TopKByScore(
       throw new IllegalArgumentException(s"topk_by k must be a foldable int, got $other")
   }
 
+  private lazy val longScores: Boolean = score.dataType.isInstanceOf[LongType]
+
   override def children: Seq[Expression] = Seq(id, score, kExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("id", LongType, nullable = false),
-      StructField("score", DoubleType, nullable = false))),
+      StructField("score", score.dataType, nullable = false))),
     containsNull = false)
 
-  override def createAggregationBuffer(): TopKHeap = new TopKHeap(math.max(k, 0))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!id.dataType.isInstanceOf[LongType])
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_by id must be BIGINT, got ${id.dataType.sql}")
+    else if (!score.dataType.isInstanceOf[LongType] &&
+        !score.dataType.isInstanceOf[DoubleType])
+      TypeCheckResult.TypeCheckFailure(
+        s"topk_by score must be BIGINT or DOUBLE, got ${score.dataType.sql}")
+    else if (!kExpr.foldable || !kExpr.dataType.isInstanceOf[IntegerType])
+      TypeCheckResult.TypeCheckFailure("topk_by k must be a foldable INT")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): TopKHeap =
+    new TopKHeap(math.max(k, 0), longScores)
 
   override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
     val i = id.eval(input)
     val s = score.eval(input)
-    if (i != null && s != null)
-      buf.insert(i.asInstanceOf[Long], s.asInstanceOf[Double])
+    if (i != null && s != null) {
+      val bits =
+        if (longScores) s.asInstanceOf[Long]
+        else java.lang.Double.doubleToLongBits(s.asInstanceOf[Double])
+      buf.insert(i.asInstanceOf[Long], bits)
+    }
     buf
   }
 
@@ -132,7 +163,9 @@ case class TopKByScore(
 
   override def eval(buf: TopKHeap): Any =
     new GenericArrayData(buf.sorted.map { case (i, s) =>
-      InternalRow(i, s): Any
+      val sv: Any =
+        if (longScores) s else java.lang.Double.longBitsToDouble(s)
+      InternalRow(i, sv): Any
     })
 
   override def serialize(buf: TopKHeap): Array[Byte] = {
@@ -140,7 +173,7 @@ case class TopKByScore(
     bb.putInt(buf.size)
     var i = 0
     while (i < buf.size) {
-      bb.putLong(buf.ids(i)); bb.putDouble(buf.scores(i)); i += 1
+      bb.putLong(buf.ids(i)); bb.putLong(buf.scores(i)); i += 1
     }
     bb.array()
   }
@@ -148,10 +181,10 @@ case class TopKByScore(
   override def deserialize(bytes: Array[Byte]): TopKHeap = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = new TopKHeap(math.max(k, 0))
+    val buf = new TopKHeap(math.max(k, 0), longScores)
     var i = 0
     while (i < n) {
-      buf.insert(bb.getLong, bb.getDouble)
+      buf.insert(bb.getLong, bb.getLong)
       i += 1
     }
     buf

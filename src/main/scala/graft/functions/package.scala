@@ -37,9 +37,12 @@ package object functions {
     Bridge.column(BloomMightContain(b(filterBytes.cast("binary")), st(value)))
   def rp_project(vec: Column, m: Column): Column =
     Bridge.column(RpProject(fa(vec), b(m.cast("int"))))
+  // score is NOT cast: BIGINT scores must stay exact (fixed-point BM25
+  // ordering lives past 2^53); DOUBLE passes through. Other types fail
+  // the aggregate's input check.
   def topk_by(id: Column, score: Column, k: Column): Column =
     Bridge.aggColumn(TopKByScore(
-      b(id.cast("long")), b(score.cast("double")), b(k.cast("int"))))
+      b(id.cast("long")), b(score), b(k.cast("int"))))
 
   /** Single source of the SQL-name → expression-builder table, shared by
     * [[registerAll]] (imperative, current-session) and

@@ -116,12 +116,13 @@ object LexicalSearch {
       .agg(sum(expr(
         """(cast(__idf_micro as decimal(38,0)) * __sat_micro)
           | div 1000000""".stripMargin)).as("score"))
-    val w = Window.partitionBy(col(queryIdCol))
-      .orderBy(col("score").desc, col(idCol).asc)
+    // answer-sized shuffle: the BIGINT fixed-point score rides topk_by
+    // EXACTLY (long comparisons, no double cast — BM25 micro-scores
+    // order past 2^53), so the map-side partial caps each task at k
+    // entries per query instead of shuffling every matched document
     scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col(queryIdCol), col("rank"), col(idCol), col("score"))
+      .transform(SimilaritySearch.topKExplode(_, queryIdCol, idCol, "score", k))
+      .select(col(queryIdCol), col("rn").as("rank"), col(idCol), col("score"))
   }
 
   /** BM25 top-k for a batch of term-set queries over a document corpus.

@@ -73,9 +73,29 @@ class TopKAggSpec extends AnyFunSuite with SharedSpark {
     val expected = entries.sortBy { case (id, s) => (-s, id) }.take(7)
     for (seed <- 1 to 5) {
       val shuffled = new scala.util.Random(seed).shuffle(entries)
-      val h = new TopKHeap(7)
-      shuffled.foreach { case (id, s) => h.insert(id, s) }
-      assert(h.sorted.toSeq === expected, s"seed=$seed")
+      val h = new TopKHeap(7, longScores = false)
+      shuffled.foreach { case (id, s) =>
+        h.insert(id, java.lang.Double.doubleToLongBits(s))
+      }
+      val got = h.sorted.toSeq.map { case (id, bits) =>
+        (id, java.lang.Double.longBitsToDouble(bits))
+      }
+      assert(got === expected, s"seed=$seed")
     }
+  }
+
+  test("long scores order exactly past 2^53") {
+    import spark.implicits._
+    // adjacent longs that collapse to the SAME double: double ranking
+    // could return either; exact long ranking must pick the larger
+    val big = (1L << 60)
+    val df = Seq((1L, 10L, big + 1), (1L, 20L, big + 2), (1L, 30L, big))
+      .toDF("g", "id", "s")
+    val out = df.groupBy("g")
+      .agg(topk_by(col("id"), col("s"), lit(2)).as("t"))
+      .selectExpr("t[0].id", "t[0].score", "t[1].id")
+      .collect().head
+    assert(out.getLong(0) === 20L && out.getLong(1) === big + 2)
+    assert(out.getLong(2) === 10L)
   }
 }
