@@ -178,6 +178,31 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q38-shape vector fetch not statically pruned:\n" + plan.take(2000))
   }
 
+  test("batch top-k partial-aggregates BEFORE the exchange; no window") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.Tables(spark, Sf0001, "embeddings")
+    val queries = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val plan = graft.query.SimilaritySearch.topKBatch(
+        e, "embedding", "vec_id", queries, "query_id", "qvec",
+        k = 10, threshold = 0.0)
+      .queryExecution.executedPlan.toString
+    // the answer-sized-shuffle contract: a map-side partial_topk_by
+    // must appear (it caps each task at k rows per query pre-exchange),
+    // and no Window operator may creep back into the ranking tail
+    assert(plan.contains("partial_topk_by"),
+      "map-side partial top-k missing:\n" + plan.take(2000))
+    assert(!plan.contains("Window"),
+      "ranking fell back to a corpus-shuffling window:\n" + plan.take(2000))
+  }
+
+  test("BM25 ranking partial-aggregates BEFORE the exchange (exact longs)") {
+    val plan = graft.Queries.q71Bm25TopK(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_by"),
+      "BM25 tail lost its map-side partial top-k:\n" + plan.take(2000))
+  }
+
   test("q64 packing shuffles once on the shard key before the typed fold") {
     val qe = graft.pipeline.SequencePacker.pack(spark, Sf0001).queryExecution
     val plan = qe.executedPlan.toString
