@@ -146,7 +146,13 @@ case class TopKByScore(
     if (i != null && s != null) {
       val bits =
         if (longScores) s.asInstanceOf[Long]
-        else java.lang.Double.doubleToLongBits(s.asInstanceOf[Double])
+        else {
+          // canonicalize -0.0: tie-breaks compare raw bits for equality,
+          // and a -0.0/+0.0 split must not make the retained set depend
+          // on insertion order
+          val d = s.asInstanceOf[Double]
+          java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
+        }
       buf.insert(i.asInstanceOf[Long], bits)
     }
     buf

@@ -150,13 +150,20 @@ object IvfIndex {
           .cast("array<float>").as("__norm"))
     // nearest existing centroid by the assignment metric (Euclidean on
     // the normalized vector — the same metric build's KMeans assigned
-    // with), ties to the lower centroid id
-    val wNear = Window.partitionBy(col(idCol))
-      .orderBy(col("d").asc, col("centroid_id").asc)
+    // with), ties to the lower centroid id. Argmin as a k=1 topk_by on
+    // NEGATED distance ((-d) desc == d asc, ties id asc — the window's
+    // exact order): the map-side partial collapses each task to one row
+    // per batch id instead of shuffling the batch × nCentroids frame;
+    // embCol is unique per id, so first() is deterministic here
     val assigned = prep.crossJoin(broadcast(cellMeta))
       .withColumn("d", sqrt(graft.functions.l2_dist_sq(col("__norm"), col("center"))))
-      .withColumn("__rn", row_number().over(wNear))
-      .filter(col("__rn") === 1)
+      .groupBy(col(idCol))
+      .agg(
+        graft.functions.topk_by(col("centroid_id"), -col("d"), lit(1)).as("__t"),
+        first(col(embCol)).as(embCol))
+      .select(col(idCol), col(embCol),
+        col("__t").getItem(0).getField("id").as("centroid_id"),
+        (-col("__t").getItem(0).getField("score")).as("d"))
       .persist()
     try {
       assigned
