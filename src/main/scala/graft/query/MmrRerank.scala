@@ -90,10 +90,19 @@ object MmrRerank {
     val cands = SimilaritySearch.topKBatch(
       e, "embedding", "vec_id", queries, "query_id", "qvec",
       k = CandidateK, threshold = -2.0)
-    // re-attach candidate embeddings: the candidate list is tiny
-    // (queries × k'), the corpus is not — broadcast the small side
+    // re-attach candidate embeddings. The candidate list is tiny and
+    // DRIVER-BOUNDED (queries × k' = 200 rows by contract), so collect
+    // it and push the ids as an `isin` scan predicate: the fetch reads
+    // only row groups whose vec_id range can hold a candidate (parquet
+    // min/max pruning) instead of a second full corpus scan, and the
+    // collected rows broadcast as a literal frame — the same
+    // collected-ids discipline as AnnIndex.queryTopK
+    val candRows = cands.select(col("query_id"), col("vec_id"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val candDf = candRows.toSeq.toDF("query_id", "vec_id", "sim")
     val withVecs = e.select(col("vec_id"), col("embedding"))
-      .join(broadcast(cands), "vec_id")
+      .filter(col("vec_id").isin(candRows.map(_._2).distinct.toSeq: _*))
+      .join(broadcast(candDf), "vec_id")
       .select(col("query_id"), col("vec_id"), col("sim"), col("embedding"))
       .as[(Long, Long, Double, Array[Float])]
     withVecs
