@@ -84,6 +84,45 @@ class TopKAggSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("property: heap equals sort-take for arbitrary entries and k") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val genCase = for {
+      n <- Gen.choose(0, 60)
+      k <- Gen.choose(0, 12)
+      // small score domain so exact ties are common; negatives and
+      // zeros included (the -0.0 path is covered by canonicalization
+      // at the aggregate layer, not the raw heap)
+      entries <- Gen.listOfN(n,
+        Gen.zip(Gen.choose(0L, 30L), Gen.choose(-5, 5).map(_.toDouble / 2)))
+    } yield (entries, k)
+    val prop = Prop.forAll(genCase) { case (entries, k) =>
+      // ids deduped: the kernels always feed unique ids per group
+      val uniq = entries.groupBy(_._1).map { case (id, vs) => (id, vs.head._2) }.toSeq
+      val expected = uniq.sortBy { case (id, s) => (-s, id) }.take(k)
+      val h = new TopKHeap(k, longScores = false)
+      uniq.foreach { case (id, s) =>
+        h.insert(id, java.lang.Double.doubleToLongBits(s))
+      }
+      h.sorted.toSeq.map { case (id, bits) =>
+        (id, java.lang.Double.longBitsToDouble(bits))
+      } == expected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("null ids and scores are skipped, not ranked") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some(10L), Some(0.5)),
+      (1L, None, Some(0.9)),
+      (1L, Some(12L), None),
+      (1L, Some(11L), Some(0.7))
+    ).toDF("g", "id", "s")
+    assert(aggTopK(df.select(col("g"), col("id"), col("s")), 10) === Set(
+      (1L, 11L, 0.7, 1L), (1L, 10L, 0.5, 2L)))
+  }
+
   test("long scores order exactly past 2^53") {
     import spark.implicits._
     // adjacent longs that collapse to the SAME double: double ranking
