@@ -270,7 +270,7 @@ object Queries {
     * fusion fuses aligned channels), terms = each query doc's first 8
     * whitespace tokens, distinct.
     */
-  private def lexicalQueryBatch(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def lexicalQueryBatch(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .filter(col("doc_id") < 10)
       .select(col("doc_id").as("query_id"),

@@ -316,4 +316,21 @@ object CurationStore {
           .otherwise("test"))
       .orderBy("doc_id")
   }
+
+  /** Compact the store's append-maintained tables
+    * ([[graft.util.Compaction]]): each [[append]] lands files per
+    * touched bucket in the probe index plus one file per batch in the
+    * flat docs/scores tables. Partition layouts are preserved (pruned
+    * probes unaffected); flat tables compact to well-sized files. Run
+    * off the ingest path.
+    */
+  def compactStore(spark: SparkSession, workDir: String): Seq[graft.util.Compaction.Report] =
+    Seq(
+      (s"$workDir/bands", Seq("__bucket")),
+      (s"$workDir/sigdocs", Seq("__sbucket")),
+      (s"$workDir/docs", Seq.empty[String]),
+      (s"$workDir/scores", Seq.empty[String])).collect {
+      case (dir, pcols) if exists(spark, dir) =>
+        graft.util.Compaction.compact(spark, dir, pcols)
+    }
 }

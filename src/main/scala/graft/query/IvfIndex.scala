@@ -188,6 +188,16 @@ object IvfIndex {
     } finally assigned.unpersist()
   }
 
+  /** Compact the append-maintained cells table
+    * ([[graft.util.Compaction]]): every [[upsert]] lands files per
+    * touched cell, so at batch cadence the index decays into small
+    * files whose open/footer cost dominates probes. The centroid_id
+    * partition layout is preserved — the static `isin` partition
+    * pruning keeps pruning exactly as before. Run off the query path.
+    */
+  def compactIndex(spark: SparkSession, indexPath: String): graft.util.Compaction.Report =
+    graft.util.Compaction.compact(spark, s"$indexPath/cells", Seq("centroid_id"))
+
   private def centersOf(spark: SparkSession, model: KMeansModel): DataFrame = {
     import spark.implicits._
     model.clusterCenters.zipWithIndex

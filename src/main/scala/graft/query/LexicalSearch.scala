@@ -234,6 +234,16 @@ object LexicalSearch {
     merged.write.mode("overwrite").parquet(s"$workDir/stats")
   }
 
+  /** Compact the append-maintained postings ([[graft.util.Compaction]]):
+    * every [[upsertIndex]] lands files per touched term-hash bucket;
+    * the __bucket partition layout is preserved so pruned probes are
+    * unaffected. Run off the query path.
+    */
+  def compactIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      workDir: String): graft.util.Compaction.Report =
+    graft.util.Compaction.compact(spark, s"$workDir/postings", Seq("__bucket"))
+
   /** BM25 top-k against a [[buildIndex]]-persisted index. The query
     * batch's term-hash buckets are collected driver-side (bounded by
     * [[IndexBuckets]] — query compilation, not data movement) into a

@@ -75,6 +75,19 @@ class CurationStoreSpec extends AnyFunSuite with SharedSpark {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(gotScores == wantScores)
 
+    // compaction after the append: fewer files, identical store reads
+    val preClusters = got
+    val preScores = spark.read.parquet(s"$work/scores")
+      .collect().map(_.toSeq).toSet
+    val reports = CurationStore.compactStore(spark, work)
+    assert(reports.nonEmpty)
+    assert(reports.map(_.filesAfter).sum < reports.map(_.filesBefore).sum,
+      s"compaction did not shrink the store: $reports")
+    assert(spark.read.parquet(s"$work/clusters")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == preClusters)
+    assert(spark.read.parquet(s"$work/scores")
+      .collect().map(_.toSeq).toSet == preScores)
+
     Dedup.unpersistSigs(spark, base)
   }
 

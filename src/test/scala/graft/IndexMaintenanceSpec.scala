@@ -64,4 +64,43 @@ class IndexMaintenanceSpec extends AnyFunSuite with SharedSpark {
     val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
     assert(!IndexMaintenance.applyBatch(dir, "vec_id", "embedding", empty, lastId + 1))
   }
+
+  test("compaction after upserts shrinks files and changes no answer") {
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString
+    IvfIndex.build(e.filter(pmod(col("vec_id"), lit(10)) < 7),
+      "vec_id", "embedding", dir, IvfIndex.Params(nCentroids = 8))
+    // three appends -> files accumulate per touched cell per batch
+    for (m <- 7 to 9)
+      IvfIndex.upsert(spark, dir, "vec_id", "embedding",
+        e.filter(pmod(col("vec_id"), lit(10)) === m))
+
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def answer() = topkSet(IvfIndex.queryTopK(spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 5, threshold = 0.0))
+
+    val before = answer()
+    val report = IvfIndex.compactIndex(spark, dir)
+    assert(report.filesAfter < report.filesBefore,
+      s"compaction did not shrink files: $report")
+    assert(answer() === before, "compaction changed query results")
+
+    // lexical twin: build + upsert + compact, scores bit-identical
+    val docs = Tables.parallelize(Tables(spark, Sf0001, "documents"))
+      .select(col("doc_id"), col("text"))
+    val lexDir = java.nio.file.Files.createTempDirectory("graft-lex-compact").toString
+    graft.query.LexicalSearch.buildIndex(
+      docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", lexDir)
+    graft.query.LexicalSearch.upsertIndex(
+      spark, lexDir, "doc_id", "text", docs.filter(col("doc_id") % 2 === 1))
+    val terms = graft.Queries.lexicalQueryBatch(spark, Sf0001)
+    def lexAnswer() = graft.query.LexicalSearch.queryIndex(
+        spark, lexDir, "doc_id", terms, "query_id", "term", k = 10)
+      .collect().map(_.toSeq).toSet
+    val lexBefore = lexAnswer()
+    val lexReport = graft.query.LexicalSearch.compactIndex(spark, lexDir)
+    assert(lexReport.filesAfter < lexReport.filesBefore)
+    assert(lexAnswer() === lexBefore, "lexical compaction changed scores")
+  }
 }
