@@ -31,6 +31,13 @@ class GraftExtensionsSpec extends AnyFunSuite with SharedSpark {
       assert(row.getDouble(0) == 5.0)
       assert(math.abs(row.getDouble(1) - 1.0) < 1e-9)
       assert(row.getInt(2) == 4)
+      // the aggregate path: a bare AggregateFunction from the builder
+      // must be analyzer-wrapped into an AggregateExpression
+      val agg = s.sql(
+        """SELECT topk_by(id, s, 1)[0].id AS best
+          |FROM VALUES (1L, 0.3D), (2L, 0.7D) AS t(id, s)
+          |""".stripMargin).collect()(0)
+      assert(agg.getLong(0) == 2L)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
