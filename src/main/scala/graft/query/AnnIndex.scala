@@ -198,18 +198,15 @@ object AnnIndex {
       StructType(Seq(candSchema(candSchema.fieldIndex(queryIdCol)),
         candSchema(candSchema.fieldIndex(idCol)))))
     // job 3: exact verification against the pruned vector partitions
-    val scored = spark.read.parquet(s"$indexPath/vectors")
+    spark.read.parquet(s"$indexPath/vectors")
       .filter(col("__vbucket").isin(vBuckets: _*))
       .join(broadcast(candDf), idCol)
       .join(broadcast(qVecsDf), queryIdCol)
       .withColumn("sim", cosine_sim(col(embCol), col("qvec")))
       .filter(col("sim") > threshold)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(queryIdCol)).orderBy(col("sim").desc, col(idCol).asc)
-    scored
-      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col(queryIdCol), col(idCol), col("sim"), col("rn"))
+      // candidates are bounded by contract, but the ranking still rides
+      // topk_by so NO retrieval kernel carries a row_number window
+      .transform(SimilaritySearch.topKExplode(_, queryIdCol, idCol, "sim", k))
   }
 
   /** Two-dataset similarity join (B-3): all (a, b) pairs across two
