@@ -17,20 +17,20 @@ import org.apache.spark.sql.types._
   * the retained SET is uniquely determined by the total order
   * (score desc, id asc), and [[sorted]] lays it out in that order.
   *
-  * Scores are stored as raw Long payloads: the score value itself for
-  * integer scores (`longScores = true`, exact at any magnitude — the
-  * fixed-point BM25 path needs order past 2^53), IEEE bits for double
-  * scores. NaN never enters (the aggregate skips null; the kernels
-  * never produce NaN sims).
+  * Scores are stored as SORTABLE Long payloads so one signed-long
+  * compare is the score order in both modes: the value itself for
+  * integer scores (exact at any magnitude — the fixed-point BM25 path
+  * needs order past 2^53), and the IEEE total-order bit transform for
+  * doubles (see [[TopKByScore.toSortable]]) — which also gives NaN a
+  * consistent place (greatest, matching Spark's sort order) instead of
+  * the unordered-comparison hole raw NaN doubles would open.
   */
-private[graft] final class TopKHeap(val k: Int, val longScores: Boolean) {
+private[graft] final class TopKHeap(val k: Int) {
   var size = 0
   val ids = new Array[Long](k)
   val scores = new Array[Long](k)
 
-  @inline private def lt(a: Long, b: Long): Boolean =
-    if (longScores) a < b
-    else java.lang.Double.longBitsToDouble(a) < java.lang.Double.longBitsToDouble(b)
+  @inline private def lt(a: Long, b: Long): Boolean = a < b
 
   /** a strictly worse than b under (score desc, id asc). */
   @inline private def worse(sa: Long, ia: Long, sb: Long, ib: Long): Boolean =
@@ -117,6 +117,8 @@ case class TopKByScore(
 
   private lazy val longScores: Boolean = score.dataType.isInstanceOf[LongType]
 
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(math.max(k, 0))
+
   override def children: Seq[Expression] = Seq(id, score, kExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
@@ -137,23 +139,14 @@ case class TopKByScore(
       TypeCheckResult.TypeCheckFailure("topk_by k must be a foldable INT")
     else TypeCheckResult.TypeCheckSuccess
 
-  override def createAggregationBuffer(): TopKHeap =
-    new TopKHeap(math.max(k, 0), longScores)
-
   override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {
     val i = id.eval(input)
     val s = score.eval(input)
     if (i != null && s != null) {
-      val bits =
+      val payload =
         if (longScores) s.asInstanceOf[Long]
-        else {
-          // canonicalize -0.0: tie-breaks compare raw bits for equality,
-          // and a -0.0/+0.0 split must not make the retained set depend
-          // on insertion order
-          val d = s.asInstanceOf[Double]
-          java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
-        }
-      buf.insert(i.asInstanceOf[Long], bits)
+        else TopKByScore.toSortable(s.asInstanceOf[Double])
+      buf.insert(i.asInstanceOf[Long], payload)
     }
     buf
   }
@@ -170,7 +163,7 @@ case class TopKByScore(
   override def eval(buf: TopKHeap): Any =
     new GenericArrayData(buf.sorted.map { case (i, s) =>
       val sv: Any =
-        if (longScores) s else java.lang.Double.longBitsToDouble(s)
+        if (longScores) s else TopKByScore.fromSortable(s)
       InternalRow(i, sv): Any
     })
 
@@ -187,7 +180,7 @@ case class TopKByScore(
   override def deserialize(bytes: Array[Byte]): TopKHeap = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
-    val buf = new TopKHeap(math.max(k, 0), longScores)
+    val buf = new TopKHeap(math.max(k, 0))
     var i = 0
     while (i < n) {
       buf.insert(bb.getLong, bb.getLong)
@@ -205,4 +198,24 @@ case class TopKByScore(
     copy(id = newChildren(0), score = newChildren(1), kExpr = newChildren(2))
 
   override def prettyName: String = "topk_by"
+}
+
+object TopKByScore {
+
+  /** IEEE-754 total-order bit transform (an involution): signed-long
+    * comparison of transformed bits equals the double total order
+    * -Inf < … < -0.0|+0.0 < … < +Inf < NaN. Zeros are canonicalized to
+    * +0.0 first so the tie-break's bit-equality cannot split them, and
+    * NaN lands GREATEST — the same place Spark's sort puts it, so the
+    * SQL-registered aggregate ranks NaN-scored rows first under the
+    * descending output order instead of corrupting the heap with
+    * unordered comparisons.
+    */
+  @inline private[graft] def toSortable(d: Double): Long = {
+    val bits = java.lang.Double.doubleToLongBits(if (d == 0.0) 0.0 else d)
+    if (bits < 0L) bits ^ Long.MaxValue else bits
+  }
+
+  @inline private[graft] def fromSortable(s: Long): Double =
+    java.lang.Double.longBitsToDouble(if (s < 0L) s ^ Long.MaxValue else s)
 }

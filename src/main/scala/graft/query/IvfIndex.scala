@@ -144,6 +144,8 @@ object IvfIndex {
       embCol: String,
       newRows: DataFrame): Unit = {
     val cellMeta = spark.read.parquet(s"$indexPath/cells_meta")
+    // nCentroids-row frame: count it once here, not per write below
+    val nCells = cellMeta.count().toInt.max(1)
     val prep = AnnIndex.prepared(newRows, idCol, embCol)
       .select(col(idCol), col(embCol),
         org.apache.spark.ml.functions.vector_to_array(col("features"))
@@ -169,9 +171,8 @@ object IvfIndex {
       assigned
         .select(col(idCol), col(embCol), col("centroid_id"))
         // bounded files/cell per append, cluster-scaled parallelism
-        // (cellMeta is nCentroids rows — the count is a trivial job)
         .transform(graft.util.PartitionedWrite.spread(
-          _, cellMeta.count().toInt.max(1), col("centroid_id"), col(idCol)))
+          _, nCells, col("centroid_id"), col(idCol)))
         .write.partitionBy("centroid_id").mode("append")
         .parquet(s"$indexPath/cells")
       // grow radii to cover the new members; localCheckpoint materializes
@@ -279,12 +280,8 @@ object IvfIndex {
     // nearest cells held fewer than k candidates -> floor = threshold).
     // topk_by, not a window: the map-side partial caps the shuffle at k
     // entries per query per task instead of every probed candidate
-    val floor = pass1
-      .groupBy(col(queryIdCol))
-      .agg(graft.functions.topk_by(col(idCol), col("sim"), lit(k)).as("__t"))
-      .filter(size(col("__t")) === k)
-      .select(col(queryIdCol),
-        element_at(col("__t"), k).getField("score").as("floor_sim"))
+    val floor = SimilaritySearch.kthBestScore(
+      pass1, queryIdCol, idCol, "sim", k, "floor_sim")
     // second pass: exactly the cells whose bound can still matter. >= on
     // the floor (not >): a bound-equal cell can hold a tie that wins the
     // ascending-id tie-break.
@@ -364,12 +361,8 @@ object IvfIndex {
     // k-th best via topk_by: pass-1 is own-cell × corpus sized, so the
     // map-side partial (k per query per task) is the difference between
     // shuffling the candidate set and shuffling the answer
-    val floor = pass1
-      .groupBy(col("query_id"))
-      .agg(graft.functions.topk_by(col(idCol), col("sim"), lit(k)).as("__t"))
-      .filter(size(col("__t")) === k)
-      .select(col("query_id"),
-        element_at(col("__t"), k).getField("score").as("floor_sim"))
+    val floor = SimilaritySearch.kthBestScore(
+      pass1, "query_id", idCol, "sim", k, "floor_sim")
 
     // pass 2: foreign cells whose bound still reaches the floor. >= on
     // the floor: a bound-equal cell can hold a tie that wins the

@@ -96,7 +96,9 @@ object MmrRerank {
     // only row groups whose vec_id range can hold a candidate (parquet
     // min/max pruning) instead of a second full corpus scan, and the
     // collected rows broadcast as a literal frame — the same
-    // collected-ids discipline as AnnIndex.queryTopK
+    // collected-ids discipline as AnnIndex.queryTopK. Like there, the
+    // collect makes CONSTRUCTION eager: building this frame runs the
+    // candidate-generation jobs even if the result is only explained
     val candRows = cands.select(col("query_id"), col("vec_id"), col("sim"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     val candDf = candRows.toSeq.toDF("query_id", "vec_id", "sim")

@@ -86,4 +86,27 @@ object SimilaritySearch {
         col("col.id").as(idAlias),
         col("col.score").as(scoreAlias),
         (col("pos") + 1).cast("long").as("rn"))
+
+  /** Per-group k-th best score by (score desc, id asc) — the floor the
+    * two-pass IVF probes prune against. Groups holding fewer than k
+    * rows emit nothing (their floor is the caller's threshold), and
+    * k <= 0 yields an empty frame instead of an invalid array index.
+    * Output: (groupCol, floorAlias).
+    */
+  private[graft] def kthBestScore(
+      scored: DataFrame,
+      groupCol: String,
+      idCol: String,
+      scoreCol: String,
+      k: Int,
+      floorAlias: String): DataFrame =
+    if (k <= 0)
+      scored.select(col(groupCol), col(scoreCol).as(floorAlias)).limit(0)
+    else
+      scored
+        .groupBy(col(groupCol))
+        .agg(topk_by(col(idCol), col(scoreCol), lit(k)).as("__t"))
+        .filter(size(col("__t")) === k)
+        .select(col(groupCol),
+          element_at(col("__t"), k).getField("score").as(floorAlias))
 }

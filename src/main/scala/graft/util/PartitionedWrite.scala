@@ -19,12 +19,16 @@ object PartitionedWrite {
 
   /** Repartition `df` for a `partitionBy` write into `dirs` directories:
     * the shuffle key is (dirCol, hash(saltCol) % saltFactor), where
-    * saltFactor is sized from the session's parallelism. Each directory
-    * receives ≤ saltFactor files per write and the write runs on up to
-    * dirs × saltFactor tasks. On local[32] with 64 dirs saltFactor is 1,
-    * so the layout is bit-identical to the unsalted form; a 1000-core
-    * cluster gets ~2× core-count write tasks with file counts still
-    * bounded per directory, not per (task × dir).
+    * saltFactor = ceil(2·cores / dirs). Each directory receives
+    * ≤ saltFactor files per write and the write runs on up to
+    * dirs × saltFactor tasks. When dirs already covers 2× the session's
+    * cores (the 64-bucket indexes on local[32]) saltFactor is 1 and the
+    * layout is bit-identical to the unsalted form; when dirs is small
+    * (IVF's nCentroids cells) the salt deliberately trades files-per-dir
+    * for write parallelism — e.g. 16 cells on 32 cores write 4 files per
+    * cell instead of serializing the build onto 16 tasks (bench-checked:
+    * probe cost is unchanged at fixture scale, and at cluster scale the
+    * per-dir bound is what matters).
     *
     * `saltCol` must be deterministic per row (an id column) so replayed
     * writes land identically.

@@ -73,15 +73,28 @@ class TopKAggSpec extends AnyFunSuite with SharedSpark {
     val expected = entries.sortBy { case (id, s) => (-s, id) }.take(7)
     for (seed <- 1 to 5) {
       val shuffled = new scala.util.Random(seed).shuffle(entries)
-      val h = new TopKHeap(7, longScores = false)
+      val h = new TopKHeap(7)
       shuffled.foreach { case (id, s) =>
-        h.insert(id, java.lang.Double.doubleToLongBits(s))
+        h.insert(id, graft.functions.TopKByScore.toSortable(s))
       }
       val got = h.sorted.toSeq.map { case (id, bits) =>
-        (id, java.lang.Double.longBitsToDouble(bits))
+        (id, graft.functions.TopKByScore.fromSortable(bits))
       }
       assert(got === expected, s"seed=$seed")
     }
+  }
+
+  test("NaN scores rank greatest (Spark's sort order), never corrupt the heap") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 10L, 1.0), (1L, 11L, Double.NaN), (1L, 12L, 2.0),
+      (1L, 13L, Double.NegativeInfinity), (1L, 14L, Double.NaN))
+      .toDF("g", "id", "s")
+    val got = df.groupBy("g")
+      .agg(topk_by(col("id"), col("s"), lit(3)).as("t"))
+      .selectExpr("t[0].id", "t[1].id", "t[2].id").collect().head
+    // NaN ties break by id asc, then the real scores descend
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) === ((11L, 14L, 12L)))
   }
 
   test("property: heap equals sort-take for arbitrary entries and k") {
@@ -99,12 +112,12 @@ class TopKAggSpec extends AnyFunSuite with SharedSpark {
       // ids deduped: the kernels always feed unique ids per group
       val uniq = entries.groupBy(_._1).map { case (id, vs) => (id, vs.head._2) }.toSeq
       val expected = uniq.sortBy { case (id, s) => (-s, id) }.take(k)
-      val h = new TopKHeap(k, longScores = false)
+      val h = new TopKHeap(k)
       uniq.foreach { case (id, s) =>
-        h.insert(id, java.lang.Double.doubleToLongBits(s))
+        h.insert(id, graft.functions.TopKByScore.toSortable(s))
       }
       h.sorted.toSeq.map { case (id, bits) =>
-        (id, java.lang.Double.longBitsToDouble(bits))
+        (id, graft.functions.TopKByScore.fromSortable(bits))
       } == expected
     }
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
