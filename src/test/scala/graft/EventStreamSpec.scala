@@ -186,6 +186,43 @@ class EventStreamSpec extends AnyFunSuite with SharedSpark {
     assert(ids == Seq(1L, 2L, 3L), s"expected one row per id, got $ids")
   }
 
+  test("NTZ-annotated events stream through the watermark path end-to-end") {
+    // The second fixture shape that has actually shipped: TIMESTAMP
+    // (MICROS, isAdjustedToUTC=false). The session pins
+    // inferTimestampNTZ=false, so the batch/stream NTZ cast arms never
+    // fire under normal test runs — this case writes a genuinely
+    // NTZ-annotated copy of the fixture and replays it under Spark's
+    // DEFAULT inference (NTZ), driving readEvents' TimestampNTZType arm
+    // through withWatermark + window aggregation to the same rows the
+    // batch path produces.
+    import org.apache.spark.sql.functions.col
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
+    val base = java.nio.file.Files.createTempDirectory("graft-ntz-events").toString
+    Tables(spark, Sf0001, "events")
+      .withColumn("ts", col("ts").cast("timestamp_ntz"))
+      .write.mode("overwrite").parquet(s"$base/events.parquet")
+    val (phys, ann) = graft.util.ParquetFooter
+      .columnType(spark, s"$base/events.parquet", "ts")
+    assert(ann.exists {
+      case t: TimestampLogicalTypeAnnotation =>
+        !t.isAdjustedToUTC && t.getUnit == TimeUnit.MICROS
+      case _ => false
+    }, s"staged fixture is not NTZ-annotated: " +
+      graft.util.ParquetFooter.describe(phys, ann))
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ", "true")
+    try {
+      val events = EventStream.readEvents(spark, base)
+      assert(events.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType,
+        s"NTZ arm did not normalize: ${events.schema("ts").dataType}")
+      EventStream.runToMemory(
+        EventStream.hourlyByType(events), "stream_hourly_ntz")
+      val streamed = sortedRows(spark.table("stream_hourly_ntz").collect())
+      val batch = sortedRows(Events.hourlyByType(spark, Sf0001).collect())
+      assert(streamed == batch)
+    } finally spark.conf.set("spark.sql.parquet.inferTimestampNTZ", "false")
+  }
+
   test("streaming sliding-window counts equal the batch aggregation (sf0.001)") {
     val stream = EventStream.slidingCounts(EventStream.readEvents(spark, Sf0001))
     EventStream.runToMemory(stream, "stream_sliding")
