@@ -18,6 +18,16 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * the session builder. Uses only the public `SparkSessionExtensions`
   * injection API; the builder table is the same one `registerAll` uses,
   * so the two registration paths cannot drift.
+  *
+  * Typed contract of the `topk_by` aggregate at this SQL surface: the
+  * id argument must be BIGINT (`CAST(id AS BIGINT)` for narrower ids —
+  * the Column API applies that cast for you, raw SQL does not), the
+  * score BIGINT or DOUBLE (BIGINT compares exactly at any magnitude;
+  * no implicit widening, because a silent cast of a fixed-point BIGINT
+  * score to DOUBLE would corrupt ordering past 2^53), and k a non-null
+  * INT literal. Violations fail at analysis with a message naming the
+  * rule (see `TopKByScore.checkInputDataTypes`), pinned by
+  * GraftExtensionsSpec.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit =

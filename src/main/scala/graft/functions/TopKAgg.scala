@@ -137,6 +137,11 @@ case class TopKByScore(
         s"topk_by score must be BIGINT or DOUBLE, got ${score.dataType.sql}")
     else if (!kExpr.foldable || !kExpr.dataType.isInstanceOf[IntegerType])
       TypeCheckResult.TypeCheckFailure("topk_by k must be a foldable INT")
+    else if (kExpr.eval(InternalRow.empty) == null)
+      // a foldable CAST(NULL AS INT) passes the type check above but
+      // has no usable value — reject at analysis time instead of
+      // throwing from buffer creation mid-execution
+      TypeCheckResult.TypeCheckFailure("topk_by k must be a non-null INT literal, got NULL")
     else TypeCheckResult.TypeCheckSuccess
 
   override def update(buf: TopKHeap, input: InternalRow): TopKHeap = {

@@ -140,6 +140,16 @@ object AnnIndex {
     *
     * Output: (queryIdCol, idCol, sim, rn) — rn 1..k by descending sim.
     */
+  /** Driver-collect ceiling for [[queryTopK]]'s two collects. The
+    * candidate volume is bounded by construction (batch × tables ×
+    * bucket occupancy), but that bound is a CONFIGURATION property —
+    * a mis-sized query batch or an unguarded hot bucket would
+    * otherwise OOM the driver silently. 2M (query, id) pairs ≈ tens
+    * of MB collected: far above any point-lookup batch, far below
+    * driver heap. Checked with a limit-probe (no extra count job).
+    */
+  val MaxDriverRows = 2000000
+
   def queryTopK(
       spark: org.apache.spark.sql.SparkSession,
       indexPath: String,
@@ -149,9 +159,23 @@ object AnnIndex {
       queryIdCol: String,
       queryVecCol: String,
       k: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      maxDriverRows: Int = MaxDriverRows): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.StructType
+    // limit-probe collect: fetch bound+1 rows in ONE job — under the
+    // bound that is all the rows; over it, fail loudly instead of
+    // pulling an unbounded frame onto the driver
+    def collectBounded(plan: DataFrame, what: String): Array[Row] = {
+      val rows = plan.limit(maxDriverRows + 1).collect()
+      require(rows.length <= maxDriverRows,
+        s"AnnIndex.queryTopK: $what exceeds the driver-collect bound " +
+          s"($maxDriverRows rows) — this path is sized for point-lookup " +
+          "query batches; shrink the batch, re-check Params" +
+          ".maxBucketOccupancy on the index build, or use AnnIndex" +
+          ".crossJoin (fully distributed) for bulk similarity joins")
+      rows
+    }
     val model = loadModel(indexPath)
     val qPrep = model.transform(
       prepared(queries.select(col(queryIdCol), col(queryVecCol).as(embCol)), queryIdCol, embCol))
@@ -163,7 +187,7 @@ object AnnIndex {
         element_at(vector_to_array(col("col")), 1).cast("long").as("bucket"))
       .withColumn("__bucket", pmod(hash(col("table"), col("bucket")), lit(IndexBuckets)))
     val qSchema = qPlan.schema
-    val qRows = qPlan.collect()
+    val qRows = collectBounded(qPlan, "the hashed query batch")
     def fieldsOf(names: Seq[String]) =
       StructType(names.map(n => qSchema(qSchema.fieldIndex(n))))
     def literalDf(rows: Seq[Row], names: Seq[String]) =
@@ -188,7 +212,7 @@ object AnnIndex {
       .select(col(queryIdCol), col(idCol),
         pmod(hash(col(idCol)), lit(IndexBuckets)).as("__vb"))
     val candSchema = candPlan.schema
-    val candRows = candPlan.collect()
+    val candRows = collectBounded(candPlan, "the candidate (query, id) pairs")
     val vBuckets = candRows.map(_.getAs[Int]("__vb")).distinct.toSeq
     val candDf = spark.createDataFrame(
       java.util.Arrays.asList(

@@ -133,8 +133,10 @@ object IvfIndex {
     * touches only the arriving rows plus one tiny metadata frame.
     *
     * Append-only contract: `newRows` ids must be disjoint from the ids
-    * already indexed (the caller's dedup gate owns identity). A repeated
-    * id would simply surface twice as a candidate — never silently
+    * already indexed (the caller's dedup gate owns identity) and unique
+    * WITHIN the batch — a duplicated batch id fails the job naming the
+    * id (enforced in the assignment aggregation below). An id repeated
+    * across batches surfaces twice as a candidate — never silently
     * dropped, but not replaced either.
     */
   def upsert(
@@ -162,7 +164,18 @@ object IvfIndex {
       .groupBy(col(idCol))
       .agg(
         graft.functions.topk_by(col("centroid_id"), -col("d"), lit(1)).as("__t"),
-        first(col(embCol)).as(embCol))
+        first(col(embCol)).as(embCol),
+        count(lit(1)).as("__nrows"))
+      // the unique-id contract above is ENFORCED, not assumed: under a
+      // duplicated batch id, first(embCol) could pair one duplicate's
+      // embedding with the other's argmin centroid. Each unique id
+      // contributes exactly nCells rows to this aggregation (the cross
+      // join), so any other count proves a repeat — assert_true inside
+      // the filter fails the job naming the id, at zero extra jobs
+      .filter(assert_true(col("__nrows") === nCells,
+        concat(lit("IvfIndex.upsert: newRows contains a duplicated id ("),
+          col(idCol).cast("string"),
+          lit(") — the append-only contract requires unique batch ids"))).isNull)
       .select(col(idCol), col(embCol),
         col("__t").getItem(0).getField("id").as("centroid_id"),
         (-col("__t").getItem(0).getField("score")).as("d"))

@@ -101,6 +101,13 @@ object MmrRerank {
     // candidate-generation jobs even if the result is only explained
     val candRows = cands.select(col("query_id"), col("vec_id"), col("sim"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the constant-size assumption above, enforced: a future
+    // CandidateK / query-batch change fails loudly here instead of
+    // silently bloating the driver plan with a giant isin list
+    require(candRows.length <= 10 * CandidateK,
+      s"MmrRerank.q70: candidate collect (${candRows.length} rows) exceeds " +
+        s"the documented bound (10 queries x $CandidateK candidates) — " +
+        "re-derive the bound or move the fetch to a distributed join")
     val candDf = candRows.toSeq.toDF("query_id", "vec_id", "sim")
     val withVecs = e.select(col("vec_id"), col("embedding"))
       .filter(col("vec_id").isin(candRows.map(_._2).distinct.toSeq: _*))

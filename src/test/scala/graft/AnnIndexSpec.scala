@@ -46,6 +46,28 @@ class AnnIndexSpec extends AnyFunSuite with SharedSpark {
     assert(ann.groupBy(_._1).forall(_._2.size <= 5))
   }
 
+  test("queryTopK fails loudly when the candidate volume exceeds the driver bound") {
+    // The two driver collects are bounded by construction (batch ×
+    // tables × occupancy) — but that bound is a configuration
+    // property, so an injected tiny ceiling must trip the guard
+    // instead of silently collecting past it.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-guard").toString
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    AnnIndex.buildIndex(e, "vec_id", "embedding", dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val err = intercept[IllegalArgumentException] {
+      AnnIndex.queryTopK(spark, dir, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, threshold = 0.0,
+        maxDriverRows = 3).collect()
+    }
+    assert(err.getMessage.contains("driver-collect bound"), err.getMessage)
+    assert(err.getMessage.contains("crossJoin"), err.getMessage)
+    // at the default bound the same index + batch still serves
+    assert(AnnIndex.queryTopK(spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 5, threshold = 0.0).count() > 0)
+  }
+
   test("two-dataset ANN cross join equals the exact cross join (sf0.001)") {
     import org.apache.spark.sql.functions._
     val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")

@@ -38,6 +38,21 @@ class GraftExtensionsSpec extends AnyFunSuite with SharedSpark {
           |FROM VALUES (1L, 0.3D), (2L, 0.7D) AS t(id, s)
           |""".stripMargin).collect()(0)
       assert(agg.getLong(0) == 2L)
+      // ad-hoc SQL with a non-BIGINT id must fail AT ANALYSIS with the
+      // aggregate's own message (naming the fix), not a runtime cast
+      // error — the typed-id contract documented on GraftExtensions
+      val idErr = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("""SELECT topk_by(id, s, 1) FROM
+                |VALUES (1, 0.3D) AS t(id, s)""".stripMargin).collect()
+      }
+      assert(idErr.getMessage.contains("topk_by id must be BIGINT"),
+        idErr.getMessage)
+      // a foldable NULL k likewise fails at analysis, not mid-execution
+      val kErr = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("""SELECT topk_by(id, s, CAST(NULL AS INT)) FROM
+                |VALUES (1L, 0.3D) AS t(id, s)""".stripMargin).collect()
+      }
+      assert(kErr.getMessage.contains("non-null INT literal"), kErr.getMessage)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()

@@ -218,6 +218,27 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     assert(topkSet(ivf) == topkSet(exact))
   }
 
+  test("upsert rejects a batch with a duplicated id, naming the id") {
+    // the unique-batch-id contract is enforced inside the assignment
+    // plan (assert_true in a filter) — this pins that the optimizer
+    // does not prune the check away and that the failure names the id
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-dup").toString
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    IvfIndex.build(e.filter(col("vec_id") < 50), "vec_id", "embedding", dir,
+      IvfIndex.Params(nCentroids = 4))
+    val fresh = e.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+    val err = intercept[Exception] {
+      IvfIndex.upsert(spark, dir, "vec_id", "embedding",
+        fresh.union(fresh.limit(1)))
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(err).exists(_.contains("duplicated id")),
+      s"wrong failure: ${messages(err).mkString(" | ")}")
+  }
+
   test("upsert outside every existing radius: growth is what keeps the bound exact") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
