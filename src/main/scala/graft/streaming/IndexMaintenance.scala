@@ -89,4 +89,54 @@ object IndexMaintenance {
         applyBatch(indexPath, idCol, embCol, batch, batchId); ()
       }
       .start()
+
+  /** The lexical twin of [[applyBatch]]: fold one micro-batch of
+    * documents into a [[graft.query.LexicalSearch.buildIndex]]-persisted
+    * postings index (term-hash partition append + two-Long stats
+    * merge), behind the same replay fence. BM25 scores after N batches
+    * are bit-identical to a from-scratch rebuild over the union —
+    * q89's oracle contract, which the df-free index layout guarantees
+    * per append and therefore under any append sequence.
+    * @return true iff the batch was applied (not fenced/empty).
+    */
+  def applyLexicalBatch(
+      workDir: String,
+      idCol: String,
+      textCol: String,
+      batch: DataFrame,
+      batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    if (batchId <= lastApplied(spark, workDir) || batch.isEmpty) false
+    else {
+      graft.query.LexicalSearch.upsertIndex(spark, workDir, idCol, textCol, batch)
+      import spark.implicits._
+      Seq(batchId).toDF("applied_batch_id")
+        .write.mode("overwrite").parquet(fencePath(workDir))
+      true
+    }
+  }
+
+  /** Continuous lexical-index maintenance — completes the
+    * build-once/query-many story symmetrically with [[maintainIvf]]
+    * and [[StreamingNearDup]]: arriving documents land in their
+    * term-hash posting partitions within one trigger, and the very
+    * next [[graft.query.LexicalSearch.queryIndex]] probe scores them.
+    * Same at-least-once caveat as [[applyBatch]]; run
+    * [[graft.query.LexicalSearch.compactIndex]] off the query path at
+    * compaction cadence.
+    */
+  def maintainLexical(
+      docs: DataFrame,
+      workDir: String,
+      idCol: String,
+      textCol: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyLexicalBatch(workDir, idCol, textCol, batch, batchId); ()
+      }
+      .start()
 }

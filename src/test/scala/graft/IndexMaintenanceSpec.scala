@@ -65,6 +65,52 @@ class IndexMaintenanceSpec extends AnyFunSuite with SharedSpark {
     assert(!IndexMaintenance.applyBatch(dir, "vec_id", "embedding", empty, lastId + 1))
   }
 
+  test("streamed lexical upserts score bit-identically to a full rebuild; replays fenced") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = Tables.parallelize(Tables(spark, Sf0001, "documents"))
+      .select(col("doc_id"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-lex-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-lex-stream-ckpt").toString
+    // base index over 70% of the corpus; the rest arrives as a stream
+    graft.query.LexicalSearch.buildIndex(
+      docs.filter(pmod(col("doc_id"), lit(10)) < 7), "doc_id", "text", dir)
+    val arrivals = docs.filter(pmod(col("doc_id"), lit(10)) >= 7)
+      .as[(Long, String)].collect().toSeq
+
+    val input = MemoryStream[(Long, String)]
+    val q = IndexMaintenance.maintainLexical(
+      input.toDS().toDF("doc_id", "text"), dir, "doc_id", "text", ckpt)
+    try {
+      val (b1, b2) = arrivals.splitAt(arrivals.size / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+    assert(IndexMaintenance.lastApplied(spark, dir) >= 1L)
+
+    // q89's oracle contract, extended across micro-batches: the
+    // maintained index scores BIT-IDENTICALLY to a from-scratch
+    // rebuild over the union (BM25 depends on global N/total_len/df,
+    // so any maintenance error shows in the scores)
+    val terms = graft.Queries.lexicalQueryBatch(spark, Sf0001)
+    def answer(path: String) = graft.query.LexicalSearch.queryIndex(
+        spark, path, "doc_id", terms, "query_id", "term", k = 10)
+      .collect().map(_.toSeq).toSet
+    val rebuilt = java.nio.file.Files.createTempDirectory("graft-lex-rebuild").toString
+    graft.query.LexicalSearch.buildIndex(docs, "doc_id", "text", rebuilt)
+    assert(answer(dir) === answer(rebuilt),
+      "maintained lexical index diverged from a from-scratch rebuild")
+
+    // crash-replay of an applied batch id must be a fenced no-op
+    val before = spark.read.parquet(s"$dir/postings").count()
+    val lastId = IndexMaintenance.lastApplied(spark, dir)
+    assert(!IndexMaintenance.applyLexicalBatch(
+      dir, "doc_id", "text", arrivals.toDF("doc_id", "text"), lastId))
+    assert(spark.read.parquet(s"$dir/postings").count() == before)
+  }
+
   test("compaction after upserts shrinks files and changes no answer") {
     val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf-compact").toString
