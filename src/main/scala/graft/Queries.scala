@@ -327,6 +327,30 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** Q102: semantic dedup (SemDeDup, Abbas et al., arXiv:2303.09540)
+    * over the embeddings table — within-cell pairwise τ-prune with the
+    * keep-first (lowest id) policy
+    * ([[graft.pipeline.SemanticDedup.dedupWithinCells]]). The cell
+    * assignment is a deterministic 2-bit sign grid on the first two
+    * embedding components: a SQL-expressible random-projection
+    * stand-in for the production IVF/KMeans cells, so DuckDB replays
+    * the assignment exactly and the oracle grades the survivor
+    * contract itself. τ reuses q20's cross-engine-verified 0.35
+    * operating point (the fixture's embeddings are spread; real
+    * deployments run τ ≈ 0.95+ on model embeddings).
+    */
+  def q102SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+      .withColumn("cell",
+        (when(element_at(col("embedding"), 1) > 0f, 2).otherwise(0) +
+          when(element_at(col("embedding"), 2) > 0f, 1).otherwise(0)).cast("long"))
+    graft.pipeline.SemanticDedup.dedupWithinCells(
+        e.select(col("vec_id"), col("embedding"), col("cell")),
+        "vec_id", "embedding", "cell", tau = 0.35, rankCol = "vec_id")
+      .select(col("vec_id"), col("cell"))
+      .orderBy("vec_id")
+  }
+
   /** Q72: hybrid retrieval — Reciprocal Rank Fusion of the exact-cosine
     * vector channel (q9's semantics, k'=20) and the BM25 lexical channel
     * (q71's semantics, k'=20), fused in exact micro-units
@@ -519,7 +543,8 @@ object Queries {
     "q100_best_of_cluster" ->
       ((s: SparkSession, d: String) => q100BestOfClusterStored(s, d)),
     "q101_repeated_spans" ->
-      ((s: SparkSession, d: String) => Dedup.q101RepeatedSpans(s, d)))
+      ((s: SparkSession, d: String) => Dedup.q101RepeatedSpans(s, d)),
+    "q102_semantic_dedup" -> (q102SemanticDedup _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -1441,6 +1466,25 @@ object Queries {
         |  strftime(c.ts, '%Y-%m-%d %H:%M:%S') AS ref_ts
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY purchase_id""".stripMargin,
+    // q102: SemDeDup survivors — the 2-bit sign-grid cell assignment
+    // restated on DuckDB's 1-based list indexing, the pairwise
+    // τ-compare on the same DOUBLE-cast cosine as the q20/q25 oracle
+    // (threshold decisions already cross-engine-verified there), drop
+    // rule = EXISTS a lower-id τ-close cell-mate
+    "q102_semantic_dedup" ->
+      """WITH c AS (
+        |  SELECT vec_id,
+        |    ((CASE WHEN embedding[1] > 0 THEN 2 ELSE 0 END)
+        |     + (CASE WHEN embedding[2] > 0 THEN 1 ELSE 0 END))::BIGINT AS cell,
+        |    embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT DISTINCT a.vec_id
+        |  FROM c a JOIN c b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.35)
+        |SELECT vec_id, cell FROM c
+        |WHERE vec_id NOT IN (SELECT vec_id FROM d)
+        |ORDER BY vec_id""".stripMargin,
     "q97_leakage_safe_split" -> leakageSafeSplitOracle,
     // the ascending water-filling scan stated with explicit ROWS frames
     // (DuckDB's default ORDER BY frame is RANGE); all BIGINT, floor
