@@ -2,7 +2,7 @@ package graft
 
 import graft.ingest.IngestJob
 import graft.pipeline.{Decontamination, Dedup, Events, Multimodal, RangeJoin, Relational, Sampling, SequencePacker, TextAnalysis}
-import graft.query.{AnnIndex, ContextAssembler, IvfIndex, LexicalSearch, QuantizedSearch, SimilaritySearch}
+import graft.query.{AnnIndex, ContextAssembler, IvfIndex, LexicalSearch, QuantizedSearch, RetrievalEval, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -351,6 +351,32 @@ object Queries {
       .orderBy("vec_id")
   }
 
+  /** Q103: retrieval-quality evaluation
+    * ([[graft.query.RetrievalEval.metrics]]) — the shared 10-query
+    * batch retrieves exact-cosine top-20 label-blind (self excluded),
+    * then is graded against label-mate relevance: hits/recall/
+    * success@10, MRR over the 20-list, and NDCG@10 with the
+    * driver-computed nano-discount table embedded identically in both
+    * engines. Every metric is exact fixed-point BIGINT.
+    */
+  def q103RetrievalEval(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("embedding").as("qvec"))
+    val hits = e.crossJoin(broadcast(q.select(col("query_id"), col("qvec"))))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim",
+        graft.functions.cosine_sim(col("embedding"), col("qvec")))
+      .transform(SimilaritySearch.topKExplode(_, "query_id", "vec_id", "sim", 20))
+    val rels = e.join(
+        broadcast(q.select(col("query_id"), col("qlabel"))),
+        col("label") === col("qlabel") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    RetrievalEval.metrics(hits, "query_id", "vec_id", "rn", rels, k = 10)
+      .orderBy("query_id")
+  }
+
   /** Q72: hybrid retrieval — Reciprocal Rank Fusion of the exact-cosine
     * vector channel (q9's semantics, k'=20) and the BM25 lexical channel
     * (q71's semantics, k'=20), fused in exact micro-units
@@ -544,7 +570,8 @@ object Queries {
       ((s: SparkSession, d: String) => q100BestOfClusterStored(s, d)),
     "q101_repeated_spans" ->
       ((s: SparkSession, d: String) => Dedup.q101RepeatedSpans(s, d)),
-    "q102_semantic_dedup" -> (q102SemanticDedup _))
+    "q102_semantic_dedup" -> (q102SemanticDedup _),
+    "q103_retrieval_eval" -> (q103RetrievalEval _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -1485,6 +1512,7 @@ object Queries {
         |SELECT vec_id, cell FROM c
         |WHERE vec_id NOT IN (SELECT vec_id FROM d)
         |ORDER BY vec_id""".stripMargin,
+    "q103_retrieval_eval" -> retrievalEvalOracle,
     "q97_leakage_safe_split" -> leakageSafeSplitOracle,
     // the ascending water-filling scan stated with explicit ROWS frames
     // (DuckDB's default ORDER BY frame is RANGE); all BIGINT, floor
@@ -1965,6 +1993,64 @@ object Queries {
     graft.pipeline.Profiler.Q90Targets
       .flatMap { case (table, cols) => branches(table, cols) }
       .mkString("", "\nUNION ALL\n", "\nORDER BY tbl, col_name")
+  }
+
+  /** Q103 oracle: ranked retrieval restated as the q9-pattern window,
+    * label-mate relevance, and the metric arithmetic in BIGINT with the
+    * SAME driver-computed discount literals the Spark plan embeds
+    * ([[graft.query.RetrievalEval.discountNanos]]) — interpolated into
+    * this string from the one Scala array, so the two engines cannot
+    * drift on the only irrational ingredient.
+    */
+  private lazy val retrievalEvalOracle: String = {
+    val disc = RetrievalEval.discountNanos(10)
+    val discCase =
+      (1 to 10).map(r => s"WHEN $r THEN ${disc(r - 1)}").mkString(" ")
+    val idcg = RetrievalEval.idcgNanos(10)
+    val idcgCase =
+      (1 to 10).map(r => s"WHEN $r THEN ${idcg(r - 1)}").mkString(" ")
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, label AS qlabel, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id < 10),
+       |s AS (
+       |  SELECT q.query_id, q.qlabel, e.vec_id, e.label,
+       |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> q.query_id),
+       |r AS (
+       |  SELECT query_id, qlabel, vec_id, label,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+       |  FROM s),
+       |h AS (SELECT * FROM r WHERE rn <= 20),
+       |n AS (
+       |  SELECT q.query_id, count(*)::BIGINT AS n_rel
+       |  FROM q JOIN embeddings b
+       |    ON b.label = q.qlabel AND b.vec_id <> q.query_id
+       |  GROUP BY 1),
+       |t AS (
+       |  SELECT query_id,
+       |    sum(CASE WHEN label = qlabel AND rn <= 10 THEN 1 ELSE 0 END)::BIGINT
+       |      AS hits_at_k,
+       |    min(CASE WHEN label = qlabel THEN rn END)::BIGINT AS first_rel,
+       |    sum(CASE WHEN label = qlabel AND rn <= 10
+       |             THEN CASE rn $discCase ELSE 0 END
+       |             ELSE 0 END)::BIGINT AS dcg_nanos
+       |  FROM h GROUP BY 1)
+       |SELECT t.query_id,
+       |  n.n_rel,
+       |  t.hits_at_k,
+       |  (t.hits_at_k * 1000000 // greatest(n.n_rel, 1))::BIGINT AS recall_micro,
+       |  (CASE WHEN t.hits_at_k > 0 THEN 1 ELSE 0 END)::BIGINT AS success_at_k,
+       |  coalesce(t.first_rel, 0)::BIGINT AS first_rel_rank,
+       |  (CASE WHEN t.first_rel IS NULL THEN 0
+       |        ELSE 1000000 // t.first_rel END)::BIGINT AS mrr_micro,
+       |  t.dcg_nanos,
+       |  (CASE least(n.n_rel, 10) $idcgCase ELSE 0 END)::BIGINT AS idcg_nanos,
+       |  (CASE WHEN n.n_rel > 0
+       |        THEN (t.dcg_nanos * 1000000)
+       |             // (CASE least(n.n_rel, 10) $idcgCase ELSE 0 END)
+       |        ELSE 0 END)::BIGINT AS ndcg_micro
+       |FROM t JOIN n USING (query_id) ORDER BY query_id""".stripMargin
   }
 
   private lazy val cosineTopKOracle: String =

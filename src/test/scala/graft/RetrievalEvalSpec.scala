@@ -1,0 +1,51 @@
+package graft
+
+import graft.query.RetrievalEval
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed fixed-point metric arithmetic — the q103 oracle
+  * verifies the composition on the fixture; these pin each formula and
+  * edge (no relevant hit, query absent from the relevance set, MRR
+  * past the NDCG cutoff) against values computed by hand.
+  */
+class RetrievalEvalSpec extends AnyFunSuite with SharedSpark {
+
+  private val d = RetrievalEval.discountNanos(2)
+
+  test("discount table: exact floors of 1e9/log2(r+1), prefix-summed IDCG") {
+    assert(d(0) == 1000000000L) // 1/log2(2) = 1
+    assert(d(1) == (1e9 / (math.log(3.0) / math.log(2.0))).toLong)
+    assert(RetrievalEval.idcgNanos(2) == Seq(d(0), d(0) + d(1)))
+  }
+
+  test("per-query metrics on a hand-checked toy") {
+    import spark.implicits._
+    val hits = Seq(
+      // query 1: relevant doc 11 at rank 2 (inside k=2); doc 13
+      // relevant at rank 3 — outside NDCG/recall cutoff, but NOT the
+      // first relevant, so it affects nothing
+      (1L, 10L, 1L), (1L, 11L, 2L), (1L, 13L, 3L),
+      // query 2: only relevant hit at rank 3 — counts for MRR only
+      (2L, 20L, 1L), (2L, 21L, 2L), (2L, 22L, 3L),
+      // query 3: not in the relevance set at all
+      (3L, 30L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val rels = Seq(
+      (1L, 11L), (1L, 13L), (1L, 14L),
+      (2L, 22L))
+      .toDF("query_id", "doc_id")
+    val m = RetrievalEval.metrics(hits, "query_id", "doc_id", "rank", rels, k = 2)
+      .orderBy("query_id").collect()
+      .map(r => r.toSeq.map(_.asInstanceOf[Long]))
+
+    // q1: n_rel 3, hits@2 1, recall 1e6/3, success 1, first 2,
+    //     mrr 1e6/2, dcg d(1), idcg d(0)+d(1) [min(3,2)=2 slots]
+    assert(m(0) == Seq(1L, 3L, 1L, 333333L, 1L, 2L, 500000L,
+      d(1), d(0) + d(1), d(1) * 1000000L / (d(0) + d(1))))
+    // q2: nothing in top-2 -> recall/success/dcg/ndcg 0, but the rank-3
+    //     hit still yields first_rel 3 and mrr 1e6/3; idcg has 1 slot
+    assert(m(1) == Seq(2L, 1L, 0L, 0L, 0L, 3L, 333333L, 0L, d(0), 0L))
+    // q3: absent from the relevance set -> n_rel 0, everything 0
+    assert(m(2) == Seq(3L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+  }
+}
