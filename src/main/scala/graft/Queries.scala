@@ -377,6 +377,22 @@ object Queries {
       .orderBy("query_id")
   }
 
+  /** Q104: corpus drift monitor
+    * ([[graft.pipeline.DriftMonitor.chiSquareDrift]]) — the even-id
+    * half of the documents table as the reference snapshot, the odd-id
+    * half as the current one, bucketed by (source, lang): per-bucket
+    * ppm shares and the exact-integer χ²-style divergence, with
+    * new/gone bucket flags.
+    */
+  def q104DriftMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables(spark, dir, "documents")
+    graft.pipeline.DriftMonitor.chiSquareDrift(
+        d.filter(pmod(col("doc_id"), lit(2)) === 0),
+        d.filter(pmod(col("doc_id"), lit(2)) === 1),
+        Seq("source", "lang"))
+      .orderBy("source", "lang")
+  }
+
   /** Q72: hybrid retrieval — Reciprocal Rank Fusion of the exact-cosine
     * vector channel (q9's semantics, k'=20) and the BM25 lexical channel
     * (q71's semantics, k'=20), fused in exact micro-units
@@ -571,7 +587,8 @@ object Queries {
     "q101_repeated_spans" ->
       ((s: SparkSession, d: String) => Dedup.q101RepeatedSpans(s, d)),
     "q102_semantic_dedup" -> (q102SemanticDedup _),
-    "q103_retrieval_eval" -> (q103RetrievalEval _))
+    "q103_retrieval_eval" -> (q103RetrievalEval _),
+    "q104_drift_monitor" -> (q104DriftMonitor _))
 
   /** DuckDB-runnable oracles. q15 shares q14's oracle (LSH output is
     * exact-verified); q12b/q16/q21/q22 compute graft-native deterministic
@@ -1513,6 +1530,36 @@ object Queries {
         |WHERE vec_id NOT IN (SELECT vec_id FROM d)
         |ORDER BY vec_id""".stripMargin,
     "q103_retrieval_eval" -> retrievalEvalOracle,
+    // q104: both snapshots' bucket counts reduce to exact ppm shares
+    // (integer floor division), the drift summand is pure BIGINT
+    // arithmetic — both engines state the identical quantized formula
+    "q104_drift_monitor" ->
+      """WITH r AS (
+        |  SELECT source, lang, count(*)::BIGINT AS ref_n
+        |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+        |c AS (
+        |  SELECT source, lang, count(*)::BIGINT AS cur_n
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+        |t AS (
+        |  SELECT (SELECT sum(ref_n) FROM r)::BIGINT AS R,
+        |         (SELECT sum(cur_n) FROM c)::BIGINT AS C),
+        |j AS (
+        |  SELECT coalesce(r.source, c.source) AS source,
+        |    coalesce(r.lang, c.lang) AS lang,
+        |    coalesce(r.ref_n, 0) AS ref_n, coalesce(c.cur_n, 0) AS cur_n
+        |  FROM r FULL OUTER JOIN c
+        |    ON r.source = c.source AND r.lang = c.lang),
+        |s AS (
+        |  SELECT source, lang, ref_n, cur_n,
+        |    (ref_n * 1000000 // t.R)::BIGINT AS ref_ppm,
+        |    (cur_n * 1000000 // t.C)::BIGINT AS cur_ppm
+        |  FROM j CROSS JOIN t)
+        |SELECT source, lang, ref_n, cur_n, ref_ppm, cur_ppm,
+        |  ((cur_ppm - ref_ppm) * (cur_ppm - ref_ppm)
+        |    // greatest(ref_ppm, 1))::BIGINT AS chi2_ppm,
+        |  CASE WHEN ref_n = 0 THEN 'new'
+        |       WHEN cur_n = 0 THEN 'gone' ELSE 'ok' END AS status
+        |FROM s ORDER BY source, lang""".stripMargin,
     "q97_leakage_safe_split" -> leakageSafeSplitOracle,
     // the ascending water-filling scan stated with explicit ROWS frames
     // (DuckDB's default ORDER BY frame is RANGE); all BIGINT, floor

@@ -203,6 +203,32 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "BM25 tail lost its map-side partial top-k:\n" + plan.take(2000))
   }
 
+  test("q102 semantic dedup anti-joins on an ids-only distinct frame") {
+    val plan = graft.Queries.q102SemanticDedup(spark, Sf0001)
+      .queryExecution.optimizedPlan.toString
+    val antiIdx = plan.indexOf("Join LeftAnti")
+    assert(antiIdx >= 0, "survivor anti-join missing:\n" + plan.take(2000))
+    // the dropped-id side must collapse to a distinct over the bare id
+    // BEFORE the anti-join consumes it — column pruning has stripped
+    // embeddings/ranks, so the anti-join's build side is ids, not
+    // payloads (the scale contract of the drop set)
+    assert("Aggregate \\[vec_id#\\d+L?\\], \\[vec_id#\\d+L?\\]".r
+        .findFirstIn(plan.substring(antiIdx)).isDefined,
+      "dropped-id frame is not an ids-only distinct:\n" + plan.take(2500))
+  }
+
+  test("q103 retrieval grading keeps the answer-sized ranking shapes") {
+    val plan = graft.Queries.q103RetrievalEval(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    // the hit list comes off the shared topk_by tail (map-side partial
+    // before the exchange), and the metric layer adds no Window — the
+    // whole evaluation stays answer-sized
+    assert(plan.contains("partial_topk_by"),
+      "hit ranking lost its map-side partial top-k:\n" + plan.take(2000))
+    assert(!plan.contains("Window"),
+      "metric layer grew a window operator:\n" + plan.take(2000))
+  }
+
   test("q64 packing shuffles once on the shard key before the typed fold") {
     val qe = graft.pipeline.SequencePacker.pack(spark, Sf0001).queryExecution
     val plan = qe.executedPlan.toString

@@ -47,6 +47,48 @@ class SemanticDedupSpec extends AnyFunSuite with SharedSpark {
       df, "id", "emb", "cell", tau = 0.9, rankCol = "quality_rank")) == Set(2L))
   }
 
+  test("composes with IVF cells + closest-to-centroid rank (production shape)") {
+    // The paper's actual configuration: KMeans cells as the comparison
+    // domain, distance-to-centroid as the survivor order. Verified
+    // against an independent driver-side brute force that calls the
+    // SAME VectorOps.cosine kernel, so threshold decisions are
+    // bit-identical and the only thing under test is the operator's
+    // join/anti-join logic.
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-semdedup-ivf").toString
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    graft.query.IvfIndex.build(e, "vec_id", "embedding", dir,
+      graft.query.IvfIndex.Params(nCentroids = 8))
+    val meta = spark.read.parquet(s"$dir/cells_meta")
+    val members = new org.apache.spark.ml.feature.Normalizer()
+      .setInputCol("__raw").setOutputCol("__f").setP(2.0)
+      .transform(spark.read.parquet(s"$dir/cells")
+        .withColumn("__raw", org.apache.spark.ml.functions.array_to_vector(
+          col("embedding").cast("array<double>"))))
+      .select(col("vec_id"), col("embedding"), col("centroid_id"),
+        org.apache.spark.ml.functions.vector_to_array(col("__f"))
+          .cast("array<float>").as("__norm"))
+      .join(meta.select(col("centroid_id"), col("center")), "centroid_id")
+      .withColumn("d", sqrt(graft.functions.l2_dist_sq(col("__norm"), col("center"))))
+      .select("vec_id", "embedding", "centroid_id", "d")
+    val tau = 0.35
+    val kept = keptIds(SemanticDedup.dedupWithinCells(
+        members, "vec_id", "embedding", "centroid_id", tau, rankCol = "d")
+      .withColumnRenamed("vec_id", "id"))
+
+    val rows = members.collect().map(r => (r.getLong(0),
+      r.getSeq[Float](1).toArray, r.getInt(2), r.getDouble(3)))
+    def precedes(a: (Long, Array[Float], Int, Double),
+        b: (Long, Array[Float], Int, Double)): Boolean =
+      b._4 < a._4 || (b._4 == a._4 && b._1 < a._1)
+    val expected = rows.filter { a =>
+      !rows.exists(b => b._3 == a._3 && precedes(a, b) &&
+        graft.functions.VectorOps.cosine(a._2, b._2) >= tau)
+    }.map(_._1).toSet
+    assert(kept == expected)
+    assert(kept.size < rows.length, "dedup dropped nothing — vacuous fixture")
+  }
+
   test("an over-cap cell fails safe: every member kept, other cells still dedup") {
     import spark.implicits._
     val df = Seq(
