@@ -43,18 +43,38 @@ object DriftMonitor {
   def chiSquareDrift(
       ref: DataFrame,
       cur: DataFrame,
+      bucketCols: Seq[String]): DataFrame =
+    chiSquareDriftFromCounts(
+      bucketCounts(ref, bucketCols, "ref_n"),
+      bucketCounts(cur, bucketCols, "cur_n"),
+      bucketCols)
+
+  /** One map-side-combined count per bucket — the reduced form both
+    * the batch entry above and the streaming face maintain/compare.
+    */
+  def bucketCounts(
+      df: DataFrame, bucketCols: Seq[String], alias: String): DataFrame =
+    df.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as(alias))
+
+  /** The drift report from already-reduced per-bucket counts (columns
+    * bucketCols + ref_n / cur_n) — shared by the batch path and
+    * [[graft.streaming.StreamingDrift]], so the stream/batch statistic
+    * is one implementation. Robust to an empty side (shares floor to
+    * a zero total's greatest(·,1) guard).
+    */
+  def chiSquareDriftFromCounts(
+      refCounts: DataFrame,
+      curCounts: DataFrame,
       bucketCols: Seq[String]): DataFrame = {
     require(bucketCols.nonEmpty, "at least one bucket column")
     val keys = bucketCols.map(col)
-    val r = ref.groupBy(keys: _*).agg(count(lit(1)).as("ref_n"))
-    val c = cur.groupBy(keys: _*).agg(count(lit(1)).as("cur_n"))
-    val totals = r.agg(sum(col("ref_n")).as("__R"))
-      .crossJoin(c.agg(sum(col("cur_n")).as("__C")))
-    r.join(c, bucketCols, "full_outer")
+    val totals = refCounts.agg(coalesce(sum(col("ref_n")), lit(0L)).as("__R"))
+      .crossJoin(curCounts.agg(coalesce(sum(col("cur_n")), lit(0L)).as("__C")))
+    refCounts.join(curCounts, bucketCols, "full_outer")
       .na.fill(0L, Seq("ref_n", "cur_n"))
       .crossJoin(broadcast(totals))
-      .withColumn("ref_ppm", expr("ref_n * 1000000 div __R"))
-      .withColumn("cur_ppm", expr("cur_n * 1000000 div __C"))
+      .withColumn("ref_ppm", expr("ref_n * 1000000 div greatest(__R, 1)"))
+      .withColumn("cur_ppm", expr("cur_n * 1000000 div greatest(__C, 1)"))
       .withColumn("chi2_ppm", expr(
         """(cur_ppm - ref_ppm) * (cur_ppm - ref_ppm)
           | div greatest(ref_ppm, 1)""".stripMargin))

@@ -28,7 +28,19 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object IndexMaintenance {
 
-  private def fencePath(indexPath: String) = s"$indexPath/applied_batch"
+  private[streaming] def fencePath(indexPath: String) = s"$indexPath/applied_batch"
+
+  /** Record `batchId` as applied — the write half of the fence,
+    * shared by every streaming maintenance face.
+    */
+  private[streaming] def writeFence(
+      spark: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      batchId: Long): Unit = {
+    import spark.implicits._
+    Seq(batchId).toDF("applied_batch_id")
+      .write.mode("overwrite").parquet(fencePath(indexPath))
+  }
 
   private[graft] def lastApplied(
       spark: org.apache.spark.sql.SparkSession, indexPath: String): Long = {

@@ -26,6 +26,45 @@ class DriftMonitorSpec extends AnyFunSuite with SharedSpark {
       ("c", 0L, 5L, 0L, 500000L, 250000000000L, "new")))
   }
 
+  test("streamed cumulative drift equals the batch comparison; replays fenced") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val docs = Tables(spark, Sf0001, "documents").select("doc_id", "source", "lang")
+    val ref = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val curRows = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .select("source", "lang").as[(String, String)].collect().toSeq
+
+    val state = java.nio.file.Files.createTempDirectory("graft-drift-state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-drift-ckpt").toString
+    graft.streaming.StreamingDrift.buildReference(ref, Seq("source", "lang"), state)
+
+    val input = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamingDrift.maintain(
+      input.toDS().toDF("source", "lang"), state, Seq("source", "lang"), ckpt)
+    try {
+      val (b1, b2) = curRows.splitAt(curRows.size / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+    val streamed = rows(graft.streaming.StreamingDrift.report(spark, state))
+    val batch = rows(graft.pipeline.DriftMonitor.chiSquareDrift(
+      ref, docs.filter(pmod(col("doc_id"), lit(2)) === 1), Seq("source", "lang")))
+    assert(streamed.nonEmpty && streamed == batch,
+      "cumulative streamed report diverged from the batch statistic")
+
+    // crash-replay of an applied batch id: fenced no-op, report intact
+    val lastId = graft.streaming.IndexMaintenance.lastApplied(spark, state)
+    assert(!graft.streaming.StreamingDrift.applyBatch(
+      state, Seq("source", "lang"), curRows.toDF("source", "lang"), lastId))
+    assert(rows(graft.streaming.StreamingDrift.report(spark, state)) == batch)
+  }
+
   test("identical snapshots score zero everywhere") {
     import spark.implicits._
     val snap = (Seq.fill(7)("x") ++ Seq.fill(3)("y")).toDF("bucket")

@@ -18,6 +18,59 @@ class RetrievalEvalSpec extends AnyFunSuite with SharedSpark {
     assert(RetrievalEval.idcgNanos(2) == Seq(d(0), d(0) + d(1)))
   }
 
+  test("randomized inputs: equals an independent reference; bounds hold") {
+    // One seeded randomized corpus of 150 queries through ONE Spark
+    // call, checked against a from-scratch Scala re-implementation of
+    // every formula, plus the fixed-point bounds (recall/mrr/ndcg
+    // ≤ 1e6 — ndcg's bound holds because actual relevant ranks
+    // dominate ideal ranks pointwise for distinct hit lists).
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val k = 5
+    val disc = RetrievalEval.discountNanos(k)
+    val idcg = RetrievalEval.idcgNanos(k)
+    val hits = (1 to 150).flatMap { q =>
+      val n = rnd.nextInt(13) // 0..12 hits; 0 -> query absent from output
+      rnd.shuffle((0L to 30L).toVector).take(n).zipWithIndex
+        .map { case (d, i) => (q.toLong, d, (i + 1).toLong) }
+    }
+    val rels = (1 to 140).flatMap { q => // queries 141..150 have no rels
+      (0L to 30L).filter(_ => rnd.nextInt(4) == 0).map(d => (q.toLong, d))
+    }
+    val out = RetrievalEval.metrics(
+        hits.toDF("query_id", "doc_id", "rank"),
+        "query_id", "doc_id", "rank",
+        rels.toDF("query_id", "doc_id"), k)
+      .collect()
+      .map(r => r.getLong(0) -> r.toSeq.drop(1).map(_.asInstanceOf[Long]))
+      .toMap
+
+    val relsByQ = rels.groupBy(_._1).map { case (q, s) => q -> s.map(_._2).toSet }
+    val hitsByQ = hits.groupBy(_._1)
+    assert(out.keySet == hitsByQ.keySet)
+    hitsByQ.foreach { case (q, qh) =>
+      val rel = relsByQ.getOrElse(q, Set.empty)
+      val nRel = rel.size.toLong
+      val relRanks = qh.filter(h => rel(h._2)).map(_._3).sorted
+      val atK = relRanks.count(_ <= k).toLong
+      val dcg = relRanks.filter(_ <= k).map(r => disc(r.toInt - 1)).sum
+      val ideal = if (nRel > 0) idcg(math.min(nRel, k).toInt - 1) else 0L
+      val expected = Seq(
+        nRel,
+        atK,
+        atK * 1000000L / math.max(nRel, 1L),
+        if (atK > 0) 1L else 0L,
+        relRanks.headOption.getOrElse(0L),
+        relRanks.headOption.map(1000000L / _).getOrElse(0L),
+        dcg,
+        ideal,
+        if (ideal > 0) dcg * 1000000L / ideal else 0L)
+      assert(out(q) == expected, s"query $q: ${out(q)} != $expected")
+      assert(out(q)(2) <= 1000000L && out(q)(5) <= 1000000L &&
+        out(q)(8) <= 1000000L, s"fixed-point bound violated for query $q")
+    }
+  }
+
   test("per-query metrics on a hand-checked toy") {
     import spark.implicits._
     val hits = Seq(
