@@ -84,6 +84,16 @@ object TrainingFeed {
       .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
       .localCheckpoint()
 
+    // ---- stage 0 (observer): ingest-mix drift vs the reference ----
+    // opt-in via [[enableDriftMonitor]]; observes the RAW arriving
+    // batch (pre-dedup — the point is what the firehose delivers, not
+    // what survives admission), behind its own fence so a replayed
+    // batch never double-counts. Purely observational: no effect on
+    // any admission verdict.
+    if (exists(spark, s"$workDir/drift/ref_counts"))
+      StreamingDrift.applyBatch(
+        s"$workDir/drift", Seq("source"), docs.select("source"), batchId)
+
     // ---- stage 1: exact dedup (first occurrence per payload sha) ----
     val wSha = Window.partitionBy("content_sha").orderBy("doc_id")
     val firstPerSha = docs
@@ -176,4 +186,18 @@ object TrainingFeed {
     spark.read.parquet(s"$workDir/gated")
       .filter(col("admitted"))
       .select("doc_id", "source", "n_tokens", "cum_tokens")
+
+  /** Opt into the stage-0 drift observer: persist the reference
+    * snapshot's per-source counts; every subsequent [[step]] folds the
+    * arriving mix and serves [[driftReport]].
+    */
+  def enableDriftMonitor(ref: DataFrame, workDir: String): Unit =
+    StreamingDrift.buildReference(ref, Seq("source"), s"$workDir/drift")
+
+  /** The drift of everything that has ARRIVED (pre-admission) vs the
+    * reference snapshot — [[graft.pipeline.DriftMonitor]]'s report
+    * columns keyed by source.
+    */
+  def driftReport(spark: SparkSession, workDir: String): DataFrame =
+    StreamingDrift.report(spark, s"$workDir/drift")
 }

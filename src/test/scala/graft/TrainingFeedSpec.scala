@@ -103,6 +103,10 @@ class TrainingFeedSpec extends AnyFunSuite with SharedSpark {
     assert(wantAdmitted.size < wantNd.size, "quota gate must bite")
 
     val work = tempDir("work"); val ckpt = tempDir("ckpt")
+    // stage-0 observer: ingest-mix drift vs the full fixture's source
+    // distribution, folded per batch alongside the admission chain
+    val refMix = Tables(spark, Sf0001, "documents").select("source")
+    TrainingFeed.enableDriftMonitor(refMix, work)
     val input = MemoryStream[(Long, String, String)]
     val stream = input.toDS().toDF("doc_id", "text", "source")
     // two batches, then STOP the query (simulated shutdown), restart
@@ -172,6 +176,16 @@ class TrainingFeedSpec extends AnyFunSuite with SharedSpark {
     TrainingFeed.step(lastBatch, 3L, work, cfg)
     assert(admittedNow() == wantAdmitted.toSet)
     assert(spark.read.parquet(s"$work/index/cells").count() == cellsBefore)
+
+    // the drift observer saw every ARRIVING row exactly once (its own
+    // fence absorbed both replay attempts above): the served report
+    // equals the batch statistic over the whole feed vs the reference
+    val wantDrift = graft.pipeline.DriftMonitor.chiSquareDrift(
+        refMix, feed.toDF("doc_id", "text", "source").select("source"),
+        Seq("source"))
+      .collect().map(_.toSeq).toSet
+    assert(TrainingFeed.driftReport(spark, work)
+      .collect().map(_.toSeq).toSet == wantDrift)
   }
 
   private def fs(dir: String) =
