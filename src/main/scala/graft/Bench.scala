@@ -246,9 +246,10 @@ object Bench {
             rerunFirsts += name -> min0
             reruns += name -> rerunMin
           }
+          // math.min absorbs the failed-rerun sentinel (Double.MaxValue)
           val best = math.min(min0, rerunMin)
           if (isSuspect(best, b, localFactor)) suspects += name
-          name -> math.min(min0, if (rerunMin < Double.MaxValue) rerunMin else min0)
+          name -> best
         case _ =>
           name -> min0
       }

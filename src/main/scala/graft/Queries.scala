@@ -1551,8 +1551,8 @@ object Queries {
         |    ON r.source = c.source AND r.lang = c.lang),
         |s AS (
         |  SELECT source, lang, ref_n, cur_n,
-        |    (ref_n * 1000000 // t.R)::BIGINT AS ref_ppm,
-        |    (cur_n * 1000000 // t.C)::BIGINT AS cur_ppm
+        |    (ref_n * 1000000 // greatest(coalesce(t.R, 0), 1))::BIGINT AS ref_ppm,
+        |    (cur_n * 1000000 // greatest(coalesce(t.C, 0), 1))::BIGINT AS cur_ppm
         |  FROM j CROSS JOIN t)
         |SELECT source, lang, ref_n, cur_n, ref_ppm, cur_ppm,
         |  ((cur_ppm - ref_ppm) * (cur_ppm - ref_ppm)
@@ -2070,8 +2070,8 @@ object Queries {
        |  FROM s),
        |h AS (SELECT * FROM r WHERE rn <= 20),
        |n AS (
-       |  SELECT q.query_id, count(*)::BIGINT AS n_rel
-       |  FROM q JOIN embeddings b
+       |  SELECT q.query_id, count(b.vec_id)::BIGINT AS n_rel
+       |  FROM q LEFT JOIN embeddings b
        |    ON b.label = q.qlabel AND b.vec_id <> q.query_id
        |  GROUP BY 1),
        |t AS (

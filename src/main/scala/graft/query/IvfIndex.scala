@@ -134,10 +134,14 @@ object IvfIndex {
     *
     * Append-only contract: `newRows` ids must be disjoint from the ids
     * already indexed (the caller's dedup gate owns identity) and unique
-    * WITHIN the batch — a duplicated batch id fails the job naming the
-    * id (enforced in the assignment aggregation below). An id repeated
-    * across batches surfaces twice as a candidate — never silently
-    * dropped, but not replaced either.
+    * WITHIN the batch. EXACT duplicate rows (same id, same embedding —
+    * an at-least-once producer's retry) are collapsed here and benign;
+    * a CONFLICTING duplicate (same id, different embedding) fails the
+    * job naming the id (enforced in the assignment aggregation below)
+    * — that is a data bug upstream, and indexing either pick would
+    * silently serve wrong neighbors. An id repeated across batches
+    * surfaces twice as a candidate — never silently dropped, but not
+    * replaced either.
     */
   def upsert(
       spark: SparkSession,
@@ -148,7 +152,8 @@ object IvfIndex {
     val cellMeta = spark.read.parquet(s"$indexPath/cells_meta")
     // nCentroids-row frame: count it once here, not per write below
     val nCells = cellMeta.count().toInt.max(1)
-    val prep = AnnIndex.prepared(newRows, idCol, embCol)
+    val prep = AnnIndex.prepared(
+      newRows.dropDuplicates(Seq(idCol, embCol)), idCol, embCol)
       .select(col(idCol), col(embCol),
         org.apache.spark.ml.functions.vector_to_array(col("features"))
           .cast("array<float>").as("__norm"))
@@ -168,14 +173,17 @@ object IvfIndex {
         count(lit(1)).as("__nrows"))
       // the unique-id contract above is ENFORCED, not assumed: under a
       // duplicated batch id, first(embCol) could pair one duplicate's
-      // embedding with the other's argmin centroid. Each unique id
-      // contributes exactly nCells rows to this aggregation (the cross
-      // join), so any other count proves a repeat — assert_true inside
-      // the filter fails the job naming the id, at zero extra jobs
+      // embedding with the other's argmin centroid. Exact duplicates
+      // were collapsed above, so each surviving id contributes exactly
+      // nCells rows to this aggregation (the cross join); any other
+      // count proves a CONFLICTING duplicate (same id, different
+      // embedding) — assert_true inside the filter fails the job
+      // naming the id, at zero extra jobs
       .filter(assert_true(col("__nrows") === nCells,
         concat(lit("IvfIndex.upsert: newRows contains a duplicated id ("),
           col(idCol).cast("string"),
-          lit(") — the append-only contract requires unique batch ids"))).isNull)
+          lit(") with conflicting embeddings — the append-only contract " +
+            "requires one embedding per batch id"))).isNull)
       .select(col(idCol), col(embCol),
         col("__t").getItem(0).getField("id").as("centroid_id"),
         (-col("__t").getItem(0).getField("score")).as("d"))

@@ -77,9 +77,7 @@ object IndexMaintenance {
     if (batchId <= lastApplied(spark, indexPath) || batch.isEmpty) false
     else {
       IvfIndex.upsert(spark, indexPath, idCol, embCol, batch)
-      import spark.implicits._
-      Seq(batchId).toDF("applied_batch_id")
-        .write.mode("overwrite").parquet(fencePath(indexPath))
+      writeFence(spark, indexPath, batchId)
       true
     }
   }
@@ -121,9 +119,7 @@ object IndexMaintenance {
     if (batchId <= lastApplied(spark, workDir) || batch.isEmpty) false
     else {
       graft.query.LexicalSearch.upsertIndex(spark, workDir, idCol, textCol, batch)
-      import spark.implicits._
-      Seq(batchId).toDF("applied_batch_id")
-        .write.mode("overwrite").parquet(fencePath(workDir))
+      writeFence(spark, workDir, batchId)
       true
     }
   }

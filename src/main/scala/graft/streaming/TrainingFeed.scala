@@ -89,10 +89,16 @@ object TrainingFeed {
     // batch (pre-dedup — the point is what the firehose delivers, not
     // what survives admission), behind its own fence so a replayed
     // batch never double-counts. Purely observational: no effect on
-    // any admission verdict.
+    // any admission verdict — which includes its failures: a corrupt
+    // drift state must log and skip, never halt admission.
     if (exists(spark, s"$workDir/drift/ref_counts"))
-      StreamingDrift.applyBatch(
+      try StreamingDrift.applyBatch(
         s"$workDir/drift", Seq("source"), docs.select("source"), batchId)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger("graft.TrainingFeed").warn(
+            s"drift observer failed on batch $batchId (admission unaffected): $e")
+      }
 
     // ---- stage 1: exact dedup (first occurrence per payload sha) ----
     val wSha = Window.partitionBy("content_sha").orderBy("doc_id")
@@ -158,14 +164,12 @@ object TrainingFeed {
         else
           IvfIndex.upsert(spark, indexPath, "doc_id", "embedding", vecs)
       }
-      Seq(batchId).toDF("applied_batch_id")
-        .write.mode("overwrite").parquet(s"$indexPath/applied_batch")
+      IndexMaintenance.writeFence(spark, indexPath, batchId)
     }
 
     // ---- seen-payload shas (LAST state write before the fence) ----
     fresh.select("content_sha").write.mode("append").parquet(shasPath)
-    Seq(batchId).toDF("applied_batch_id")
-      .write.mode("overwrite").parquet(s"$workDir/applied_batch")
+    IndexMaintenance.writeFence(spark, workDir, batchId)
   }
 
   /** Wire a (doc_id, text, source) stream through [[step]]. */

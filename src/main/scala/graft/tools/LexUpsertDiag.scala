@@ -9,9 +9,9 @@ import graft.query.LexicalSearch
   * verdict #2: clean-box builds ranged 3.7–8.2 s vs the 4.93 s
   * baseline). Runs the exact q89 build (buildIndex over doc_id%10!=0,
   * upsertIndex over the held-out tenth) N times against FRESH work
-  * dirs in one JVM, timing the two phases separately, plus the
-  * upsert's two sub-steps (postings append vs stats merge) via a
-  * second instrumented pass. Prints one JSON line per iteration.
+  * dirs in one JVM, timing the two phases separately. Prints one JSON
+  * line per iteration; iteration 1 vs the rest isolates first-touch
+  * codegen/JIT cost (the diagnosed cause — see BASELINE.md).
   */
 object LexUpsertDiag {
   def main(args: Array[String]): Unit = {
@@ -41,8 +41,6 @@ object LexUpsertDiag {
       val base = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
       val delta = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
       val tBuild = t(LexicalSearch.buildIndex(base, "doc_id", "text", work))
-      // sub-step A: the stats merge alone (read + union + agg +
-      // localCheckpoint + overwrite), against a scratch copy
       val tUpsert = t(LexicalSearch.upsertIndex(spark, work, "doc_id", "text", delta))
       println(s"""{"iter":$i,"build":$tBuild,"upsert":$tUpsert}""")
       rm(new java.io.File(work))

@@ -27,14 +27,18 @@ object ParquetFooter {
       spark: SparkSession,
       path: String,
       column: String): (String, Option[LogicalTypeAnnotation]) = {
-    val f = new java.io.File(path)
+    // resolved through the Hadoop FileSystem API, not java.io.File, so
+    // the check works wherever the fixture lives (HDFS/S3/local) —
+    // the IndexMaintenance.lastApplied discipline
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
     val file =
-      if (f.isFile) f
-      else Option(f.listFiles()).getOrElse(Array.empty)
+      if (fs.getFileStatus(p).isFile) p
+      else fs.listStatus(p).map(_.getPath)
         .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).headOption
         .getOrElse(sys.error(s"no parquet part files under $path"))
-    val in = HadoopInputFile.fromPath(new Path(file.getAbsolutePath),
-      spark.sparkContext.hadoopConfiguration)
+    val in = HadoopInputFile.fromPath(file, conf)
     val reader = ParquetFileReader.open(in)
     try {
       val schema = reader.getFooter.getFileMetaData.getSchema

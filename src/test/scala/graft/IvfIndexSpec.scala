@@ -218,19 +218,33 @@ class IvfIndexSpec extends AnyFunSuite with SharedSpark {
     assert(topkSet(ivf) == topkSet(exact))
   }
 
-  test("upsert rejects a batch with a duplicated id, naming the id") {
+  test("upsert collapses exact duplicate rows but rejects conflicting ones") {
     // the unique-batch-id contract is enforced inside the assignment
     // plan (assert_true in a filter) — this pins that the optimizer
-    // does not prune the check away and that the failure names the id
+    // does not prune the check away, that the failure names the id,
+    // and that an at-least-once producer's EXACT retry (same id, same
+    // embedding) stays benign instead of crash-looping the stream
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-dup").toString
     val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    val fresh = e.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+
+    val okDir = java.nio.file.Files.createTempDirectory("graft-ivf-dup-ok").toString
+    IvfIndex.build(e.filter(col("vec_id") < 50), "vec_id", "embedding", okDir,
+      IvfIndex.Params(nCentroids = 4))
+    IvfIndex.upsert(spark, okDir, "vec_id", "embedding",
+      fresh.union(fresh.limit(1))) // exact duplicate row: collapsed
+    assert(spark.read.parquet(s"$okDir/cells").count() == 60L,
+      "exact duplicate was not collapsed to one indexed row")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-dup").toString
     IvfIndex.build(e.filter(col("vec_id") < 50), "vec_id", "embedding", dir,
       IvfIndex.Params(nCentroids = 4))
-    val fresh = e.filter(col("vec_id") >= 50 && col("vec_id") < 60)
+    val conflicting = fresh.union(
+      fresh.limit(1).withColumn("embedding",
+        org.apache.spark.sql.functions.expr(
+          "transform(embedding, x -> x + 1.0F)")))
     val err = intercept[Exception] {
-      IvfIndex.upsert(spark, dir, "vec_id", "embedding",
-        fresh.union(fresh.limit(1)))
+      IvfIndex.upsert(spark, dir, "vec_id", "embedding", conflicting)
     }
     def messages(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x =>
