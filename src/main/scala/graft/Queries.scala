@@ -2,7 +2,7 @@ package graft
 
 import graft.ingest.IngestJob
 import graft.pipeline.{Decontamination, Dedup, Events, Multimodal, RangeJoin, Relational, Sampling, SequencePacker, TextAnalysis}
-import graft.query.{AnnIndex, ContextAssembler, IvfIndex, LexicalSearch, QuantizedSearch, RetrievalEval, SimilaritySearch}
+import graft.query.{AnnIndex, ContextAssembler, IvfIndex, LexicalSearch, PqIndex, QuantizedSearch, RetrievalEval, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -94,6 +94,31 @@ object Queries {
     val work = indexWorkDir("ivf", dir)
     buildOnce(work)(IvfIndex.build(e, "vec_id", "embedding", work))
     IvfIndex.queryTopK(spark, work, "vec_id", "embedding",
+        queryBatch(e), "query_id", "qvec", k = 5, threshold = 0.0)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** Q105: batch top-k against the PRODUCT-QUANTIZATION index (the
+    * memory-bound scale path — [[graft.query.PqIndex]]: per-subspace
+    * codebooks, ~12-40 B of codes+residual scanned per vector instead
+    * of the 256 B payload, certified similarity bounds from the ADC
+    * lookup-table scan, exact cosine re-rank of only the
+    * bound-surviving candidates). Same batch and EXACT oracle as
+    * q9/q38/q39: green at any corpus shape because the residual bound
+    * widens (fetches more) rather than misses — on this isotropic
+    * fixture it fetches most rows; on a clustered corpus
+    * (PqIndexSpec) the fetch is answer-sized.
+    */
+  def q105PqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = indexWorkDir("pq", dir)
+    // fitSampleMod: codebooks fit on a deterministic quarter-sample —
+    // the 100 TB build discipline (the fit needs the distribution's
+    // shape, not the corpus), and the bound is exact for any codebook
+    buildOnce(work)(PqIndex.build(e, "vec_id", "embedding", work,
+      PqIndex.Params(fitSampleMod = 4)))
+    PqIndex.queryTopK(spark, work, "vec_id", "embedding",
         queryBatch(e), "query_id", "qvec", k = 5, threshold = 0.0)
       .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
       .orderBy("query_id", "rn")
@@ -587,6 +612,7 @@ object Queries {
     "q101_repeated_spans" ->
       ((s: SparkSession, d: String) => Dedup.q101RepeatedSpans(s, d)),
     "q102_semantic_dedup" -> (q102SemanticDedup _),
+    "q105_pq_topk" -> (q105PqTopK _),
     "q103_retrieval_eval" -> (q103RetrievalEval _),
     "q104_drift_monitor" -> (q104DriftMonitor _))
 
@@ -758,6 +784,7 @@ object Queries {
     // exact scan: the index only routes candidates, exact cosine ranks.
     "q38_ann_index_topk" -> cosineTopKOracle,
     "q39_ivf_topk" -> cosineTopKOracle,
+    "q105_pq_topk" -> cosineTopKOracle,
     // q85 queries the upsert-maintained index (90% build + 10% append);
     // same exact oracle — append-maintenance must be invisible to results
     "q85_ivf_upsert" -> cosineTopKOracle,
