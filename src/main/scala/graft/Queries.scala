@@ -124,6 +124,36 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** Q106: IVF HOT-CELL SPLIT maintenance under the exactness gate —
+    * the index is deliberately built with too few cells (4, so every
+    * cell is over-cap by construction), [[graft.query.IvfIndex
+    * .splitHotCells]] splits each hot cell in two along its
+    * max-variance dimension (deterministic micro-quantized integer
+    * statistics, only the hot directories rewritten), and the
+    * standard batch queries the split index. Same full-corpus exact
+    * oracle as q9/q39/q85: the row is green only if the split is
+    * result-invisible, which the radius-coverage contract guarantees.
+    * Together with q85 (append) and the compaction hooks this
+    * completes the log-structured index lifecycle: append → split →
+    * compact, no full re-cluster anywhere.
+    */
+  def q106IvfSplit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = indexWorkDir("ivf_split", dir)
+    buildOnce(work) {
+      IvfIndex.build(e, "vec_id", "embedding", work,
+        IvfIndex.Params(nCentroids = 4))
+      // cap at a sixth of the corpus: every balanced cell (~n/4) is
+      // hot, so the split machinery is exercised at any fixture SF
+      IvfIndex.splitHotCells(spark, work, "vec_id", "embedding",
+        occupancyCap = e.count() / 6)
+    }
+    IvfIndex.queryTopK(spark, work, "vec_id", "embedding",
+        queryBatch(e), "query_id", "qvec", k = 5, threshold = 0.0)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Q97/Q100 via the maintained curation-signal store (cluster labels
     * + frozen-LM scores persisted once, read per query — see
     * [[graft.pipeline.CurationStore]]): same outputs and oracles as
@@ -613,6 +643,7 @@ object Queries {
       ((s: SparkSession, d: String) => Dedup.q101RepeatedSpans(s, d)),
     "q102_semantic_dedup" -> (q102SemanticDedup _),
     "q105_pq_topk" -> (q105PqTopK _),
+    "q106_ivf_split" -> (q106IvfSplit _),
     "q103_retrieval_eval" -> (q103RetrievalEval _),
     "q104_drift_monitor" -> (q104DriftMonitor _))
 
@@ -785,6 +816,9 @@ object Queries {
     "q38_ann_index_topk" -> cosineTopKOracle,
     "q39_ivf_topk" -> cosineTopKOracle,
     "q105_pq_topk" -> cosineTopKOracle,
+    // q106 queries the split-maintained index — same exact oracle; the
+    // hot-cell split must be invisible to results
+    "q106_ivf_split" -> cosineTopKOracle,
     // q85 queries the upsert-maintained index (90% build + 10% append);
     // same exact oracle — append-maintenance must be invisible to results
     "q85_ivf_upsert" -> cosineTopKOracle,

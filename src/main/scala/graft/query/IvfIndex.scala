@@ -220,6 +220,171 @@ object IvfIndex {
   def compactIndex(spark: SparkSession, indexPath: String): graft.util.Compaction.Report =
     graft.util.Compaction.compact(spark, s"$indexPath/cells", Seq("centroid_id"))
 
+  /** Outcome of a [[splitHotCells]] pass: which cells were split (each
+    * into two), and which over-cap cells were left whole because every
+    * member is identical (zero variance on every dimension — nothing
+    * to split by; exact dedup upstream owns that pathology).
+    */
+  case class SplitReport(split: Seq[Long], degenerate: Seq[Long]) {
+    def newCells: Int = split.size
+  }
+
+  /** Hot-cell SPLIT maintenance — the missing half of the
+    * log-structured index lifecycle next to [[upsert]] (append) and
+    * [[compactIndex]] (file hygiene): repeated appends grow a cell's
+    * membership and radius without bound, and since the query-time
+    * triangle bound prunes per CELL, one hot cell eventually turns
+    * every probe into a scan of it. Splitting an over-cap cell into
+    * two tighter cells restores probe selectivity WITHOUT the full
+    * re-cluster ([[build]]) — only the hot cells' rows are touched.
+    *
+    * Result-invisible by the same contract as [[upsert]]: the bound
+    * needs only "each cell's radius covers its members", which holds
+    * for the two sub-cells by construction, so a query against the
+    * split index returns bit-identical top-k (gated end-to-end by
+    * q106 against the full-corpus exact oracle).
+    *
+    * The split rule is deterministic and order-independent (the q44
+    * micro-quantization discipline — no float summation order
+    * anywhere): per hot cell, choose the dimension with the largest
+    * exact integer variance metric `n·Σq² − (Σq)²` over
+    * micro-quantized (1e-6) normalized components (DECIMAL(38,0)
+    * arithmetic: |q| ≤ 1e6, so the metric needs ~2·12+log₁₀(n)
+    * digits — exact past any realistic cell size where BIGINT is
+    * not), ties to the lower dimension; threshold at the mean (one
+    * IEEE division of two exact integers); members at or below go to
+    * side 0 (keeping the old cell id), the rest to side 1 (a fresh
+    * id above the current max). A nonzero metric guarantees both
+    * sides are non-empty (min < mean < max). Sub-centroids are
+    * micro-quantized component means; radii are exact maxima over
+    * the same normalized-vector kernel the build used.
+    *
+    * 100 TB shape: one pruned scan of the hot cells (static `isin`
+    * partition filter), one 64×-explode aggregation over ONLY those
+    * members for the statistics, one dynamic-partition overwrite
+    * that rewrites ONLY the split directories, and an
+    * nCells-row metadata swap. Cold cells are never read. The
+    * rewritten rows are localCheckpoint'd before the overwrite of
+    * the directories they were read from (the [[upsert]] metadata
+    * discipline, here sized hot-cells-only).
+    */
+  def splitHotCells(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      occupancyCap: Long): SplitReport = {
+    val Micro = 1e6
+    // one partial-aggregating scan of (partition col) to find hot
+    // cells; ≤ nCentroids ids reach the driver (the probe-pruning
+    // collect pattern)
+    val hot = spark.read.parquet(s"$indexPath/cells")
+      .groupBy("centroid_id").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > occupancyCap)
+      .select(col("centroid_id").cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (hot.isEmpty) return SplitReport(Nil, Nil)
+
+    val cellMeta = spark.read.parquet(s"$indexPath/cells_meta")
+    val maxId = cellMeta.agg(max(col("centroid_id").cast("long"))).head.getLong(0)
+
+    // members of the hot cells only — pruned scan, normalized exactly
+    // as the build's assignment pass ([[selfKnnGraph]] re-derive)
+    val members = new org.apache.spark.ml.feature.Normalizer()
+      .setInputCol("__raw").setOutputCol("__f").setP(2.0)
+      .transform(spark.read.parquet(s"$indexPath/cells")
+        .filter(col("centroid_id").isin(hot: _*))
+        .withColumn("__raw",
+          org.apache.spark.ml.functions.array_to_vector(
+            col(embCol).cast("array<double>"))))
+      .select(col(idCol), col(embCol), col("centroid_id"),
+        org.apache.spark.ml.functions.vector_to_array(col("__f"))
+          .cast("array<float>").as("__norm"))
+      .localCheckpoint() // feeds stats, sides, rewrite AND is the
+    // frame whose source directories the rewrite overwrites
+
+    // exact per-(cell, dim) variance metric on micro-quantized longs
+    val dec = "decimal(38,0)"
+    val stats = members
+      .select(col("centroid_id"), posexplode(col("__norm")))
+      .select(col("centroid_id"), col("pos").cast("int").as("dim"),
+        floor(col("col").cast("double") * Micro).cast("long").as("q"))
+      .groupBy("centroid_id", "dim")
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("s"),
+        sum(col("q").cast(dec) * col("q").cast(dec)).as("ss"))
+      .withColumn("varm",
+        col("n").cast(dec) * col("ss") - col("s").cast(dec) * col("s").cast(dec))
+    // argmax dimension per cell — an nHot×dim frame, window is fine
+    val wv = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("varm").desc, col("dim").asc)
+    val splitInfo = stats
+      .withColumn("__rn", row_number().over(wv))
+      .filter(col("__rn") === 1 && col("varm") > 0)
+      .select(col("centroid_id"),
+        col("dim").as("__sdim"),
+        (col("s").cast("double") / col("n").cast("double")).as("__mean_q"))
+    val splittable = splitInfo.select(col("centroid_id").cast("long"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val degenerate = hot.filterNot(splittable.contains)
+    if (splittable.isEmpty) return SplitReport(Nil, degenerate)
+
+    // side assignment + new ids: side 0 keeps the old id, side 1 maps
+    // to maxId + 1 + rank(old id) — a driver-built splittable-sized map
+    import spark.implicits._
+    val idMap = splittable.zipWithIndex
+      .map { case (old, i) => (old, maxId + 1 + i) }
+      .toDF("centroid_id", "__new_cid")
+    val sides = members
+      .join(broadcast(splitInfo), "centroid_id")
+      .join(broadcast(idMap), "centroid_id")
+      .withColumn("__q",
+        floor(element_at(col("__norm"), col("__sdim") + 1).cast("double") * Micro)
+          .cast("long"))
+      .withColumn("__cid",
+        when(col("__q") <= col("__mean_q"), col("centroid_id").cast("long"))
+          .otherwise(col("__new_cid")))
+      .select(col(idCol), col(embCol), col("__norm"),
+        col("__cid").cast(members.schema("centroid_id").dataType).as("__cid"))
+      .localCheckpoint()
+
+    // sub-centroids: micro-quantized component means (order-independent)
+    val centers = sides
+      .select(col("__cid"), posexplode(col("__norm")))
+      .groupBy(col("__cid"), col("pos").cast("int").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("col").cast("double") * Micro).cast("long")).as("s"))
+      .withColumn("c",
+        (col("s").cast("double") / col("n").cast("double") / Micro).cast("float"))
+      .groupBy("__cid")
+      .agg(collect_list(struct(col("dim"), col("c"))).as("__dc"))
+      .select(col("__cid"),
+        transform(array_sort(col("__dc")), s => s.getField("c")).as("center"))
+    val newMeta = sides
+      .join(broadcast(centers), "__cid")
+      .withColumn("__d", sqrt(graft.functions.l2_dist_sq(col("__norm"), col("center"))))
+      .groupBy(col("__cid"), col("center"))
+      .agg(max(col("__d")).as("radius"))
+      .select(col("__cid").as("centroid_id"), col("center"), col("radius"))
+
+    // rewrite ONLY the split directories (side-0 rows land back in the
+    // old ones, side-1 rows create the fresh ones)
+    sides
+      .select(col(idCol), col(embCol), col("__cid").as("centroid_id"))
+      .transform(graft.util.PartitionedWrite.spread(
+        _, splittable.size * 2, col("centroid_id"), col(idCol)))
+      .write.partitionBy("centroid_id").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$indexPath/cells")
+    val updated = cellMeta
+      .filter(!col("centroid_id").isin(splittable: _*))
+      .unionByName(newMeta.select(
+        col("centroid_id").cast(cellMeta.schema("centroid_id").dataType),
+        col("center"), col("radius")))
+      .localCheckpoint()
+    updated.write.mode("overwrite").parquet(s"$indexPath/cells_meta")
+    SplitReport(splittable, degenerate)
+  }
+
   private def centersOf(spark: SparkSession, model: KMeansModel): DataFrame = {
     import spark.implicits._
     model.clusterCenters.zipWithIndex

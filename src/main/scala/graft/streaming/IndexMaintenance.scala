@@ -72,11 +72,27 @@ object IndexMaintenance {
       idCol: String,
       embCol: String,
       batch: DataFrame,
-      batchId: Long): Boolean = {
+      batchId: Long,
+      splitCap: Option[Long] = None): Boolean = {
     val spark = batch.sparkSession
     if (batchId <= lastApplied(spark, indexPath) || batch.isEmpty) false
     else {
       IvfIndex.upsert(spark, indexPath, idCol, embCol, batch)
+      // optional in-line occupancy repair: appends that push a cell
+      // over the cap trigger hot-cell splits before the fence is
+      // written, LOOPED to convergence — a mean-threshold split is not
+      // guaranteed balanced, so one pass can leave a side over-cap;
+      // each pass strictly shrinks every split cell (both sides
+      // non-empty), so the loop terminates at "every cell ≤ cap or
+      // all-identical (degenerate, reported and exempt)".
+      // Result-invisible (the radius-coverage contract), and
+      // replay-safe on its own terms: re-splitting an already-split
+      // index finds no hot cells and no-ops.
+      splitCap.foreach { cap =>
+        var r = IvfIndex.splitHotCells(spark, indexPath, idCol, embCol, cap)
+        while (r.split.nonEmpty)
+          r = IvfIndex.splitHotCells(spark, indexPath, idCol, embCol, cap)
+      }
       writeFence(spark, indexPath, batchId)
       true
     }
@@ -84,19 +100,70 @@ object IndexMaintenance {
 
   /** Start a maintenance stream: each micro-batch upserts into the
     * index at `indexPath`, fenced so a replayed batch id is a no-op.
+    * With `splitCap` set, any cell the append pushes over the cap is
+    * split in the same batch — occupancy (and so probe cost) stays
+    * bounded under continuous ingest without ever re-clustering.
     */
   def maintainIvf(
       vectors: DataFrame,
       indexPath: String,
       idCol: String,
       embCol: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      splitCap: Option[Long] = None): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(indexPath, idCol, embCol, batch, batchId); ()
+        applyBatch(indexPath, idCol, embCol, batch, batchId, splitCap); ()
+      }
+      .start()
+
+  /** The product-quantization twin of [[applyBatch]]: encode one
+    * micro-batch against the index's FROZEN codebooks and append to
+    * the codes + vectors tables ([[graft.query.PqIndex.upsert]]),
+    * behind the same replay fence. Query results after N batches
+    * equal a from-scratch rebuild over the union — not bit-identical
+    * codes (a rebuild refits codebooks), but identical ANSWERS, which
+    * is the contract PQ retrieval actually makes (exact for any
+    * codebook). @return true iff the batch was applied.
+    */
+  def applyPqBatch(
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      batch: DataFrame,
+      batchId: Long,
+      params: graft.query.PqIndex.Params = graft.query.PqIndex.Params()): Boolean = {
+    val spark = batch.sparkSession
+    if (batchId <= lastApplied(spark, indexPath) || batch.isEmpty) false
+    else {
+      graft.query.PqIndex.upsert(spark, indexPath, idCol, embCol, batch, params)
+      writeFence(spark, indexPath, batchId)
+      true
+    }
+  }
+
+  /** Continuous PQ-index maintenance — all four index families
+    * (near-dup LSH, IVF, lexical, PQ) now have the symmetric
+    * build/upsert/stream/compact story. Same at-least-once caveat as
+    * [[applyBatch]]; run [[graft.query.PqIndex.compactIndex]] off the
+    * query path at compaction cadence.
+    */
+  def maintainPq(
+      vectors: DataFrame,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      checkpointDir: String,
+      params: graft.query.PqIndex.Params = graft.query.PqIndex.Params()): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyPqBatch(indexPath, idCol, embCol, batch, batchId, params); ()
       }
       .start()
 

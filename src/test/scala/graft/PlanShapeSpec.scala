@@ -178,6 +178,50 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "q38-shape vector fetch not statically pruned:\n" + plan.take(2000))
   }
 
+  test("PQ query broadcasts the LUT batch and never windows the scan") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-plan").toString
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    graft.query.PqIndex.build(e, "vec_id", "embedding", dir)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val plan = graft.query.PqIndex.queryTopK(spark, dir, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, threshold = 0.0)
+      .queryExecution.executedPlan.toString
+    // the corpus-side codes scan must meet the per-query lookup tables
+    // through a BROADCAST of the (point-lookup-sized) query batch —
+    // the codes table itself never shuffles pre-ranking
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "query LUT batch not broadcast onto the codes scan:\n" + plan.take(2000))
+    // both ranking stages (floor + final top-k) are map-side-capped
+    // typed aggregates, never a corpus-shuffling window
+    assert(plan.contains("partial_topk_by"),
+      "map-side partial top-k missing:\n" + plan.take(2000))
+    assert(!plan.contains("Window"),
+      "ranking fell back to a corpus-shuffling window:\n" + plan.take(2000))
+  }
+
+  test("IVF probes stay statically pruned after a hot-cell split") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-split-plan").toString
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    graft.query.IvfIndex.build(e, "vec_id", "embedding", dir,
+      graft.query.IvfIndex.Params(nCentroids = 4))
+    val report = graft.query.IvfIndex.splitHotCells(spark, dir,
+      "vec_id", "embedding", occupancyCap = e.count() / 6)
+    assert(report.split.nonEmpty, "fixture cells unexpectedly under cap")
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val plan = graft.query.IvfIndex.queryTopK(spark, dir, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, threshold = 0.0)
+      .queryExecution.executedPlan.toString
+    // the split rewrote directories with dynamic partition overwrite;
+    // the q39-shape static isin pruning must survive the new layout
+    assert("PartitionFilters: \\[centroid_id[^\\]]{0,200}? IN".r
+        .findFirstIn(plan).isDefined,
+      "post-split probe scan not statically pruned:\n" + plan.take(2000))
+  }
+
   test("batch top-k partial-aggregates BEFORE the exchange; no window") {
     import org.apache.spark.sql.functions.col
     val e = graft.Tables(spark, Sf0001, "embeddings")
