@@ -174,4 +174,27 @@ object VectorOps {
     }
     out
   }
+
+  /** PQ asymmetric-distance sum: Σ_m lut[m·K + codes(m)], with
+    * K = lut.length / codes.length (the flat per-query lookup table
+    * carries one K-block per subspace in subspace order). Summation is
+    * ascending-m — the same order the interpreted fold used, so the
+    * codegen path is bit-identical to it. Out-of-range codes throw
+    * (an index bug must never read another subspace's block silently).
+    */
+  def pqAdc(codes: Array[Int], lut: Array[Double]): Double = {
+    if (codes.length == 0) return 0.0
+    val k = lut.length / codes.length
+    require(k * codes.length == lut.length,
+      s"pq_adc: LUT length ${lut.length} is not a multiple of numSub ${codes.length}")
+    var s = 0.0
+    var m = 0
+    while (m < codes.length) {
+      val c = codes(m)
+      require(c >= 0 && c < k, s"pq_adc: code $c out of range [0, $k) in subspace $m")
+      s += lut(m * k + c)
+      m += 1
+    }
+    s
+  }
 }

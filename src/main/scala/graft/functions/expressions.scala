@@ -198,6 +198,33 @@ case class RpProject(child: Expression, mExpr: Expression)
     copy(child = l, mExpr = r)
 }
 
+/** Product-quantization ADC distance sum: `pq_adc(codes, lut)` =
+  * Σ_m lut[m·K + codes[m]] over a flat per-query lookup table of
+  * K = lut.length / codes.length entries per subspace — the inner
+  * kernel of [[graft.query.PqIndex]]'s compressed code scan, native
+  * (with codegen) because it runs once per (corpus vector × query)
+  * on the hot path where an interpreted higher-order fold pays
+  * per-element lambda dispatch.
+  */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def prettyName: String = "pq_adc"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(codes: Any, lut: Any): Any =
+    VectorOps.pqAdc(
+      codes.asInstanceOf[ArrayData].toIntArray(),
+      lut.asInstanceOf[ArrayData].toDoubleArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) =>
+      s"${ev.value} = graft.functions.VectorOps.pqAdc($c.toIntArray(), $l.toDoubleArray());")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Executor-side Bloom-filter membership over a driver-foldable
   * serialized filter (`org.apache.spark.util.sketch.BloomFilter`
   * bytes). The filter deserializes ONCE per task (codegen holds it as

@@ -37,6 +37,8 @@ package object functions {
     Bridge.column(BloomMightContain(b(filterBytes.cast("binary")), st(value)))
   def rp_project(vec: Column, m: Column): Column =
     Bridge.column(RpProject(fa(vec), b(m.cast("int"))))
+  def pq_adc(codes: Column, lut: Column): Column =
+    Bridge.column(PqAdc(b(codes.cast("array<int>")), b(lut.cast("array<double>"))))
   // score is NOT cast: BIGINT scores must stay exact (fixed-point BM25
   // ordering lives past 2^53); DOUBLE passes through. Other types fail
   // the aggregate's input check.
@@ -67,6 +69,7 @@ package object functions {
     "bpe_token_count" -> (es => BpeTokenCount(es.head)),
     "bloom_might_contain" -> (es => BloomMightContain(es(0), es(1))),
     "rp_project" -> (es => RpProject(es(0), es(1))),
+    "pq_adc" -> (es => PqAdc(es(0), es(1))),
     "topk_by" -> (es => TopKByScore(es(0), es(1), es(2))))
 
   /** Register all graft functions for SQL text / `call_function`. */

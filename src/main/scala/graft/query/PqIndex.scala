@@ -318,21 +318,19 @@ object PqIndex {
       .agg(
         first(col("__qv")).as("__qv"),
         collect_list(struct(col("sub"), col("__lut_sub"))).as("__ls"))
+      // FLAT lut (one K-block per subspace, subspace order): the native
+      // pq_adc kernel's input shape
       .select(col(queryIdCol), col("__qv"),
-        transform(array_sort(col("__ls")), s => s.getField("__lut_sub"))
+        flatten(transform(array_sort(col("__ls")), s => s.getField("__lut_sub")))
           .as("__lut"))
 
-    // code scan: d̂² = Σ_sub lut[sub][codes[sub]] — numSub array reads
-    // per (vector, query), the corpus side never shuffles
+    // code scan: d̂² = Σ_sub lut[sub·K + codes[sub]] via the codegen
+    // pq_adc kernel (ascending-subspace summation — bit-identical to
+    // the interpreted fold it replaced); the corpus side never shuffles
     val scored = spark.read.parquet(s"$indexPath/codes")
       .crossJoin(broadcast(lutq))
       .withColumn("__adc",
-        sqrt(aggregate(
-          sequence(lit(0), lit(params.numSub - 1)),
-          lit(0.0),
-          (acc, m) => acc +
-            element_at(element_at(col("__lut"), m + 1),
-              element_at(col("codes"), m + 1) + 1))))
+        sqrt(graft.functions.pq_adc(col("codes"), col("__lut"))))
       .withColumn("__lb",
         lit(1.0) - pow(col("__adc") + col("resid") + lit(BoundPad), 2) / 2)
       .withColumn("__ub",

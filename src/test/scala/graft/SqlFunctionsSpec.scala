@@ -37,4 +37,25 @@ class SqlFunctionsSpec extends AnyFunSuite with SharedSpark {
     assert(row.getInt(10) == 4)
     assert(row.getInt(11) == 16)
   }
+
+  test("pq_adc resolves from SQL and sums the right LUT blocks") {
+    graft.functions.registerAll(spark)
+    // 2 subspaces, K=3: codes (2, 0) pick lut[0*3+2]=5.0 and lut[1*3+0]=7.0
+    val row = spark.sql(
+      """SELECT
+        |  pq_adc(array(2, 0),
+        |    array(1.0D, 3.0D, 5.0D, 7.0D, 11.0D, 13.0D)) AS s,
+        |  pq_adc(array(2, 0), CAST(NULL AS ARRAY<DOUBLE>)) AS n
+        |""".stripMargin).collect()(0)
+    assert(row.getDouble(0) == 12.0)
+    assert(row.isNullAt(1))
+    // an out-of-range code must fail loudly, never read a foreign block
+    val err = intercept[Exception] {
+      spark.sql("SELECT pq_adc(array(3, 0), array(1.0D, 2.0D, 3.0D, 4.0D))")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(err).exists(m => m != null && m.contains("out of range")))
+  }
 }
