@@ -2,7 +2,7 @@ package graft
 
 import graft.ingest.IngestJob
 import graft.pipeline.{Decontamination, Dedup, Events, Multimodal, RangeJoin, Relational, Sampling, SequencePacker, TextAnalysis}
-import graft.query.{AnnIndex, ContextAssembler, IvfIndex, LexicalSearch, PqIndex, QuantizedSearch, RetrievalEval, SimilaritySearch}
+import graft.query.{AnnIndex, ContextAssembler, IvfIndex, IvfPq, LexicalSearch, PqIndex, QuantizedSearch, RetrievalEval, SimilaritySearch}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -149,6 +149,27 @@ object Queries {
         occupancyCap = e.count() / 6)
     }
     IvfIndex.queryTopK(spark, work, "vec_id", "embedding",
+        queryBatch(e), "query_id", "qvec", k = 5, threshold = 0.0)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** Q107: batch top-k against the COMPOSED IVF+PQ index
+    * ([[graft.query.IvfPq]] — the canonical two-level ANN layout):
+    * coarse cells prune whole partition directories via the triangle
+    * bound, the PQ code scan inside the probed cells prunes individual
+    * payload fetches via the residual bound, and only the double
+    * survivors are exact-ranked. Same batch and EXACT oracle as
+    * q9/q38/q39/q105 — the fifth index family under one exactness
+    * gate, and the shape a 100 TB deployment actually runs (read a
+    * few cells' few-byte codes, fetch an answer-sized payload set).
+    */
+  def q107IvfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = indexWorkDir("ivfpq", dir)
+    buildOnce(work)(IvfPq.build(e, "vec_id", "embedding", work,
+      IvfPq.Params(pq = PqIndex.Params(fitSampleMod = 4))))
+    IvfPq.queryTopK(spark, work, "vec_id", "embedding",
         queryBatch(e), "query_id", "qvec", k = 5, threshold = 0.0)
       .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
       .orderBy("query_id", "rn")
@@ -644,6 +665,7 @@ object Queries {
     "q102_semantic_dedup" -> (q102SemanticDedup _),
     "q105_pq_topk" -> (q105PqTopK _),
     "q106_ivf_split" -> (q106IvfSplit _),
+    "q107_ivfpq_topk" -> (q107IvfPqTopK _),
     "q103_retrieval_eval" -> (q103RetrievalEval _),
     "q104_drift_monitor" -> (q104DriftMonitor _))
 
@@ -819,6 +841,7 @@ object Queries {
     // q106 queries the split-maintained index — same exact oracle; the
     // hot-cell split must be invisible to results
     "q106_ivf_split" -> cosineTopKOracle,
+    "q107_ivfpq_topk" -> cosineTopKOracle,
     // q85 queries the upsert-maintained index (90% build + 10% append);
     // same exact oracle — append-maintenance must be invisible to results
     "q85_ivf_upsert" -> cosineTopKOracle,

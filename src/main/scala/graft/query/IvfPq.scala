@@ -1,0 +1,191 @@
+package graft.query
+
+import graft.functions.cosine_sim
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF + PQ composed index — the canonical two-level ANN layout
+  * (Jégou et al.'s IVFADC shape, TPAMI 2011; public method, no code
+  * consulted): coarse KMeans cells prune whole PARTITION DIRECTORIES,
+  * and within the probed cells a product-quantization code scan prunes
+  * individual FETCHES. The two certified bounds stack:
+  *
+  *  - cell level ([[IvfIndex]]): for any member x of cell c,
+  *    `sim(q,x) ≤ 1 − max(0, d(q,centroid_c) − radius_c)²/2` — cells
+  *    whose bound cannot reach the floor are never read at all
+  *    (static partition pruning on `centroid_id=`);
+  *  - code level ([[PqIndex]]): within a probed cell, the ADC distance
+  *    to the reconstructed vector ± the stored residual certifies
+  *    `sim ∈ [lb, ub]` per vector — only bound-survivors fetch their
+  *    full payload for the exact cosine re-rank.
+  *
+  * Retrieval is EXACT at any corpus shape, the family contract: the
+  * floor is a k-th best certified LOWER bound, so nothing the bounds
+  * discard could have been in the true top-k; poor clustering or poor
+  * codebooks cost reads, never answers.
+  *
+  * 100 TB shape: a query batch reads the nCells-row metadata, the
+  * codes of only the cells that survive the cell bound (a few numSub-
+  * int rows per vector, partition-pruned at the source), and the full
+  * payloads of only the vectors that survive the code bound. Neither
+  * the codes nor the payload table ever shuffles — the query batch
+  * broadcasts. Codes here are encoded against GLOBAL codebooks (one
+  * LUT per query, not per (query, cell)); per-cell residual encoding
+  * (classic ADC's finer variant) drops into the same layout by keying
+  * the codebooks table by cell — a cost refinement, not a correctness
+  * one.
+  */
+object IvfPq {
+
+  case class Params(
+      ivf: IvfIndex.Params = IvfIndex.Params(),
+      pq: PqIndex.Params = PqIndex.Params())
+
+  /** Build = one [[IvfIndex.build]] (cells + radii metadata + the
+    * payload table, parquet-partitioned by cell) + PQ codebooks fit
+    * and a code table in the SAME cell-partitioned layout, so cell
+    * pruning applies to the code scan too.
+    */
+  def build(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      outPath: String,
+      params: Params = Params()): Unit = {
+    val spark = df.sparkSession
+    IvfIndex.build(df, idCol, embCol, outPath, params.ivf)
+    PqIndex.fitAndWriteCodebooks(df, idCol, embCol, outPath, params.pq)
+    // encode every vector and co-partition the codes WITH their cell:
+    // the cell-level bound then prunes code directories before a single
+    // code is read
+    val assignment = spark.read.parquet(s"$outPath/cells")
+      .select(col(idCol), col("centroid_id"))
+    PqIndex.encode(df, idCol, embCol, PqIndex.codebooksDf(spark, outPath), params.pq)
+      .join(assignment, idCol)
+      .transform(graft.util.PartitionedWrite.spread(
+        _, params.ivf.nCentroids, col("centroid_id"), col(idCol)))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .parquet(s"$outPath/cell_codes")
+  }
+
+  /** Batch top-k, exact by the stacked bounds. Output:
+    * (queryIdCol, idCol, sim, rn) — the shared retrieval shape.
+    */
+  def queryTopK(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      threshold: Double,
+      probeWidth: Int = 1,
+      params: Params = Params()): DataFrame =
+    queryTopKWithDiag(spark, indexPath, idCol, embCol, queries,
+      queryIdCol, queryVecCol, k, threshold, probeWidth, params)._1
+
+  /** [[queryTopK]] plus two LAZY diagnostic frames: the (query, cell)
+    * pairs whose codes were scanned, and the (query, id) candidates
+    * that survived to the exact fetch — the two pruning levels,
+    * spec-checkable independently.
+    */
+  private[graft] def queryTopKWithDiag(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      threshold: Double,
+      probeWidth: Int = 1,
+      params: Params = Params()): (DataFrame, DataFrame, DataFrame) = {
+    val pad = lit(1e-6)
+    val cellMeta = broadcast(spark.read.parquet(s"$indexPath/cells_meta"))
+    val lutq = PqIndex.queryLut(
+      spark, indexPath, queries, queryIdCol, queryVecCol, params.pq)
+    val qNorm = AnnIndex.prepared(
+        queries.select(col(queryIdCol), col(queryVecCol).as("__qv")),
+        queryIdCol, "__qv")
+      .select(col(queryIdCol),
+        org.apache.spark.ml.functions.vector_to_array(col("features"))
+          .cast("array<float>").as("__qnorm"))
+
+    // per (query, cell): probe order + the cell-level bound
+    val wCent = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cdist").asc, col("centroid_id").asc)
+    val qCells = qNorm.crossJoin(cellMeta)
+      .withColumn("cdist",
+        sqrt(graft.functions.l2_dist_sq(col("__qnorm"), col("center"))))
+      .withColumn("cell_ub",
+        lit(1.0) - pow(
+          greatest(lit(0.0), col("cdist") - col("radius") - pad), 2) / 2)
+      .withColumn("crank", row_number().over(wCent))
+      .select(col(queryIdCol), col("centroid_id"), col("cell_ub"), col("crank"))
+
+    val codes = spark.read.parquet(s"$indexPath/cell_codes")
+    // ADC-scan the codes of the selected (query, cell) pairs — the
+    // IvfIndex static-pruning discipline: probed cell ids (≤ nCells,
+    // driver-bounded) become a planning-time partition filter
+    def scan(sel: DataFrame): DataFrame = {
+      val selM = sel.select(col(queryIdCol), col("centroid_id")).localCheckpoint()
+      val probed = selM.select("centroid_id").distinct()
+        .collect().map(_.get(0)).toSeq
+      codes.filter(col("centroid_id").isin(probed: _*))
+        .join(broadcast(selM), Seq("centroid_id"))
+        .join(broadcast(lutq), queryIdCol)
+        .withColumn("__adc", sqrt(graft.functions.pq_adc(col("codes"), col("__lut"))))
+        .withColumn("__lb",
+          lit(1.0) - pow(col("__adc") + col("resid") + pad, 2) / 2)
+        .withColumn("__ub",
+          lit(1.0) - pow(
+            greatest(lit(0.0), col("__adc") - col("resid") - pad), 2) / 2)
+        .select(col(queryIdCol), col(idCol), col("centroid_id"),
+          col("__lb"), col("__ub"))
+    }
+
+    // pass 1: nearest probeWidth cells seed the floor
+    val pass1 = scan(qCells.filter(col("crank") <= probeWidth)).localCheckpoint()
+    val floor1 = SimilaritySearch.kthBestScore(
+      pass1.select(col(queryIdCol), col(idCol), col("__lb").as("s")),
+      queryIdCol, idCol, "s", k, "floor1")
+    // pass 2: only cells whose CELL bound reaches the certified floor
+    val sel2 = qCells.filter(col("crank") > probeWidth)
+      .join(floor1, Seq(queryIdCol), "left")
+      .filter(col("cell_ub") > threshold &&
+        col("cell_ub") >= coalesce(col("floor1"), lit(threshold)))
+    val scanned = pass1.unionByName(scan(sel2)).localCheckpoint()
+
+    // final floor over everything scanned; fetch only code-bound
+    // survivors
+    val floor = SimilaritySearch.kthBestScore(
+      scanned.select(col(queryIdCol), col(idCol), col("__lb").as("s")),
+      queryIdCol, idCol, "s", k, "floor_lb")
+    val cand = scanned
+      .join(floor, Seq(queryIdCol), "left")
+      .filter(col("__ub") > threshold &&
+        col("__ub") >= coalesce(col("floor_lb"), lit(threshold)))
+      .select(col(queryIdCol), col(idCol), col("centroid_id"))
+
+    // exact re-rank: payloads read pruned to the candidates' cells
+    val candM = cand.localCheckpoint()
+    val fetchCells = candM.select("centroid_id").distinct()
+      .collect().map(_.get(0)).toSeq
+    val result = spark.read.parquet(s"$indexPath/cells")
+      .filter(col("centroid_id").isin(fetchCells: _*))
+      .select(col(idCol), col(embCol))
+      .join(candM.select(col(queryIdCol), col(idCol)), idCol)
+      .join(broadcast(lutq.select(col(queryIdCol), col("__qv"))), queryIdCol)
+      .withColumn("sim", cosine_sim(col("__qv"), col(embCol)))
+      .filter(col("sim") > threshold)
+      .select(col(queryIdCol), col(idCol), col("sim"))
+      .transform(SimilaritySearch.topKExplode(_, queryIdCol, idCol, "sim", k))
+    (result,
+      scanned.select(col(queryIdCol), col("centroid_id")).distinct(),
+      candM.select(col(queryIdCol), col(idCol)))
+  }
+}

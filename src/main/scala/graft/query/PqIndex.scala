@@ -79,7 +79,7 @@ object PqIndex {
     * and the exact rerank (the [[IvfIndex]] RadiusPad discipline):
     * padding only widens the candidate set, never narrows it.
     */
-  private val BoundPad = 1e-6
+  private[query] val BoundPad = 1e-6
 
   /** Same id-hash partition layout as [[AnnIndex]]'s vectors table. */
   private val IndexBuckets = AnnIndex.IndexBuckets
@@ -99,14 +99,14 @@ object PqIndex {
   /** (sub, centers[codebookSize][subDim]) — one broadcastable row per
     * subspace.
     */
-  private def codebooksDf(spark: SparkSession, indexPath: String): DataFrame =
+  private[query] def codebooksDf(spark: SparkSession, indexPath: String): DataFrame =
     broadcast(spark.read.parquet(s"$indexPath/codebooks"))
 
   /** Normalize + slice into per-subspace rows: (idCol, passthrough...,
     * sub, __subvec). Subspaces partition the dimensions, so
     * ‖q − x‖² = Σ_sub ‖q_sub − x_sub‖² exactly.
     */
-  private def subspaceRows(
+  private[query] def subspaceRows(
       df: DataFrame,
       idCol: String,
       embCol: String,
@@ -130,7 +130,7 @@ object PqIndex {
     * different embedding) would interleave two vectors' subspaces into
     * one garbage code word, so it fails the job naming the id.
     */
-  private def encode(
+  private[query] def encode(
       df: DataFrame,
       idCol: String,
       embCol: String,
@@ -181,6 +181,30 @@ object PqIndex {
       outPath: String,
       params: Params = Params()): Unit = {
     val spark = df.sparkSession
+    fitAndWriteCodebooks(df, idCol, embCol, outPath, params)
+    encode(df, idCol, embCol, codebooksDf(spark, outPath), params)
+      .withColumn("__cbucket", pmod(hash(col(idCol)), lit(IndexBuckets)))
+      .transform(graft.util.PartitionedWrite.spread(
+        _, IndexBuckets, col("__cbucket"), col(idCol)))
+      .write.mode("overwrite").partitionBy("__cbucket").parquet(s"$outPath/codes")
+    AnnIndex.prepared(df.dropDuplicates(Seq(idCol, embCol)), idCol, embCol)
+      .select(col(idCol), col(embCol))
+      .withColumn("__vbucket", pmod(hash(col(idCol)), lit(IndexBuckets)))
+      .transform(graft.util.PartitionedWrite.spread(
+        _, IndexBuckets, col("__vbucket"), col(idCol)))
+      .write.mode("overwrite").partitionBy("__vbucket").parquet(s"$outPath/vectors")
+  }
+
+  /** Fit the per-subspace codebooks and persist them under
+    * `outPath/codebooks` — shared by [[build]] and [[IvfPq.build]].
+    */
+  private[query] def fitAndWriteCodebooks(
+      df: DataFrame,
+      idCol: String,
+      embCol: String,
+      outPath: String,
+      params: Params): Unit = {
+    val spark = df.sparkSession
     val fitInput = if (params.fitSampleMod > 1)
       df.filter(pmod(hash(col(idCol)), lit(params.fitSampleMod)) === 0)
     else df
@@ -218,18 +242,6 @@ object PqIndex {
         .repartition(1)
         .write.mode("overwrite").parquet(s"$outPath/codebooks")
     } finally subRows.unpersist()
-
-    encode(df, idCol, embCol, codebooksDf(spark, outPath), params)
-      .withColumn("__cbucket", pmod(hash(col(idCol)), lit(IndexBuckets)))
-      .transform(graft.util.PartitionedWrite.spread(
-        _, IndexBuckets, col("__cbucket"), col(idCol)))
-      .write.mode("overwrite").partitionBy("__cbucket").parquet(s"$outPath/codes")
-    AnnIndex.prepared(df.dropDuplicates(Seq(idCol, embCol)), idCol, embCol)
-      .select(col(idCol), col(embCol))
-      .withColumn("__vbucket", pmod(hash(col(idCol)), lit(IndexBuckets)))
-      .transform(graft.util.PartitionedWrite.spread(
-        _, IndexBuckets, col("__vbucket"), col(idCol)))
-      .write.mode("overwrite").partitionBy("__vbucket").parquet(s"$outPath/vectors")
   }
 
   /** Incremental maintenance: encode NEW vectors against the FROZEN
@@ -270,6 +282,35 @@ object PqIndex {
       graft.util.Compaction.compact(spark, s"$indexPath/codes", Seq("__cbucket")),
       graft.util.Compaction.compact(spark, s"$indexPath/vectors", Seq("__vbucket")))
 
+  /** Per-query ADC lookup table against the index's persisted
+    * codebooks: one row per query — (queryIdCol, __qv raw vector,
+    * __lut FLAT array of one codebookSize-block per subspace in
+    * subspace order, the [[graft.functions.PqAdc]] input shape).
+    * lut[sub·K + code] = ‖q_sub − c‖², built from the SAME d2 kernel
+    * that priced the stored residuals. Broadcast-sized by the
+    * point-lookup contract; shared with [[IvfPq]].
+    */
+  private[query] def queryLut(
+      spark: SparkSession,
+      indexPath: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      params: Params): DataFrame =
+    subspaceRows(
+        queries.select(col(queryIdCol), col(queryVecCol).as("__qv")),
+        queryIdCol, "__qv", params, Seq("__qv"))
+      .join(codebooksDf(spark, indexPath), "sub")
+      .withColumn("__lut_sub",
+        transform(col("centers"), c => d2(col("__subvec"), c)))
+      .groupBy(col(queryIdCol))
+      .agg(
+        first(col("__qv")).as("__qv"),
+        collect_list(struct(col("sub"), col("__lut_sub"))).as("__ls"))
+      .select(col(queryIdCol), col("__qv"),
+        flatten(transform(array_sort(col("__ls")), s => s.getField("__lut_sub")))
+          .as("__lut"))
+
   /** Batch top-k against the compressed index, exact by the residual
     * bound. Output: (queryIdCol, idCol, sim, rn) — rn 1..k by exact
     * sim desc, ties by ascending id, the shared retrieval shape.
@@ -303,26 +344,7 @@ object PqIndex {
       k: Int,
       threshold: Double,
       params: Params = Params()): (DataFrame, DataFrame) = {
-    val codebooks = codebooksDf(spark, indexPath)
-    // per-query ADC lookup table: lut[sub][code] = ‖q_sub − c‖², built
-    // from the SAME d2 kernel that priced the stored residuals. One
-    // row per query, [numSub][codebookSize] doubles — broadcast-sized
-    // by the point-lookup contract.
-    val lutq = subspaceRows(
-        queries.select(col(queryIdCol), col(queryVecCol).as("__qv")),
-        queryIdCol, "__qv", params, Seq("__qv"))
-      .join(codebooks, "sub")
-      .withColumn("__lut_sub",
-        transform(col("centers"), c => d2(col("__subvec"), c)))
-      .groupBy(col(queryIdCol))
-      .agg(
-        first(col("__qv")).as("__qv"),
-        collect_list(struct(col("sub"), col("__lut_sub"))).as("__ls"))
-      // FLAT lut (one K-block per subspace, subspace order): the native
-      // pq_adc kernel's input shape
-      .select(col(queryIdCol), col("__qv"),
-        flatten(transform(array_sort(col("__ls")), s => s.getField("__lut_sub")))
-          .as("__lut"))
+    val lutq = queryLut(spark, indexPath, queries, queryIdCol, queryVecCol, params)
 
     // code scan: d̂² = Σ_sub lut[sub·K + codes[sub]] via the codegen
     // pq_adc kernel (ascending-subspace summation — bit-identical to

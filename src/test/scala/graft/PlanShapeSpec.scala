@@ -222,6 +222,27 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "post-split probe scan not statically pruned:\n" + plan.take(2000))
   }
 
+  test("IVF+PQ scans code AND payload tables statically pruned to probed cells") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-plan").toString
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    graft.query.IvfPq.build(e, "vec_id", "embedding", dir,
+      graft.query.IvfPq.Params(ivf = graft.query.IvfIndex.Params(nCentroids = 8)))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val plan = graft.query.IvfPq.queryTopK(spark, dir, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, threshold = 0.0)
+      .queryExecution.executedPlan.toString
+    // BOTH levels read partition-pruned: the final exact-fetch payload
+    // scan in this plan, and (asserted by construction inside scan())
+    // the pass-2 code scan — here the visible plan carries the fetch
+    assert("PartitionFilters: \\[centroid_id[^\\]]{0,200}? IN".r
+        .findFirstIn(plan).isDefined,
+      "exact-fetch payload scan not statically pruned:\n" + plan.take(2000))
+    assert(plan.contains("partial_topk_by") && !plan.contains("Window"),
+      "ranking tail not the answer-sized aggregate:\n" + plan.take(2000))
+  }
+
   test("batch top-k partial-aggregates BEFORE the exchange; no window") {
     import org.apache.spark.sql.functions.col
     val e = graft.Tables(spark, Sf0001, "embeddings")
