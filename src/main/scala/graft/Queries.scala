@@ -175,6 +175,30 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** Q108: FILTERED vector search over the shared persisted IVF index
+    * — each query retrieves top-k among only the corpus rows carrying
+    * ITS label ([[graft.query.IvfIndex.queryTopKFiltered]]), the
+    * attribute-constrained retrieval every production vector store
+    * serves (metadata WHERE + ANN in one operator). Exact by the
+    * per-(cell, label) radius bound: a query probes only cells that
+    * contain its label, so rare labels probe almost nothing at any
+    * corpus geometry. Oracle = the label-equijoined brute-force
+    * ranking.
+    */
+  def q108FilteredTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = indexWorkDir("ivf", dir)
+    buildOnce(work)(IvfIndex.build(e, "vec_id", "embedding", work))
+    IvfIndex.queryTopKFiltered(spark, work, "vec_id", "embedding",
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+            col("label")),
+        "query_id", "qvec", e.select("vec_id", "label"), "label",
+        k = 5, threshold = 0.0)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Q97/Q100 via the maintained curation-signal store (cluster labels
     * + frozen-LM scores persisted once, read per query — see
     * [[graft.pipeline.CurationStore]]): same outputs and oracles as
@@ -666,6 +690,7 @@ object Queries {
     "q105_pq_topk" -> (q105PqTopK _),
     "q106_ivf_split" -> (q106IvfSplit _),
     "q107_ivfpq_topk" -> (q107IvfPqTopK _),
+    "q108_filtered_topk" -> (q108FilteredTopK _),
     "q103_retrieval_eval" -> (q103RetrievalEval _),
     "q104_drift_monitor" -> (q104DriftMonitor _))
 
@@ -842,6 +867,22 @@ object Queries {
     // hot-cell split must be invisible to results
     "q106_ivf_split" -> cosineTopKOracle,
     "q107_ivfpq_topk" -> cosineTopKOracle,
+    // q108: the same ranking restricted to label-mates — the filter is
+    // an equijoin in both engines
+    "q108_filtered_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+        |  FROM embeddings e JOIN q ON e.label = q.ql),
+        |r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        |  FROM s WHERE sim > 0.0)
+        |SELECT query_id, vec_id, round(sim, 6) AS sim, rn
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     // q85 queries the upsert-maintained index (90% build + 10% append);
     // same exact oracle — append-maintenance must be invisible to results
     "q85_ivf_upsert" -> cosineTopKOracle,

@@ -392,6 +392,144 @@ object IvfIndex {
       .toSeq.toDF("centroid_id", "center")
   }
 
+  /** The indexed rows with their normalized float vectors re-derived
+    * exactly as the build's assignment pass (so stored radii bound
+    * them): (idCol, embCol, centroid_id, __norm) — shared by every
+    * corpus-as-queries pattern.
+    */
+  private def normalizedAssigned(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String): DataFrame =
+    new org.apache.spark.ml.feature.Normalizer()
+      .setInputCol("__raw").setOutputCol("__f").setP(2.0)
+      .transform(spark.read.parquet(s"$indexPath/cells")
+        .withColumn("__raw",
+          org.apache.spark.ml.functions.array_to_vector(
+            col(embCol).cast("array<double>"))))
+      .select(col(idCol), col(embCol), col("centroid_id"),
+        org.apache.spark.ml.functions.vector_to_array(col("__f"))
+          .cast("array<float>").as("__norm"))
+
+  /** Per-(cell, label) radii — max distance of a cell's members with
+    * that label to the cell centroid. An nCells × nLabels frame,
+    * derived at query/mining time from labeled assigned rows (the
+    * index itself stays label-free); the label-restricted triangle
+    * bound `sim(q, x∈c with label L) ≤ 1 − max(0, d(q,c) − r(c,L))²/2`
+    * is exactly the cell bound with the tighter per-label radius.
+    */
+  private def cellLabelRadii(
+      assigned: DataFrame,
+      cellMeta: DataFrame,
+      labelCol: String): DataFrame =
+    assigned
+      .join(broadcast(cellMeta.select(col("centroid_id"), col("center"))),
+        "centroid_id")
+      .withColumn("__d",
+        sqrt(graft.functions.l2_dist_sq(col("__norm"), col("center"))))
+      .groupBy(col("centroid_id"), col(labelCol))
+      .agg(max(col("__d")).as("__rl"))
+
+  /** FILTERED batch top-k: per-query top-k restricted to corpus rows
+    * whose `labelCol` equals the query's — the attribute-constrained
+    * ("filtered ANN") retrieval every production vector store serves,
+    * here EXACT by the per-(cell, label) radius bound. A query probes
+    * only cells that actually CONTAIN its label (rare labels probe
+    * almost nowhere regardless of geometry), seeds a floor from the
+    * `probeWidth` nearest such cells, and extends to exactly the
+    * label-holding cells whose label-radius bound can still beat it.
+    * Candidates are label-filtered before ranking, so the exact kernel
+    * prices only qualifying rows.
+    *
+    * 100 TB shape: the label metadata is one nCells × nLabels
+    * aggregation over the index (localCheckpoint'd per call — cache it
+    * for query-service deployments); probes read only label-holding
+    * cell directories via the same static `isin` pruning as
+    * [[queryTopK]]. For high-cardinality predicates the radii frame
+    * grows linearly in distinct labels — fall back to [[queryTopK]] +
+    * post-filter + refill when nLabels approaches corpus size.
+    *
+    * @param queries (queryIdCol, queryVecCol, labelCol) — the wanted
+    *                label rides the query row
+    * @param labels  (idCol, labelCol) corpus label source
+    * @return (queryIdCol, idCol, sim, rn), rn 1..k by sim desc, ties
+    *         ascending id — only label-matching rows appear
+    */
+  def queryTopKFiltered(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      labels: DataFrame,
+      labelCol: String,
+      k: Int,
+      threshold: Double,
+      probeWidth: Int = 1): DataFrame = {
+    val cellMeta = broadcast(spark.read.parquet(s"$indexPath/cells_meta"))
+    val assigned = normalizedAssigned(spark, indexPath, idCol, embCol)
+      .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
+    val cellLabel = cellLabelRadii(assigned, cellMeta, labelCol)
+      .localCheckpoint()
+
+    val qNorm = AnnIndex.prepared(
+        queries.select(col(queryIdCol), col(queryVecCol).as("__qv"), col(labelCol)),
+        queryIdCol, "__qv")
+      .join(queries.select(col(queryIdCol), col(labelCol)), Seq(queryIdCol))
+      .select(col(queryIdCol), col("__qv").as(queryVecCol), col(labelCol),
+        org.apache.spark.ml.functions.vector_to_array(col("features"))
+          .cast("array<float>").as("__qnorm"))
+
+    // per (query, label-holding cell): probe order + label-radius bound
+    val wCent = Window.partitionBy(col(queryIdCol))
+      .orderBy(col("cdist").asc, col("centroid_id").asc)
+    val qCells = qNorm
+      .join(broadcast(cellLabel), Seq(labelCol))
+      .join(cellMeta.select(col("centroid_id"), col("center")), Seq("centroid_id"))
+      .withColumn("cdist",
+        sqrt(graft.functions.l2_dist_sq(col("__qnorm"), col("center"))))
+      .withColumn("ub_sim",
+        lit(1.0) - pow(
+          greatest(lit(0.0), col("cdist") - col("__rl") - lit(RadiusPad)), 2) / 2)
+      .withColumn("crank", row_number().over(wCent))
+      .select(col(queryIdCol), col(queryVecCol), col(labelCol),
+        col("centroid_id"), col("ub_sim"), col("crank"))
+
+    def probe(sel: DataFrame): DataFrame = {
+      val selM = sel.select(col(queryIdCol), col(queryVecCol), col(labelCol),
+        col("centroid_id")).localCheckpoint()
+      val probed = selM.select("centroid_id").distinct()
+        .collect().map(_.get(0)).toSeq
+      // fresh pruned read (the selfKnnGraph pass-2 idiom): the static
+      // isin filter reaches the parquet scan directly, labels attached
+      // to just the probed rows
+      spark.read.parquet(s"$indexPath/cells")
+        .filter(col("centroid_id").isin(probed: _*))
+        .select(col(idCol), col(embCol), col("centroid_id"))
+        .join(labels.select(col(idCol), col(labelCol).as("__clabel")), Seq(idCol))
+        .join(broadcast(selM), "centroid_id")
+        .filter(col("__clabel") === col(labelCol))
+        .withColumn("sim", cosine_sim(col(embCol), col(queryVecCol)))
+        .filter(col("sim") > threshold)
+        .select(col(queryIdCol), col(idCol), col("sim"))
+    }
+
+    val pass1 = probe(qCells.filter(col("crank") <= probeWidth)).localCheckpoint()
+    val floor = SimilaritySearch.kthBestScore(
+      pass1, queryIdCol, idCol, "sim", k, "floor_sim")
+    val pass2 = probe(
+      qCells.filter(col("crank") > probeWidth)
+        .join(floor, Seq(queryIdCol), "left")
+        .filter(col("ub_sim") > threshold &&
+          col("ub_sim") >= coalesce(col("floor_sim"), lit(threshold))))
+
+    pass1.unionByName(pass2)
+      .transform(SimilaritySearch.topKExplode(_, queryIdCol, idCol, "sim", k))
+  }
+
   /** Batch top-k against a built IVF index, exact by the cell-radius
     * bound. `probeWidth` is a cost knob, not a recall knob: the first
     * pass probes the `probeWidth` nearest cells to seed the k-th-best
@@ -519,17 +657,7 @@ object IvfIndex {
       embCol: String,
       k: Int): DataFrame = {
     val cellMeta = broadcast(spark.read.parquet(s"$indexPath/cells_meta"))
-    // re-derive the normalized float vectors exactly as the build did
-    // (AnnIndex.prepared's normalizer), so stored radii bound them
-    val assigned = new org.apache.spark.ml.feature.Normalizer()
-      .setInputCol("__raw").setOutputCol("__f").setP(2.0)
-      .transform(spark.read.parquet(s"$indexPath/cells")
-        .withColumn("__raw",
-          org.apache.spark.ml.functions.array_to_vector(
-            col(embCol).cast("array<double>"))))
-      .select(col(idCol), col(embCol), col("centroid_id"),
-        org.apache.spark.ml.functions.vector_to_array(col("__f"))
-          .cast("array<float>").as("__norm"))
+    val assigned = normalizedAssigned(spark, indexPath, idCol, embCol)
     val queries = assigned.select(
       col(idCol).as("query_id"), col(embCol).as("__qv"),
       col("centroid_id"), col("__norm").as("__qnorm"))
@@ -640,15 +768,7 @@ object IvfIndex {
       labels: DataFrame,
       labelCol: String): (DataFrame, DataFrame, DataFrame) = {
     val cellMeta = broadcast(spark.read.parquet(s"$indexPath/cells_meta"))
-    val assigned = new org.apache.spark.ml.feature.Normalizer()
-      .setInputCol("__raw").setOutputCol("__f").setP(2.0)
-      .transform(spark.read.parquet(s"$indexPath/cells")
-        .withColumn("__raw",
-          org.apache.spark.ml.functions.array_to_vector(
-            col(embCol).cast("array<double>"))))
-      .select(col(idCol), col(embCol), col("centroid_id"),
-        org.apache.spark.ml.functions.vector_to_array(col("__f"))
-          .cast("array<float>").as("__norm"))
+    val assigned = normalizedAssigned(spark, indexPath, idCol, embCol)
       .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
     val queries = assigned.select(
       col(idCol).as("query_id"), col(embCol).as("__qv"),
@@ -677,16 +797,9 @@ object IvfIndex {
         coalesce(col("__fp"), lit(-1.0)).as("floor_pos"),
         coalesce(col("__fn"), lit(-1.0)).as("floor_neg"))
 
-    // per-(cell, label) radii: max distance of a cell's members with
-    // that label to the cell centroid. nCells × nLabels rows — tiny,
-    // checkpointed once for its two consumers.
-    val cellLabel = assigned
-      .join(broadcast(cellMeta.select(col("centroid_id"), col("center"))),
-        "centroid_id")
-      .withColumn("__d",
-        sqrt(graft.functions.l2_dist_sq(col("__norm"), col("center"))))
-      .groupBy(col("centroid_id"), col(labelCol))
-      .agg(max(col("__d")).as("__rl"))
+    // per-(cell, label) radii ([[cellLabelRadii]]) — tiny, checkpointed
+    // once for its two consumers
+    val cellLabel = cellLabelRadii(assigned, cellMeta, labelCol)
       .localCheckpoint()
     // per-cell top-2 label radii: r_neg(c, L) = max radius among labels
     // ≠ L = r1 if the argmax label isn't L, else r2 (null when the cell

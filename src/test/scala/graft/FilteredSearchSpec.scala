@@ -1,0 +1,108 @@
+package graft
+
+import graft.query.IvfIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Attribute-filtered retrieval (q108's operator): exactness against
+  * the label-restricted brute force, label-driven probe restriction,
+  * and the empty-label edge.
+  */
+class FilteredSearchSpec extends AnyFunSuite with SharedSpark {
+
+  private def topkSet(df: DataFrame): Set[(Long, Long, Long)] =
+    df.select(col("query_id").cast("long"), col("vec_id").cast("long"),
+        col("rn").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("filtered top-k equals the label-restricted brute force (fixture)") {
+    val e = Tables(spark, Sf0001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-filt-fix").toString
+    IvfIndex.build(e.select("vec_id", "embedding"), "vec_id", "embedding", dir,
+      IvfIndex.Params(nCentroids = 8))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label"))
+    val got = IvfIndex.queryTopKFiltered(spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", e.select("vec_id", "label"), "label",
+      k = 5, threshold = 0.0)
+    // brute force restricted to label-mates per query
+    val exact = e.select(col("vec_id"), col("embedding"), col("label").as("__cl"))
+      .join(broadcast(queries), col("__cl") === col("label"))
+      .withColumn("sim", graft.functions.cosine_sim(col("embedding"), col("qvec")))
+      .filter(col("sim") > 0.0)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+      .groupBy("query_id")
+      .agg(graft.functions.topk_by(col("vec_id"), col("sim"), lit(5)).as("t"))
+      .select(col("query_id"), posexplode(col("t")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rn"))
+    assert(topkSet(got) ==
+      exact.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // every returned row is a label-mate
+    val bad = got.join(e.select(col("vec_id"), col("label").as("__cl")), "vec_id")
+      .join(queries.select(col("query_id"), col("label")), "query_id")
+      .filter(col("__cl") =!= col("label"))
+    assert(bad.isEmpty, "a non-label-mate leaked into filtered results")
+  }
+
+  test("label-aligned clusters: a query probes only cells holding its label") {
+    import spark.implicits._
+    // labels coincide with spatial clusters, so each label lives in
+    // exactly one cell: the per-(cell, label) bound must keep every
+    // probe inside that one cell — which the RESULT shows: rank-1 of a
+    // member query is itself, and all hits share its cluster
+    val rnd = new scala.util.Random(31)
+    val e = (0L until 200L).map { i =>
+      val cluster = (i % 4).toInt
+      val base = Array.fill(8)(0.0f)
+      base(cluster * 2) = 1.0f
+      (i, base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.08f), cluster)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft-filt-clu").toString
+    IvfIndex.build(e.select("vec_id", "embedding"), "vec_id", "embedding", dir,
+      IvfIndex.Params(nCentroids = 4))
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label"))
+    val got = IvfIndex.queryTopKFiltered(spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", e.select("vec_id", "label"), "label",
+      k = 3, threshold = 0.0)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    // self is rank 1 (sim 1.0 with ascending-id tie-break on itself)
+    val rank1 = rows.filter(_.getAs[Long]("rn") == 1L)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id")).toMap
+    (0L until 8L).foreach(q => assert(rank1(q) == q, s"rank-1 of $q is not itself"))
+    // all hits are label-mates == cluster-mates
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_id") % 4 == r.getAs[Long]("query_id") % 4,
+        s"hit from a foreign cluster: $r")
+    }
+  }
+
+  test("a query whose label is absent from the corpus returns nothing") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val e = (0L until 60L).map { i =>
+      val base = Array.fill(8)(0.0f)
+      base((i % 2).toInt * 4) = 1.0f
+      (i, base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f), (i % 2).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft-filt-absent").toString
+    IvfIndex.build(e.select("vec_id", "embedding"), "vec_id", "embedding", dir,
+      IvfIndex.Params(nCentroids = 2))
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        // queries 0/1 keep real labels; 2/3 ask for a label nobody has
+        when(col("vec_id") < 2, col("label")).otherwise(lit(99)).as("label"))
+    val got = IvfIndex.queryTopKFiltered(spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", e.select("vec_id", "label"), "label",
+      k = 3, threshold = 0.0)
+    val byQuery = got.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.contains(0L) && byQuery.contains(1L))
+    assert(!byQuery.contains(2L) && !byQuery.contains(3L),
+      "an absent label produced hits")
+  }
+}

@@ -11,6 +11,13 @@ hash) — NOT a dump of Spark output. The driver's DuckDB oracle then reads
 the committed golden parquet, so a divergence in either implementation
 fails the correctness gate.
 
+Float-score note: the engine's `topk_by` aggregate canonicalizes -0.0
+scores to +0.0 (an IEEE total-order artifact, numerically identical).
+No golden file currently carries a score that can be exactly -0.0
+(q70's MMR scores are rounded similarities of non-antipodal vectors),
+but if one ever does, canonicalize here the same way or the bit-exact
+compare will flag a spurious diff.
+
 Driver-side tooling only (python/duckdb/pyarrow are not available to the
 shipped Scala engine). Usage:
 
