@@ -54,15 +54,6 @@ object StreamingNearDup {
       doc_id: Long, admitted: Boolean,
       dup_of: Option[Long], jac: Option[Double])
 
-  /** Tagged per-component row for the executor-side greedy:
-    * kind 0 = member (a = doc id, dupOf/dupJac = best corpus match or
-    * -1/NaN), kind 1 = verified in-batch edge (a, b, jac). Public only
-    * because encoder codegen cannot deserialize a private class.
-    */
-  case class GroupRow(
-      label: Long, kind: Int, a: Long, b: Long,
-      jac: Double, dupOf: Long, dupJac: Double)
-
   private def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -164,46 +155,13 @@ object StreamingNearDup {
         max(struct(col("jac"), -col("d1"))).getField("jac").as("cm_jac"))
       .localCheckpoint()
 
-    // ---- per-component sequential greedy, executor-side ----
+    // ---- per-component sequential greedy ([[AdmissionGreedy]]) ----
     val labels = Dedup.connectedComponents(newNew.select("d1", "d2"))
-    val memberRows = labels
-      .join(cm, labels("node") === cm("doc_id"), "left")
-      .select(col("label"), lit(0).as("kind"), col("node").as("a"),
-        lit(-1L).as("b"), lit(Double.NaN).as("jac"),
-        coalesce(col("cm_dup"), lit(-1L)).as("dupOf"),
-        coalesce(col("cm_jac"), lit(Double.NaN)).as("dupJac"))
-    val edgeRows = newNew
-      .join(labels.select(col("node").as("d1"), col("label")), "d1")
-      .select(col("label"), lit(1).as("kind"), col("d1").as("a"),
-        col("d2").as("b"), col("jac"),
-        lit(-1L).as("dupOf"), lit(Double.NaN).as("dupJac"))
-    val greedy = memberRows.unionByName(edgeRows).as[GroupRow]
-      .groupByKey(_.label)
-      .flatMapGroups { (_: Long, it: Iterator[GroupRow]) =>
-        val rows = it.toVector
-        val members = rows.filter(_.kind == 0).sortBy(_.a)
-        val adj = scala.collection.mutable.Map
-          .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Double)]]
-        rows.filter(_.kind == 1).foreach { e =>
-          adj.getOrElseUpdate(e.a, scala.collection.mutable.ArrayBuffer.empty) += ((e.b, e.jac))
-          adj.getOrElseUpdate(e.b, scala.collection.mutable.ArrayBuffer.empty) += ((e.a, e.jac))
-        }
-        val admitted = scala.collection.mutable.Set.empty[Long]
-        members.iterator.map { m =>
-          val corpusHit =
-            if (m.dupOf >= 0) Seq((m.dupOf, m.dupJac)) else Seq.empty
-          val batchHits = adj.getOrElse(m.a, Seq.empty).filter(n => admitted(n._1))
-          val hits = corpusHit ++ batchHits
-          if (hits.isEmpty) {
-            admitted += m.a
-            Verdict(m.a, admitted = true, None, None)
-          } else {
-            val best = hits.maxBy(t => (t._2, -t._1))
-            Verdict(m.a, admitted = false, Some(best._1), Some(best._2))
-          }
-        }
-      }
-      .toDF()
+    val greedy = AdmissionGreedy.decide(
+        labels,
+        newNew.select(col("d1"), col("d2"), col("jac").as("score")),
+        cm.select(col("doc_id"), col("cm_dup"), col("cm_jac").as("cm_score")))
+      .withColumnRenamed("score", "jac")
 
     // docs outside any in-batch component: corpus-matched → rejected;
     // everything else (incl. short docs with no signature) → admitted

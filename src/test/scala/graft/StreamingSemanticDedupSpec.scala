@@ -1,0 +1,137 @@
+package graft
+
+import graft.streaming.StreamingSemanticDedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic (cosine) admission: equality with the sequential greedy
+  * fold, micro-batch split invariance, the chain-rule contrast with
+  * batch SemDeDup, and occupancy-bounded index growth.
+  */
+class StreamingSemanticDedupSpec extends AnyFunSuite with SharedSpark {
+
+  private def tempDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"semadm-$tag").toString
+
+  /** Sequential admission fold over arrival order: reject iff an
+    * ADMITTED earlier vector is τ-close (best = highest sim, tie
+    * lowest id).
+    */
+  private def referenceVerdicts(
+      rows: Seq[(Long, Array[Float])],
+      tau: Double): Map[Long, (Boolean, Option[Long])] = {
+    def cos(x: Array[Float], y: Array[Float]): Double =
+      graft.functions.VectorOps.cosine(x, y)
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+    rows.sortBy(_._1).map { case (id, v) =>
+      val hits = admitted.map { case (aid, av) => (aid, cos(v, av)) }
+        .filter(_._2 >= tau)
+      if (hits.isEmpty) {
+        admitted += ((id, v))
+        id -> ((true, None: Option[Long]))
+      } else {
+        val best = hits.maxBy(t => (t._2, -t._1))
+        id -> ((false, Some(best._1)))
+      }
+    }.toMap
+  }
+
+  private def collectVerdicts(df: org.apache.spark.sql.DataFrame) =
+    df.select("vec_id", "admitted", "dup_of").collect().map { r =>
+      r.getLong(0) -> ((r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    }.toMap
+
+  /** Clustered vectors with in-cluster duplicates: ~every third vector
+    * is a near-copy of an earlier one.
+    */
+  private def feed(n: Long): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(41)
+    (0L until n).map { i =>
+      val base = Array.fill(8)(0.0f)
+      base((i % 4).toInt * 2) = 1.0f
+      val noise = if (i % 3 == 2) 0.005f else 0.3f
+      (i, base.map(x => x + (rnd.nextFloat() - 0.5f) * noise))
+    }
+  }
+
+  test("one-shot admission equals the sequential greedy fold") {
+    import spark.implicits._
+    val rows = feed(90L)
+    val got = collectVerdicts(StreamingSemanticDedup.admissionStep(
+      rows.toDF("vec_id", "embedding"), tempDir("oneshot"), tau = 0.995))
+    assert(got == referenceVerdicts(rows, 0.995))
+    // sanity: the threshold actually bites both ways
+    assert(got.values.exists(_._1) && got.values.exists(!_._1))
+  }
+
+  test("verdicts are invariant under micro-batch splits of the feed") {
+    import spark.implicits._
+    val rows = feed(90L)
+    val whole = collectVerdicts(StreamingSemanticDedup.admissionStep(
+      rows.toDF("vec_id", "embedding"), tempDir("whole"), tau = 0.995))
+    val dir = tempDir("split")
+    val cut = Seq(rows.slice(0, 31), rows.slice(31, 32), rows.slice(32, 90))
+    val stepwise = cut.filter(_.nonEmpty).map(b =>
+      collectVerdicts(StreamingSemanticDedup.admissionStep(
+        b.toDF("vec_id", "embedding"), dir, tau = 0.995)))
+      .reduce(_ ++ _)
+    assert(stepwise == whole)
+  }
+
+  test("chain rule: a vector whose only neighbor was rejected IS admitted") {
+    import spark.implicits._
+    def rot(deg: Double): Array[Float] = {
+      val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    // cos(A,B) = cos(B,C) ≈ 0.94 ≥ τ, cos(A,C) ≈ 0.77 < τ.
+    // Admission: A admitted, B rejected (dup of A), C ADMITTED — its
+    // only τ-neighbor B never entered the admitted set. (Batch
+    // SemDeDup — q102 — drops C here; both semantics are deliberate,
+    // see the operator scaladoc.)
+    val rows = Seq((1L, rot(0)), (2L, rot(20)), (3L, rot(40)))
+    val got = collectVerdicts(StreamingSemanticDedup.admissionStep(
+      rows.toDF("vec_id", "embedding"), tempDir("chain"), tau = 0.9))
+    assert(got(1L) == ((true, None)))
+    assert(got(2L) == ((false, Some(1L))))
+    assert(got(3L) == ((true, None)))
+  }
+
+  test("start() wires the fence; split cap bounds admitted-index cells") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = feed(120L)
+    val dir = tempDir("stream")
+    val ckpt = tempDir("stream-ckpt")
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = StreamingSemanticDedup.start(
+      input.toDS().toDF("vec_id", "embedding"), dir, ckpt,
+      tau = 0.995, splitCap = Some(30L))
+    try {
+      val (b1, rest) = rows.splitAt(40)
+      val (b2, b3) = rest.splitAt(40)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      input.addData(b3); q.processAllAvailable()
+    } finally q.stop()
+
+    val verdicts = collectVerdicts(spark.read.parquet(s"$dir/verdicts"))
+    assert(verdicts == referenceVerdicts(rows, 0.995))
+
+    // the admitted index holds exactly the admitted vectors, and the
+    // split cap kept every cell at or under the bound
+    val admitted = verdicts.filter(_._2._1).keySet
+    val cells = spark.read.parquet(s"$dir/ivf/cells")
+    assert(cells.select("vec_id").collect().map(_.getLong(0)).toSet == admitted)
+    val sizes = cells.groupBy("centroid_id").count()
+      .select("count").collect().map(_.getLong(0))
+    assert(sizes.forall(_ <= 30L), s"split cap not enforced: ${sizes.toSeq}")
+
+    // the shared replay fence recorded the applied batches (replay
+    // no-op behavior itself is pinned in StreamingNearDupSpec /
+    // IndexMaintenanceSpec over the identical wrapper shape)
+    assert(graft.streaming.IndexMaintenance.lastApplied(spark, dir) >= 2L)
+  }
+}
