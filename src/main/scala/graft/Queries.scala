@@ -199,6 +199,31 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** Q109: INCREMENTAL maintenance of the composed IVF+PQ index under
+    * the exactness gate — built over 90% of the corpus, the held-out
+    * tenth folded in by [[graft.query.IvfPq.upsert]] (cell append +
+    * radius growth + frozen-codebook code append), then the standard
+    * batch queries the merged index against the same full-corpus
+    * exact oracle: both stacked bounds must survive maintenance
+    * (radius coverage and stored-residual pricing are append-stable),
+    * the q85 contract extended to the composed family.
+    */
+  def q109IvfPqUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = indexWorkDir("ivfpq_upsert", dir)
+    val params = IvfPq.Params(pq = PqIndex.Params(fitSampleMod = 4))
+    buildOnce(work) {
+      IvfPq.build(e.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+        "vec_id", "embedding", work, params)
+      IvfPq.upsert(spark, work, "vec_id", "embedding",
+        e.filter(pmod(col("vec_id"), lit(10)) === 0), params)
+    }
+    IvfPq.queryTopK(spark, work, "vec_id", "embedding",
+        queryBatch(e), "query_id", "qvec", k = 5, threshold = 0.0)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Q97/Q100 via the maintained curation-signal store (cluster labels
     * + frozen-LM scores persisted once, read per query — see
     * [[graft.pipeline.CurationStore]]): same outputs and oracles as
@@ -691,6 +716,7 @@ object Queries {
     "q106_ivf_split" -> (q106IvfSplit _),
     "q107_ivfpq_topk" -> (q107IvfPqTopK _),
     "q108_filtered_topk" -> (q108FilteredTopK _),
+    "q109_ivfpq_upsert" -> (q109IvfPqUpsert _),
     "q103_retrieval_eval" -> (q103RetrievalEval _),
     "q104_drift_monitor" -> (q104DriftMonitor _))
 
@@ -867,6 +893,9 @@ object Queries {
     // hot-cell split must be invisible to results
     "q106_ivf_split" -> cosineTopKOracle,
     "q107_ivfpq_topk" -> cosineTopKOracle,
+    // q109 queries the upsert-maintained composed index — same exact
+    // oracle; maintenance must be invisible to results
+    "q109_ivfpq_upsert" -> cosineTopKOracle,
     // q108: the same ranking restricted to label-mates — the filter is
     // an equijoin in both engines
     "q108_filtered_topk" ->

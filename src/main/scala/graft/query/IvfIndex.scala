@@ -152,6 +152,42 @@ object IvfIndex {
     val cellMeta = spark.read.parquet(s"$indexPath/cells_meta")
     // nCentroids-row frame: count it once here, not per write below
     val nCells = cellMeta.count().toInt.max(1)
+    val assigned = assignNew(cellMeta, nCells, idCol, embCol, newRows)
+      .persist()
+    try {
+      assigned
+        .select(col(idCol), col(embCol), col("centroid_id"))
+        // bounded files/cell per append, cluster-scaled parallelism
+        .transform(graft.util.PartitionedWrite.spread(
+          _, nCells, col("centroid_id"), col(idCol)))
+        .write.partitionBy("centroid_id").mode("append")
+        .parquet(s"$indexPath/cells")
+      // grow radii to cover the new members; localCheckpoint materializes
+      // the updated frame BEFORE the overwrite of the path it was read
+      // from (cells_meta is nCentroids rows — the checkpoint is trivial)
+      val updated = cellMeta
+        .join(
+          assigned.groupBy("centroid_id").agg(max(col("d")).as("__new_r")),
+          Seq("centroid_id"), "left")
+        .select(col("centroid_id"), col("center"),
+          greatest(col("radius"), coalesce(col("__new_r"), lit(0.0))).as("radius"))
+        .localCheckpoint()
+      updated.write.mode("overwrite").parquet(s"$indexPath/cells_meta")
+    } finally assigned.unpersist()
+  }
+
+  /** Nearest-existing-centroid assignment of a new batch:
+    * (idCol, embCol, centroid_id, d) — the shared front half of
+    * [[upsert]] and [[IvfPq.upsert]]'s code append. Enforces the
+    * append-only contract (conflicting duplicate batch ids fail
+    * loudly); exact duplicate rows collapse.
+    */
+  private[query] def assignNew(
+      cellMeta: DataFrame,
+      nCells: Int,
+      idCol: String,
+      embCol: String,
+      newRows: DataFrame): DataFrame = {
     val prep = AnnIndex.prepared(
       newRows.dropDuplicates(Seq(idCol, embCol)), idCol, embCol)
       .select(col(idCol), col(embCol),
@@ -164,7 +200,7 @@ object IvfIndex {
     // exact order): the map-side partial collapses each task to one row
     // per batch id instead of shuffling the batch × nCentroids frame;
     // embCol is unique per id, so first() is deterministic here
-    val assigned = prep.crossJoin(broadcast(cellMeta))
+    prep.crossJoin(broadcast(cellMeta))
       .withColumn("d", sqrt(graft.functions.l2_dist_sq(col("__norm"), col("center"))))
       .groupBy(col(idCol))
       .agg(
@@ -187,27 +223,6 @@ object IvfIndex {
       .select(col(idCol), col(embCol),
         col("__t").getItem(0).getField("id").as("centroid_id"),
         (-col("__t").getItem(0).getField("score")).as("d"))
-      .persist()
-    try {
-      assigned
-        .select(col(idCol), col(embCol), col("centroid_id"))
-        // bounded files/cell per append, cluster-scaled parallelism
-        .transform(graft.util.PartitionedWrite.spread(
-          _, nCells, col("centroid_id"), col(idCol)))
-        .write.partitionBy("centroid_id").mode("append")
-        .parquet(s"$indexPath/cells")
-      // grow radii to cover the new members; localCheckpoint materializes
-      // the updated frame BEFORE the overwrite of the path it was read
-      // from (cells_meta is nCentroids rows — the checkpoint is trivial)
-      val updated = cellMeta
-        .join(
-          assigned.groupBy("centroid_id").agg(max(col("d")).as("__new_r")),
-          Seq("centroid_id"), "left")
-        .select(col("centroid_id"), col("center"),
-          greatest(col("radius"), coalesce(col("__new_r"), lit(0.0))).as("radius"))
-        .localCheckpoint()
-      updated.write.mode("overwrite").parquet(s"$indexPath/cells_meta")
-    } finally assigned.unpersist()
   }
 
   /** Compact the append-maintained cells table

@@ -69,6 +69,46 @@ object IvfPq {
       .parquet(s"$outPath/cell_codes")
   }
 
+  /** Incremental maintenance of the composed index: assign NEW vectors
+    * to their nearest existing cell and append to `cells/` + grow radii
+    * ([[IvfIndex.upsert]]), then encode them against the FROZEN
+    * codebooks and append the codes to the same cell partitions. Both
+    * bounds keep their contracts unconditionally (radius coverage;
+    * residuals priced against the codebook actually stored), so the
+    * upsert is result-invisible — q109's oracle-gated property. The
+    * assignment is computed once more for the codes row (one broadcast
+    * cross-join over the batch — cheaper than rereading the appended
+    * cells), deterministic, so the two appends agree.
+    */
+  def upsert(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      newRows: DataFrame,
+      params: Params = Params()): Unit = {
+    IvfIndex.upsert(spark, indexPath, idCol, embCol, newRows)
+    val cellMeta = spark.read.parquet(s"$indexPath/cells_meta")
+    val assignment = IvfIndex.assignNew(
+        cellMeta, cellMeta.count().toInt.max(1), idCol, embCol, newRows)
+      .select(col(idCol), col("centroid_id"))
+    PqIndex.encode(newRows, idCol, embCol,
+        PqIndex.codebooksDf(spark, indexPath), params.pq)
+      .join(assignment, idCol)
+      .transform(graft.util.PartitionedWrite.spread(
+        _, params.ivf.nCentroids, col("centroid_id"), col(idCol)))
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(s"$indexPath/cell_codes")
+  }
+
+  /** Compact cells and cell_codes off the query path (partition
+    * layouts preserved, pruning unaffected).
+    */
+  def compactIndex(spark: SparkSession, indexPath: String): Seq[graft.util.Compaction.Report] =
+    Seq(
+      graft.util.Compaction.compact(spark, s"$indexPath/cells", Seq("centroid_id")),
+      graft.util.Compaction.compact(spark, s"$indexPath/cell_codes", Seq("centroid_id")))
+
   /** Batch top-k, exact by the stacked bounds. Output:
     * (queryIdCol, idCol, sim, rn) — the shared retrieval shape.
     */

@@ -28,6 +28,28 @@ class IvfPqSpec extends AnyFunSuite with SharedSpark {
     assert(topkSet(got) == topkSet(exact))
   }
 
+  test("upsert: cell + frozen-codebook code appends stay exact; compaction invisible") {
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    val dir = tmp("upsert")
+    val params = IvfPq.Params(ivf = IvfIndex.Params(nCentroids = 8))
+    IvfPq.build(e.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+      "vec_id", "embedding", dir, params)
+    IvfPq.upsert(spark, dir, "vec_id", "embedding",
+      e.filter(pmod(col("vec_id"), lit(10)) === 0), params)
+    assert(spark.read.parquet(s"$dir/cell_codes").count() == e.count())
+
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def answer() = topkSet(IvfPq.queryTopK(spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 5, threshold = 0.0, 1, params))
+    val exact = topkSet(SimilaritySearch.topKBatch(
+      e, "embedding", "vec_id", queries, "query_id", "qvec", k = 5, threshold = 0.0))
+    assert(answer() == exact)
+    val reports = IvfPq.compactIndex(spark, dir)
+    assert(reports.forall(r => r.filesAfter <= r.filesBefore))
+    assert(answer() == exact, "compaction changed composed-index answers")
+  }
+
   test("clustered corpus: exact answer, cells pruned AND fetches pruned") {
     import spark.implicits._
     // 4 orthogonal clusters, each a dense CORE (30%) plus a diffuse
