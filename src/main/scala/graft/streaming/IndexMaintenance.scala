@@ -145,11 +145,54 @@ object IndexMaintenance {
     }
   }
 
-  /** Continuous PQ-index maintenance — all four index families
-    * (near-dup LSH, IVF, lexical, PQ) now have the symmetric
-    * build/upsert/stream/compact story. Same at-least-once caveat as
-    * [[applyBatch]]; run [[graft.query.PqIndex.compactIndex]] off the
+  /** The composed IVF+PQ twin of [[applyBatch]]: one micro-batch folds
+    * into cells + radii + frozen-codebook cell codes
+    * ([[graft.query.IvfPq.upsert]]) behind the shared replay fence —
+    * q109's result-invisibility contract per batch, hence under any
+    * batch sequence. @return true iff the batch was applied.
+    */
+  def applyIvfPqBatch(
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      batch: DataFrame,
+      batchId: Long,
+      params: graft.query.IvfPq.Params = graft.query.IvfPq.Params()): Boolean = {
+    val spark = batch.sparkSession
+    if (batchId <= lastApplied(spark, indexPath) || batch.isEmpty) false
+    else {
+      graft.query.IvfPq.upsert(spark, indexPath, idCol, embCol, batch, params)
+      writeFence(spark, indexPath, batchId)
+      true
+    }
+  }
+
+  /** Continuous composed-index maintenance. Same at-least-once caveat
+    * as [[applyBatch]]; run [[graft.query.IvfPq.compactIndex]] off the
     * query path at compaction cadence.
+    */
+  def maintainIvfPq(
+      vectors: DataFrame,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      checkpointDir: String,
+      params: graft.query.IvfPq.Params = graft.query.IvfPq.Params()): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.ProcessingTime(0L))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIvfPqBatch(indexPath, idCol, embCol, batch, batchId, params); ()
+      }
+      .start()
+
+  /** Continuous PQ-index maintenance — every index family
+    * (near-dup LSH, IVF, lexical, PQ, composed IVF+PQ) has the
+    * symmetric build/upsert/stream/compact story. Same at-least-once
+    * caveat as [[applyBatch]]; run
+    * [[graft.query.PqIndex.compactIndex]] off the query path at
+    * compaction cadence.
     */
   def maintainPq(
       vectors: DataFrame,

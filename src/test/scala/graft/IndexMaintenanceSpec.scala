@@ -159,6 +159,50 @@ class IndexMaintenanceSpec extends AnyFunSuite with SharedSpark {
     assert(spark.read.parquet(s"$dir/codes").count() == before)
   }
 
+  test("streamed composed IVF+PQ upserts stay exact; replays fenced") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivfpq-ckpt").toString
+    val params = graft.query.IvfPq.Params(
+      ivf = IvfIndex.Params(nCentroids = 8))
+    graft.query.IvfPq.build(e.filter(pmod(col("vec_id"), lit(10)) < 7),
+      "vec_id", "embedding", dir, params)
+    val arrivals = e.filter(pmod(col("vec_id"), lit(10)) >= 7)
+      .as[(Long, Array[Float])].collect().toSeq
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = IndexMaintenance.maintainIvfPq(
+      input.toDS().toDF("vec_id", "embedding"), dir, "vec_id", "embedding",
+      ckpt, params)
+    try {
+      val (b1, b2) = arrivals.splitAt(arrivals.size / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    assert(spark.read.parquet(s"$dir/cell_codes").count() == e.count())
+    assert(IndexMaintenance.lastApplied(spark, dir) >= 1L)
+
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val got = topkSet(graft.query.IvfPq.queryTopK(spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 5, threshold = 0.0, 1, params))
+    val exact = topkSet(SimilaritySearch.topKBatch(
+      e, "embedding", "vec_id", queries, "query_id", "qvec", k = 5, threshold = 0.0))
+    assert(got == exact)
+
+    // crash-replay of an applied batch id must be a fenced no-op
+    val before = spark.read.parquet(s"$dir/cell_codes").count()
+    val lastId = IndexMaintenance.lastApplied(spark, dir)
+    assert(!IndexMaintenance.applyIvfPqBatch(
+      dir, "vec_id", "embedding", arrivals.toDF("vec_id", "embedding"), lastId, params))
+    assert(spark.read.parquet(s"$dir/cell_codes").count() == before)
+  }
+
   test("maintainIvf with a split cap keeps occupancy bounded under ingest") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
