@@ -224,6 +224,26 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** Q110: GROUP-CAPPED retrieval — the q9 batch with a diversity
+    * constraint: at most 2 hits per label per query, then the global
+    * top-5 over the survivors
+    * ([[graft.query.SimilaritySearch.cappedTopKBatch]] —
+    * cap-then-rank, both stages answer-sized `topk_by` aggregates).
+    * The search-diversification shape (cap by source/domain/cluster)
+    * every retrieval service ends up needing; oracle states the same
+    * two nested rankings.
+    */
+  def q110CappedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    SimilaritySearch.cappedTopKBatch(
+        e.select("vec_id", "embedding"), "embedding", "vec_id",
+        e.select("vec_id", "label"), "label",
+        queryBatch(e), "query_id", "qvec",
+        k = 5, perGroupCap = 2, threshold = 0.0)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Q97/Q100 via the maintained curation-signal store (cluster labels
     * + frozen-LM scores persisted once, read per query — see
     * [[graft.pipeline.CurationStore]]): same outputs and oracles as
@@ -717,6 +737,7 @@ object Queries {
     "q107_ivfpq_topk" -> (q107IvfPqTopK _),
     "q108_filtered_topk" -> (q108FilteredTopK _),
     "q109_ivfpq_upsert" -> (q109IvfPqUpsert _),
+    "q110_capped_topk" -> (q110CappedTopK _),
     "q103_retrieval_eval" -> (q103RetrievalEval _),
     "q104_drift_monitor" -> (q104DriftMonitor _))
 
@@ -896,6 +917,27 @@ object Queries {
     // q109 queries the upsert-maintained composed index — same exact
     // oracle; maintenance must be invisible to results
     "q109_ivfpq_upsert" -> cosineTopKOracle,
+    // q110: cap-then-rank — at most 2 hits per label per query before
+    // the global top-5, both rankings (sim desc, id asc)
+    "q110_capped_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id, e.label,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+        |  FROM embeddings e CROSS JOIN q),
+        |capped AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id, label
+        |                       ORDER BY sim DESC, vec_id) AS rn_g
+        |  FROM s WHERE sim > 0.0),
+        |r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        |  FROM capped WHERE rn_g <= 2)
+        |SELECT query_id, vec_id, round(sim, 6) AS sim, rn
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
     // q108: the same ranking restricted to label-mates — the filter is
     // an equijoin in both engines
     "q108_filtered_topk" ->

@@ -65,6 +65,47 @@ object SimilaritySearch {
       .filter(col("sim") > threshold)
       .transform(topKExplode(_, queryIdCol, idCol, "sim", k))
 
+  /** GROUP-CAPPED batch top-k — retrieval with a diversity
+    * constraint: per query, keep at most `perGroupCap` hits from any
+    * one group (source, domain, near-dup cluster...), then the global
+    * top-k over the survivors. Cap-then-rank, not rank-then-cap: a
+    * group's third-best hit never displaces another group's first,
+    * which is the search-diversification contract (and what a
+    * rank-then-drop would violate).
+    *
+    * Both stages are [[graft.functions.TopKByScore]] aggregates, so
+    * the shuffles are answer-sized twice over: stage 1 caps each
+    * (query, group) at `perGroupCap` entries with map-side partials,
+    * stage 2 reduces those to k per query. No window ever sees the
+    * candidate volume.
+    *
+    * @param groups (idCol, groupCol) — group assignment of the corpus
+    * @return (queryIdCol, idCol, sim, rn), rn 1..k by (sim desc, id
+    *         asc) over the cap survivors
+    */
+  def cappedTopKBatch(
+      index: DataFrame,
+      embeddingCol: String,
+      idCol: String,
+      groups: DataFrame,
+      groupCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      perGroupCap: Int,
+      threshold: Double): DataFrame =
+    index.join(groups.select(col(idCol), col(groupCol)), idCol)
+      .crossJoin(broadcast(queries))
+      .withColumn("sim", cosine_sim(col(embeddingCol), col(queryVecCol)))
+      .filter(col("sim") > threshold)
+      .groupBy(col(queryIdCol), col(groupCol))
+      .agg(topk_by(col(idCol), col("sim"), lit(perGroupCap)).as("__g"))
+      .select(col(queryIdCol), explode(col("__g")).as("__e"))
+      .select(col(queryIdCol),
+        col("__e.id").as(idCol), col("__e.score").as("sim"))
+      .transform(topKExplode(_, queryIdCol, idCol, "sim", k))
+
   /** Shared (group, score)-top-k tail: aggregate to per-group
     * `array<struct<id, score>>`, explode back to ranked rows
     * (groupCol, idAlias, scoreAlias, rn) with rn 1..k by (score desc,
