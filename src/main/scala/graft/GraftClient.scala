@@ -102,6 +102,64 @@ final class GraftClient(
       spark.read.parquet(indexPath), "embedding", queryVec, count, threshold)
       .select(col("content"), col("metadata"), col("sim"))
 
+  /** Build the SCALE PATH for [[query]] over a written document index:
+    * a persisted IVF index over the chunk embeddings (exact retrieval
+    * by the cell-radius bound — see [[graft.query.IvfIndex]]) plus an
+    * id-hash-partitioned payload table for the content/metadata fetch.
+    * Row ids are assigned by the distributed prefix-sum harness over
+    * the deterministic (doc_id, chunk_id, piece_id) export order — no
+    * global window, rebuild-stable. Build once; [[queryIndexed]] then
+    * serves the reference's query semantics without ever scanning the
+    * full index.
+    */
+  def buildQueryIndex(indexPath: String, annPath: String): Unit = {
+    val idx = spark.read.parquet(indexPath)
+    val withId = graft.pipeline.ScalableWindow.globalRunningSum(
+        idx.withColumn("__one", lit(1L)), "__one", "row_id",
+        col("doc_id").asc, col("chunk_id").asc, col("piece_id").asc)
+      .select(col("row_id"), col("content"), col("metadata"), col("embedding"))
+    graft.query.IvfIndex.build(withId, "row_id", "embedding", s"$annPath/ivf")
+    withId.select("row_id", "content", "metadata")
+      .withColumn("__rbucket", pmod(hash(col("row_id")), lit(64)))
+      .transform(graft.util.PartitionedWrite.spread(
+        _, 64, col("__rbucket"), col("row_id")))
+      .write.mode("overwrite").partitionBy("__rbucket")
+      .parquet(s"$annPath/payload")
+  }
+
+  /** [[query]] routed through the [[buildQueryIndex]] artifacts: same
+    * semantics (threshold + top-k by exact cosine, descending), but
+    * the scan reads only bound-surviving IVF cell directories and the
+    * payload fetch reads only the k hit rows' partition directories —
+    * the production shape at corpus scale, result-identical to the
+    * full-scan [[query]] by the IVF exactness contract (spec-pinned).
+    */
+  def queryIndexed(
+      annPath: String,
+      queryVec: Array[Float],
+      threshold: Double,
+      count: Int): DataFrame = {
+    import spark.implicits._
+    val q = Seq((0L, queryVec)).toDF("query_id", "qvec")
+    val hits = graft.query.IvfIndex.queryTopK(spark, s"$annPath/ivf",
+        "row_id", "embedding", q, "query_id", "qvec", count, threshold)
+      .select(col("row_id"), col("sim"), col("rn"))
+      .localCheckpoint()
+    // ≤ count rows by construction: collect ids, prune the payload read
+    // to their partition directories (bucket = the same hash the write
+    // used, computed over the tiny id list)
+    val ids = hits.select("row_id").collect().map(_.getLong(0)).toSeq
+    val buckets = ids.toDF("row_id")
+      .select(pmod(hash(col("row_id")), lit(64)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val payload = spark.read.parquet(s"$annPath/payload")
+      .filter(col("__rbucket").isin(buckets: _*))
+      .filter(col("row_id").isin(ids: _*))
+    hits.join(payload, "row_id")
+      .orderBy(col("rn").asc)
+      .select(col("content"), col("metadata"), col("sim"))
+  }
+
   /** [[query]] projected to the reference's columnar result shape
     * (parallel index-aligned arrays, vector-client.ts:411-414).
     */

@@ -70,8 +70,18 @@ object IvfIndex {
     val prep = AnnIndex.prepared(df, idCol, embCol)
       .repartition(BuildPartitions, col(idCol))
       .sortWithinPartitions(idCol)
+      .persist()
+    // MLlib KMeans requires 2 <= k <= n (random init samples centers
+    // WITHOUT replacement): clamp so small corpora — a client's first
+    // tiny ingest, a cold-start admission batch — build instead of
+    // crashing in the aggregator. Fewer cells than asked only means
+    // coarser pruning; the query bound stays exact.
+    val n = prep.count()
+    require(n >= 2,
+      s"IvfIndex.build: need at least 2 vectors to build an index (got $n) " +
+        "— brute-force SimilaritySearch serves degenerate corpora")
     val model = new KMeans()
-      .setK(params.nCentroids)
+      .setK(math.max(2L, math.min(params.nCentroids.toLong, n)).toInt)
       .setMaxIter(params.maxIter)
       .setSeed(params.seed)
       // seeded random init: k-means|| costs several extra distributed
@@ -110,7 +120,7 @@ object IvfIndex {
         .join(broadcast(centersOf(df.sparkSession, model)), "centroid_id")
         .select(col("centroid_id"), col("center"), col("radius"))
         .write.mode("overwrite").parquet(s"$outPath/cells_meta")
-    } finally assigned.unpersist()
+    } finally { assigned.unpersist(); prep.unpersist(); () }
     model
   }
 

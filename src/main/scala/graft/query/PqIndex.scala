@@ -215,6 +215,13 @@ object PqIndex {
       .sortWithinPartitions(idCol, "sub")
       .persist()
     try {
+      // MlLib KMeans needs 2 <= k <= n (see IvfIndex.build): clamp so
+      // tiny fit inputs produce coarser codebooks instead of crashing —
+      // residuals grow, answers don't move
+      val nFit = subRows.count() / params.numSub
+      require(nFit >= 2,
+        s"PqIndex: need at least 2 vectors to fit codebooks (got $nFit)")
+      val kEff = math.max(2L, math.min(params.codebookSize.toLong, nFit)).toInt
       // the numSub fits are independent — submit them as concurrent
       // Spark jobs (each fit's input and seed are fixed, so scheduling
       // order cannot move a codebook); sequentially this is
@@ -225,7 +232,7 @@ object PqIndex {
       val codebooks: Seq[(Int, Seq[Seq[Float]])] = Await.result(
         Future.sequence((0 until params.numSub).map { m => Future {
           val model = new KMeans()
-            .setK(params.codebookSize)
+            .setK(kEff)
             .setMaxIter(params.maxIter)
             .setSeed(params.seed + m)
             .setInitMode("random") // the IvfIndex rationale: codebooks

@@ -73,10 +73,13 @@ object StreamingSemanticDedup {
     // inclusive (≥): nextDown makes `> nextDown(τ)` ⟺ `≥ τ` in
     // doubles. k=2 so a replayed vector's own indexed copy (sim 1.0)
     // cannot evict the true best admitted match before the id filter.
+    // Before the index exists (KMeans needs ≥ 2 rows), the admitted-
+    // so-far corpus is the tiny `seed/` stash — probed by a broadcast
+    // exact join; the seed holds at most one row by the build-as-soon-
+    // as-two invariant below.
+    val seedPath = s"$workDir/seed"
     val cm: DataFrame =
-      if (!exists(spark, idx))
-        spark.emptyDataset[(Long, Long, Double)].toDF("doc_id", "cm_dup", "cm_score")
-      else
+      if (exists(spark, idx))
         IvfIndex.queryTopK(spark, idx, "vec_id", "embedding",
             vecs.select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
             "query_id", "qvec", k = 2, threshold = Math.nextDown(tau))
@@ -85,6 +88,19 @@ object StreamingSemanticDedup {
           .agg(
             max_by(col("vec_id"), struct(col("sim"), -col("vec_id"))).as("cm_dup"),
             max(struct(col("sim"), -col("vec_id"))).getField("sim").as("cm_score"))
+      else if (exists(spark, seedPath))
+        vecs.select(col("vec_id").as("doc_id"), col("embedding").as("__qe"))
+          .crossJoin(broadcast(spark.read.parquet(seedPath)
+            .select(col("vec_id").as("__sid"), col("embedding").as("__se"))))
+          .filter(col("__sid") < col("doc_id"))
+          .withColumn("__s", graft.functions.cosine_sim(col("__qe"), col("__se")))
+          .filter(col("__s") >= tau)
+          .groupBy(col("doc_id"))
+          .agg(
+            max_by(col("__sid"), struct(col("__s"), -col("__sid"))).as("cm_dup"),
+            max(struct(col("__s"), -col("__sid"))).getField("__s").as("cm_score"))
+      else
+        spark.emptyDataset[(Long, Long, Double)].toDF("doc_id", "cm_dup", "cm_score")
 
     // verified in-batch τ-pairs: exact all-pairs over the micro-batch
     val pairs = vecs.select(col("vec_id").as("d1"), col("embedding").as("e1"))
@@ -111,24 +127,33 @@ object StreamingSemanticDedup {
     val verdicts = greedy.unionByName(cmOnly).unionByName(freePass)
       .localCheckpoint()
 
-    // fold the admitted into the index: first batch builds (KMeans
-    // random init samples with replacement, so any admitted count ≥ 1
-    // builds), later batches append; optional split keeps occupancy
-    // bounded under continuous admission (the IndexMaintenance loop)
+    // fold the admitted into the index; before the index exists the
+    // admitted-so-far set stashes in `seed/` until it reaches the two
+    // rows a KMeans build needs (a cold start whose first batch admits
+    // a single vector), then builds and drops the seed. Optional split
+    // keeps occupancy bounded under continuous admission.
     val admitted = vecs.join(
       verdicts.filter(col("admitted")).select(col("doc_id").as("vec_id")), "vec_id")
     if (!admitted.isEmpty) {
-      if (!exists(spark, idx)) {
-        val n = admitted.count()
-        IvfIndex.build(admitted, "vec_id", "embedding", idx,
-          IvfIndex.Params(nCentroids = math.min(16L, math.max(2L, n)).toInt))
-      } else {
+      if (exists(spark, idx)) {
         IvfIndex.upsert(spark, idx, "vec_id", "embedding", admitted)
         splitCap.foreach { cap =>
           var r = IvfIndex.splitHotCells(spark, idx, "vec_id", "embedding", cap)
           while (r.split.nonEmpty)
             r = IvfIndex.splitHotCells(spark, idx, "vec_id", "embedding", cap)
         }
+      } else {
+        val total = (if (exists(spark, seedPath))
+          spark.read.parquet(seedPath).unionByName(admitted)
+        else admitted).localCheckpoint()
+        val n = total.count()
+        if (n >= 2) {
+          IvfIndex.build(total, "vec_id", "embedding", idx,
+            IvfIndex.Params(nCentroids = math.min(16L, n).toInt))
+          val p = new org.apache.hadoop.fs.Path(seedPath)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+          ()
+        } else total.write.mode("overwrite").parquet(seedPath)
       }
     }
     verdicts

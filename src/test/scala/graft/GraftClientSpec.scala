@@ -44,6 +44,26 @@ class GraftClientSpec extends AnyFunSuite with SharedSpark {
     assert(emb.context.head.contains("Call ingest then query"))
   }
 
+  test("indexed query equals the full-scan query (the scale path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-client-ann").toString
+    val client = new GraftClient(spark,
+      GraftClient.Config(chunkSize = 200, chunkOverlap = 40, embedDim = 64))
+    client.ingest(mdxDocs.toDF("doc_id", "mdx"), "doc_id", "mdx", s"$dir/index")
+    client.buildQueryIndex(s"$dir/index", s"$dir/ann")
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("content", "sim").collect()
+        .map(r => (r.getString(0), math.rint(r.getDouble(1) * 1e9))).toSeq
+    for (probe <- Seq(
+        "HEADER: Usage | CONTENT: Call ingest then query with an embedded question string.",
+        "HEADER: Tuning | CONTENT: Broadcast small tables and let AQE handle skewed joins.")) {
+      val qvec = client.embedText(probe)
+      val scan = rows(client.query(s"$dir/index", qvec, threshold = 0.0, count = 3))
+      val indexed = rows(client.queryIndexed(s"$dir/ann", qvec, threshold = 0.0, count = 3))
+      assert(indexed == scan, s"indexed query diverged for probe: $probe")
+    }
+  }
+
   test("answer fills a caller-supplied template") {
     val dir = java.nio.file.Files.createTempDirectory("graft-client-tpl").toString
     val client = new GraftClient(spark,

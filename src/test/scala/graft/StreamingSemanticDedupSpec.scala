@@ -98,6 +98,30 @@ class StreamingSemanticDedupSpec extends AnyFunSuite with SharedSpark {
     assert(got(3L) == ((true, None)))
   }
 
+  test("cold start with a single-vector first batch seeds, then builds") {
+    import spark.implicits._
+    def unit(dim: Int): Array[Float] =
+      Array.tabulate(8)(d => if (d == dim) 1.0f else 0.0f)
+    val dir = tempDir("coldstart")
+    // batch 1: one vector — below the KMeans minimum, must stash
+    val v1 = collectVerdicts(StreamingSemanticDedup.admissionStep(
+      Seq((1L, unit(0))).toDF("vec_id", "embedding"), dir, tau = 0.9))
+    assert(v1 == Map(1L -> ((true, None))))
+    // batch 2: a copy of it (must be REJECTED against the seed) plus
+    // two distinct vectors — enough to build the index
+    val v2 = collectVerdicts(StreamingSemanticDedup.admissionStep(
+      Seq((2L, unit(0)), (3L, unit(2)), (4L, unit(4)))
+        .toDF("vec_id", "embedding"), dir, tau = 0.9))
+    assert(v2 == Map(
+      2L -> ((false, Some(1L))), 3L -> ((true, None)), 4L -> ((true, None))))
+    // batch 3 probes the built index
+    val v3 = collectVerdicts(StreamingSemanticDedup.admissionStep(
+      Seq((5L, unit(2)), (6L, unit(6))).toDF("vec_id", "embedding"), dir, tau = 0.9))
+    assert(v3 == Map(5L -> ((false, Some(3L))), 6L -> ((true, None))))
+    assert(spark.read.parquet(s"$dir/ivf/cells")
+      .select("vec_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L, 6L))
+  }
+
   test("start() wires the fence; split cap bounds admitted-index cells") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
