@@ -245,6 +245,40 @@ object IvfIndex {
   def compactIndex(spark: SparkSession, indexPath: String): graft.util.Compaction.Report =
     graft.util.Compaction.compact(spark, s"$indexPath/cells", Seq("centroid_id"))
 
+  /** Maintenance diagnostics: one row per cell — (centroid_id,
+    * occupancy, radius, n_files) — the inputs to the operational
+    * split / compact / re-cluster decisions ([[splitHotCells]] when
+    * occupancy outgrows the cap, [[compactIndex]] when per-batch
+    * appends fragment a directory, full [[build]] when radii say the
+    * layout has drifted). One partial-aggregating scan of the
+    * partition column plus a driver-side listing of the ≤ nCells
+    * directories (query compilation scale, not data movement).
+    */
+  def stats(spark: SparkSession, indexPath: String): DataFrame = {
+    import spark.implicits._
+    val occ = spark.read.parquet(s"$indexPath/cells")
+      .groupBy(col("centroid_id").cast("long").as("centroid_id"))
+      .agg(count(lit(1)).as("occupancy"))
+    val root = new org.apache.hadoop.fs.Path(s"$indexPath/cells")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val files = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+      .map { s =>
+        val id = s.getPath.getName.stripPrefix("centroid_id=").toLong
+        val n = fs.listStatus(s.getPath).count(f => f.isFile &&
+          !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
+        (id, n.toLong)
+      }.toDF("centroid_id", "n_files")
+    spark.read.parquet(s"$indexPath/cells_meta")
+      .select(col("centroid_id").cast("long").as("centroid_id"), col("radius"))
+      .join(occ, Seq("centroid_id"), "left")
+      .join(broadcast(files), Seq("centroid_id"), "left")
+      .select(col("centroid_id"),
+        coalesce(col("occupancy"), lit(0L)).as("occupancy"),
+        col("radius"),
+        coalesce(col("n_files"), lit(0L)).as("n_files"))
+  }
+
   /** Outcome of a [[splitHotCells]] pass: which cells were split (each
     * into two), and which over-cap cells were left whole because every
     * member is identical (zero variance on every dimension — nothing

@@ -175,6 +175,32 @@ class IvfSplitSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("stats reports occupancy/radius/files through the maintenance cycle") {
+    val e = clustered(120L)
+    val dir = tmp("stats")
+    IvfIndex.build(e.filter(col("vec_id") < 100), "vec_id", "embedding", dir,
+      IvfIndex.Params(nCentroids = 4))
+    def stat() = IvfIndex.stats(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    val s0 = stat()
+    assert(s0.values.map(_._1).sum == 100L)
+    assert(s0.values.forall(v => v._2 >= 0.0 && v._3 >= 1L))
+
+    IvfIndex.upsert(spark, dir, "vec_id", "embedding",
+      e.filter(col("vec_id") >= 100))
+    val s1 = stat()
+    assert(s1.values.map(_._1).sum == 120L)
+    // appends fragment: some touched cell gained files
+    assert(s1.values.map(_._3).sum > s0.values.map(_._3).sum)
+
+    IvfIndex.compactIndex(spark, dir)
+    val s2 = stat()
+    assert(s2.values.map(_._1).sum == 120L)
+    assert(s2.values.map(_._3).sum < s1.values.map(_._3).sum,
+      "compaction did not shrink the per-cell file counts")
+  }
+
   test("a no-hot-cells pass is a cheap no-op") {
     val e = clustered(80L)
     val dir = tmp("noop")
