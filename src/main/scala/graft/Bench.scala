@@ -35,9 +35,17 @@ object Bench {
   private val builders = Map(
     "q15_minhash_neardup" -> "pair_cache",
     "q38_ann_index_topk" -> "lsh_index",
-    // the shared "ivf" index is built by whichever of q108/q38-family
-    // runs first in the alphabetical sweep — q108 since round 11
+    // the shared "ivf" index is built by whichever of its users runs
+    // FIRST in the sweep (q108 in a full alphabetical run; any one of
+    // them in a SPARK_GRAFT_ONLY subset) — every sharer carries the
+    // builder tag and the recording below is first-wins, so the cold
+    // build is priced once wherever it actually happens and later
+    // sharers just burn one warm excluded run
     "q108_filtered_topk" -> "ivf_index",
+    "q39_ivf_topk" -> "ivf_index",
+    "q77_knn_graph" -> "ivf_index",
+    "q82_contrastive_pairs" -> "ivf_index",
+    "q88_pagerank" -> "ivf_index",
     "q51_bucketed_join" -> "bucketed_tables",
     "q73_lexical_index_topk" -> "lexical_index",
     "q105_pq_topk" -> "pq_index",
@@ -209,7 +217,13 @@ object Bench {
             probeMids += math.min(calibrationProbeOnce(spark),
               calibrationProbeOnce(spark))
           }
-          builders.get(name).foreach(b => builds += b -> once())
+          builders.get(name).foreach { b =>
+            // first-wins: the first sharer of a work dir records the
+            // actual cold build; later sharers' excluded runs are warm
+            // and must not overwrite it
+            val t = once()
+            if (!builds.contains(b)) builds += b -> t
+          }
           val times = scala.collection.mutable.ArrayBuffer(once(), once())
           def min = times.min
           val over3x = baseline.get(name).exists(b => min > 3 * b)

@@ -245,6 +245,24 @@ object IvfIndex {
   def compactIndex(spark: SparkSession, indexPath: String): graft.util.Compaction.Report =
     graft.util.Compaction.compact(spark, s"$indexPath/cells", Seq("centroid_id"))
 
+  /** [[splitHotCells]] looped to convergence: a mean-threshold split
+    * is not guaranteed balanced, so one pass can leave a side
+    * over-cap; each pass strictly shrinks every split cell (both
+    * sides non-empty), so the loop terminates at "every cell ≤ cap or
+    * all-identical (degenerate, reported and exempt)". The shared
+    * occupancy-repair step of the maintenance faces.
+    */
+  def splitToConvergence(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      occupancyCap: Long): Unit = {
+    var r = splitHotCells(spark, indexPath, idCol, embCol, occupancyCap)
+    while (r.split.nonEmpty)
+      r = splitHotCells(spark, indexPath, idCol, embCol, occupancyCap)
+  }
+
   /** Maintenance diagnostics: one row per cell — (centroid_id,
     * occupancy, radius, n_files) — the inputs to the operational
     * split / compact / re-cluster decisions ([[splitHotCells]] when
@@ -334,6 +352,16 @@ object IvfIndex {
       embCol: String,
       occupancyCap: Long): SplitReport = {
     val Micro = 1e6
+    // a COMPOSED index ([[IvfPq]]) keeps a cell_codes table keyed by
+    // the same cell ids: splitting cells under it would silently
+    // desynchronize the code partitions and drop true neighbors from
+    // the stacked-bound scan — fail loudly instead
+    val codesPath = new org.apache.hadoop.fs.Path(s"$indexPath/cell_codes")
+    require(!codesPath.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(codesPath),
+      "IvfIndex.splitHotCells: this index carries a cell_codes table " +
+        "(a composed IvfPq index) — splitting would desynchronize the " +
+        "codes from their cells; rebuild the composed index instead")
     // one partial-aggregating scan of (partition col) to find hot
     // cells; ≤ nCentroids ids reach the driver (the probe-pruning
     // collect pattern)

@@ -89,14 +89,17 @@ object IvfPq {
       params: Params = Params()): Unit = {
     IvfIndex.upsert(spark, indexPath, idCol, embCol, newRows)
     val cellMeta = spark.read.parquet(s"$indexPath/cells_meta")
-    val assignment = IvfIndex.assignNew(
-        cellMeta, cellMeta.count().toInt.max(1), idCol, embCol, newRows)
+    val nCells = cellMeta.count().toInt.max(1)
+    val assignment = IvfIndex.assignNew(cellMeta, nCells, idCol, embCol, newRows)
       .select(col(idCol), col("centroid_id"))
     PqIndex.encode(newRows, idCol, embCol,
         PqIndex.codebooksDf(spark, indexPath), params.pq)
       .join(assignment, idCol)
+      // spread by the LIVE cell count (read above), not the params'
+      // nominal nCentroids — the caller's params need not match the
+      // build and the count is already on hand
       .transform(graft.util.PartitionedWrite.spread(
-        _, params.ivf.nCentroids, col("centroid_id"), col(idCol)))
+        _, nCells, col("centroid_id"), col(idCol)))
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$indexPath/cell_codes")
   }

@@ -78,21 +78,12 @@ object IndexMaintenance {
     if (batchId <= lastApplied(spark, indexPath) || batch.isEmpty) false
     else {
       IvfIndex.upsert(spark, indexPath, idCol, embCol, batch)
-      // optional in-line occupancy repair: appends that push a cell
-      // over the cap trigger hot-cell splits before the fence is
-      // written, LOOPED to convergence — a mean-threshold split is not
-      // guaranteed balanced, so one pass can leave a side over-cap;
-      // each pass strictly shrinks every split cell (both sides
-      // non-empty), so the loop terminates at "every cell ≤ cap or
-      // all-identical (degenerate, reported and exempt)".
-      // Result-invisible (the radius-coverage contract), and
-      // replay-safe on its own terms: re-splitting an already-split
-      // index finds no hot cells and no-ops.
-      splitCap.foreach { cap =>
-        var r = IvfIndex.splitHotCells(spark, indexPath, idCol, embCol, cap)
-        while (r.split.nonEmpty)
-          r = IvfIndex.splitHotCells(spark, indexPath, idCol, embCol, cap)
-      }
+      // optional in-line occupancy repair before the fence is written:
+      // result-invisible (the radius-coverage contract), and
+      // replay-safe on its own terms — re-splitting an already-split
+      // index finds no hot cells and no-ops
+      splitCap.foreach(cap =>
+        IvfIndex.splitToConvergence(spark, indexPath, idCol, embCol, cap))
       writeFence(spark, indexPath, batchId)
       true
     }

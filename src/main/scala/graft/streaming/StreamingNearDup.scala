@@ -226,9 +226,7 @@ object StreamingNearDup {
         if (batchId > IndexMaintenance.lastApplied(spark, workDir) && !batch.isEmpty) {
           admissionStep(batch, workDir, threshold)
             .write.mode("append").parquet(s"$workDir/verdicts")
-          import spark.implicits._
-          Seq(batchId).toDF("applied_batch_id")
-            .write.mode("overwrite").parquet(s"$workDir/applied_batch")
+          IndexMaintenance.writeFence(spark, workDir, batchId)
         }
         ()
       }

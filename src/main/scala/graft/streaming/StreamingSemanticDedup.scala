@@ -71,18 +71,26 @@ object StreamingSemanticDedup {
     // best admitted τ-neighbor per arriving vector, exact via the IVF
     // bound. queryTopK's threshold is strict (>), SemDeDup's τ-rule is
     // inclusive (≥): nextDown makes `> nextDown(τ)` ⟺ `≥ τ` in
-    // doubles. k=2 so a replayed vector's own indexed copy (sim 1.0)
-    // cannot evict the true best admitted match before the id filter.
+    // doubles. k = batch+1, NOT a small constant: on crash replay
+    // inside the fence window the index already holds copies of this
+    // batch's admitted rows, and up to batch-many of them can outrank
+    // a query's true earlier admitted match — a k=2 probe would
+    // truncate that match away BEFORE the id filter below removes the
+    // replayed copies, flipping a rejection into a wrong admit. With
+    // k = batch+1 the best legitimate match always survives (at most
+    // batch poison rows can outrank it). The per-query top-k heap is
+    // batch-sized, which the micro-batch contract bounds.
     // Before the index exists (KMeans needs ≥ 2 rows), the admitted-
     // so-far corpus is the tiny `seed/` stash — probed by a broadcast
     // exact join; the seed holds at most one row by the build-as-soon-
     // as-two invariant below.
     val seedPath = s"$workDir/seed"
+    val batchK = (vecs.count() + 1).min(Int.MaxValue - 1).toInt
     val cm: DataFrame =
       if (exists(spark, idx))
         IvfIndex.queryTopK(spark, idx, "vec_id", "embedding",
             vecs.select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
-            "query_id", "qvec", k = 2, threshold = Math.nextDown(tau))
+            "query_id", "qvec", k = batchK, threshold = Math.nextDown(tau))
           .filter(col("vec_id") < col("query_id"))
           .groupBy(col("query_id").as("doc_id"))
           .agg(
@@ -137,11 +145,8 @@ object StreamingSemanticDedup {
     if (!admitted.isEmpty) {
       if (exists(spark, idx)) {
         IvfIndex.upsert(spark, idx, "vec_id", "embedding", admitted)
-        splitCap.foreach { cap =>
-          var r = IvfIndex.splitHotCells(spark, idx, "vec_id", "embedding", cap)
-          while (r.split.nonEmpty)
-            r = IvfIndex.splitHotCells(spark, idx, "vec_id", "embedding", cap)
-        }
+        splitCap.foreach(cap =>
+          IvfIndex.splitToConvergence(spark, idx, "vec_id", "embedding", cap))
       } else {
         val total = (if (exists(spark, seedPath))
           spark.read.parquet(seedPath).unionByName(admitted)
@@ -180,9 +185,7 @@ object StreamingSemanticDedup {
         if (batchId > IndexMaintenance.lastApplied(spark, workDir) && !batch.isEmpty) {
           admissionStep(batch, workDir, tau, splitCap)
             .write.mode("append").parquet(s"$workDir/verdicts")
-          import spark.implicits._
-          Seq(batchId).toDF("applied_batch_id")
-            .write.mode("overwrite").parquet(s"$workDir/applied_batch")
+          IndexMaintenance.writeFence(spark, workDir, batchId)
         }
         ()
       }

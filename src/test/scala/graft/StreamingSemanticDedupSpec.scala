@@ -98,6 +98,46 @@ class StreamingSemanticDedupSpec extends AnyFunSuite with SharedSpark {
     assert(got(3L) == ((true, None)))
   }
 
+  test("crash replay: same-batch poison rows cannot flip a rejection into an admit") {
+    import spark.implicits._
+    // τ = 0.9. Corpus: w=5 on e1 (plus a filler so the index builds).
+    // Batch: v (24° from w: sim 0.914 ≥ τ — must be REJECTED as dup
+    // of 5), u (20° from v in-plane: 0.940 to v, 0.719 to w), x (20°
+    // from v out-of-plane: 0.940 to v, 0.859 to w, 0.883 to u).
+    // Attempt 1 admits u and x and indexes them; a crash before the
+    // fence then replays the batch — now u and x sit in the index at
+    // sims ABOVE v's true match w, and a small-k probe would truncate
+    // w away before the id filter drops the replayed copies, wrongly
+    // ADMITTING v. The batch-sized probe keeps w reachable.
+    def deg(d: Double) = math.toRadians(d)
+    val w = Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+    val filler = Array(0f, 0f, 0f, 0f, 0f, 1f, 0f, 0f)
+    val v = Array(math.cos(deg(24)).toFloat, math.sin(deg(24)).toFloat,
+      0f, 0f, 0f, 0f, 0f, 0f)
+    val u = Array(math.cos(deg(44)).toFloat, math.sin(deg(44)).toFloat,
+      0f, 0f, 0f, 0f, 0f, 0f)
+    val c20 = math.cos(deg(20)).toFloat
+    val x = Array(v(0) * c20, v(1) * c20, math.sin(deg(20)).toFloat,
+      0f, 0f, 0f, 0f, 0f)
+    val dir = tempDir("replay")
+    graft.query.IvfIndex.build(
+      Seq((5L, w), (6L, filler)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$dir/ivf",
+      graft.query.IvfIndex.Params(nCentroids = 2))
+
+    val batch = Seq((100L, v), (101L, u), (102L, x))
+    val first = collectVerdicts(StreamingSemanticDedup.admissionStep(
+      batch.toDF("vec_id", "embedding"), dir, tau = 0.9))
+    assert(first == Map(
+      100L -> ((false, Some(5L))), 101L -> ((true, None)), 102L -> ((true, None))))
+
+    // the crash-window replay: same batch, index already holds u and x
+    val replay = collectVerdicts(StreamingSemanticDedup.admissionStep(
+      batch.toDF("vec_id", "embedding"), dir, tau = 0.9))
+    assert(replay(100L) == ((false, Some(5L))),
+      s"replay flipped v's rejection: ${replay(100L)}")
+  }
+
   test("cold start with a single-vector first batch seeds, then builds") {
     import spark.implicits._
     def unit(dim: Int): Array[Float] =
