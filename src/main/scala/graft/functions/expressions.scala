@@ -207,10 +207,17 @@ case class RpProject(child: Expression, mExpr: Expression)
   * per-element lambda dispatch.
   */
 case class PqAdc(left: Expression, right: Expression)
-    extends BinaryExpression with Serializable {
+    extends BinaryExpression with ExpectsInputTypes with Serializable {
   override def prettyName: String = "pq_adc"
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // declared input types: the Column wrapper casts, but the SQL
+  // registry builds this with raw children — without the declaration
+  // an array<bigint> codes column would reach toIntArray and be
+  // MISREAD (4-byte strides over 8-byte data) into garbage codes that
+  // can land in [0, K) and silently produce a wrong ADC sum; with it,
+  // mistyped input fails analysis instead
+  override def inputTypes = Seq(ArrayType(IntegerType), ArrayType(DoubleType))
 
   override def nullSafeEval(codes: Any, lut: Any): Any =
     VectorOps.pqAdc(

@@ -306,6 +306,88 @@ object IvfIndex {
     def newCells: Int = split.size
   }
 
+  /** Cell ids present as `centroid_id=` directories under `cells/` —
+    * the FILESYSTEM's view of the index, as opposed to `cells_meta`'s.
+    * The two disagree only inside a crashed-split window (cells
+    * rewritten, meta not yet) — see [[repairOrphanCells]].
+    */
+  private def cellDirIds(spark: SparkSession, indexPath: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(s"$indexPath/cells")
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+      .map(_.getPath.getName.stripPrefix("centroid_id=").toLong)
+  }
+
+  /** Exact per-cell centers + radii from (__cid, __norm) member rows —
+    * micro-quantized component means (order-independent, the q44
+    * discipline) and max member distance: the metadata a cell needs for
+    * the query-time bound. Shared by [[splitHotCells]]'s sub-cell
+    * metadata and [[repairOrphanCells]]'s adoption.
+    */
+  private def centersAndRadii(sides: DataFrame, micro: Double): DataFrame = {
+    val centers = sides
+      .select(col("__cid"), posexplode(col("__norm")))
+      .groupBy(col("__cid"), col("pos").cast("int").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("col").cast("double") * micro).cast("long")).as("s"))
+      .withColumn("c",
+        (col("s").cast("double") / col("n").cast("double") / micro).cast("float"))
+      .groupBy("__cid")
+      .agg(collect_list(struct(col("dim"), col("c"))).as("__dc"))
+      .select(col("__cid"),
+        transform(array_sort(col("__dc")), s => s.getField("c")).as("center"))
+    sides
+      .join(broadcast(centers), "__cid")
+      .withColumn("__d", sqrt(graft.functions.l2_dist_sq(col("__norm"), col("center"))))
+      .groupBy(col("__cid"), col("center"))
+      .agg(max(col("__d")).as("radius"))
+      .select(col("__cid").as("centroid_id"), col("center"), col("radius"))
+  }
+
+  /** Adopt ORPHAN cell directories — `centroid_id=` directories under
+    * `cells/` with no `cells_meta` row. [[splitHotCells]] commits in
+    * two writes (cells dynamic-overwrite, then the meta swap); a crash
+    * between them leaves the fresh side-1 directory meta-less, and
+    * since queries probe only meta-listed cells, its vectors are
+    * INVISIBLE until repaired. This pass computes the orphan's exact
+    * center + radius from its members (the same kernel the split
+    * would have written) and appends the meta row — after which the
+    * index is exactly the state the crashed split was committing.
+    * Runs at the head of every [[splitHotCells]] pass: a driver-side
+    * directory listing when healthy (no jobs), a pruned one-cell scan
+    * per orphan when not. @return the adopted ids.
+    */
+  def repairOrphanCells(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String): Seq[Long] = {
+    val cellMeta = spark.read.parquet(s"$indexPath/cells_meta")
+    val metaIds = cellMeta.select(col("centroid_id").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    val orphans = cellDirIds(spark, indexPath).filterNot(metaIds).sorted
+    if (orphans.isEmpty) return Nil
+    val members = new org.apache.spark.ml.feature.Normalizer()
+      .setInputCol("__raw").setOutputCol("__f").setP(2.0)
+      .transform(spark.read.parquet(s"$indexPath/cells")
+        .filter(col("centroid_id").isin(orphans: _*))
+        .withColumn("__raw",
+          org.apache.spark.ml.functions.array_to_vector(
+            col(embCol).cast("array<double>"))))
+      .select(col("centroid_id").as("__cid"),
+        org.apache.spark.ml.functions.vector_to_array(col("__f"))
+          .cast("array<float>").as("__norm"))
+    val updated = cellMeta
+      .unionByName(centersAndRadii(members, 1e6).select(
+        col("centroid_id").cast(cellMeta.schema("centroid_id").dataType),
+        col("center"), col("radius")))
+      .localCheckpoint()
+    updated.write.mode("overwrite").parquet(s"$indexPath/cells_meta")
+    orphans
+  }
+
   /** Hot-cell SPLIT maintenance — the missing half of the
     * log-structured index lifecycle next to [[upsert]] (append) and
     * [[compactIndex]] (file hygiene): repeated appends grow a cell's
@@ -344,6 +426,16 @@ object IvfIndex {
     * rewritten rows are localCheckpoint'd before the overwrite of
     * the directories they were read from (the [[upsert]] metadata
     * discipline, here sized hot-cells-only).
+    *
+    * Crash window: the commit is two writes (cells dynamic-overwrite,
+    * then the meta swap) and not atomic. A crash between them leaves
+    * the fresh side-1 directory meta-less — its vectors are
+    * TEMPORARILY INVISIBLE to queries (which probe meta-listed cells
+    * only) until the next pass's head-of-call [[repairOrphanCells]]
+    * adopts it; nothing is ever lost or clobbered, because fresh ids
+    * allocate above the max of meta ids AND filesystem directory ids.
+    * A fully atomic commit needs a generation-directory rename, which
+    * is filesystem-dependent and deliberately out of scope.
     */
   def splitHotCells(
       spark: SparkSession,
@@ -362,6 +454,10 @@ object IvfIndex {
       "IvfIndex.splitHotCells: this index carries a cell_codes table " +
         "(a composed IvfPq index) — splitting would desynchronize the " +
         "codes from their cells; rebuild the composed index instead")
+    // crash hygiene FIRST: adopt any meta-less directory a crashed
+    // split left behind, so its vectors are visible again before this
+    // pass decides anything
+    repairOrphanCells(spark, indexPath, idCol, embCol)
     // one partial-aggregating scan of (partition col) to find hot
     // cells; ≤ nCentroids ids reach the driver (the probe-pruning
     // collect pattern)
@@ -373,7 +469,14 @@ object IvfIndex {
     if (hot.isEmpty) return SplitReport(Nil, Nil)
 
     val cellMeta = spark.read.parquet(s"$indexPath/cells_meta")
-    val maxId = cellMeta.agg(max(col("centroid_id").cast("long"))).head.getLong(0)
+    // fresh ids allocate above BOTH the meta's max and the filesystem's
+    // max directory id: even if a concurrent/crashed writer left a
+    // directory the meta (re-read above) does not list, a fresh id can
+    // never collide with it — a dynamic overwrite under a collided id
+    // would silently DELETE the other writer's rows
+    val maxId = math.max(
+      cellMeta.agg(max(col("centroid_id").cast("long"))).head.getLong(0),
+      cellDirIds(spark, indexPath).foldLeft(Long.MinValue)(math.max))
 
     // members of the hot cells only — pruned scan, normalized exactly
     // as the build's assignment pass ([[selfKnnGraph]] re-derive)
@@ -434,24 +537,9 @@ object IvfIndex {
         col("__cid").cast(members.schema("centroid_id").dataType).as("__cid"))
       .localCheckpoint()
 
-    // sub-centroids: micro-quantized component means (order-independent)
-    val centers = sides
-      .select(col("__cid"), posexplode(col("__norm")))
-      .groupBy(col("__cid"), col("pos").cast("int").as("dim"))
-      .agg(count(lit(1)).as("n"),
-        sum(floor(col("col").cast("double") * Micro).cast("long")).as("s"))
-      .withColumn("c",
-        (col("s").cast("double") / col("n").cast("double") / Micro).cast("float"))
-      .groupBy("__cid")
-      .agg(collect_list(struct(col("dim"), col("c"))).as("__dc"))
-      .select(col("__cid"),
-        transform(array_sort(col("__dc")), s => s.getField("c")).as("center"))
-    val newMeta = sides
-      .join(broadcast(centers), "__cid")
-      .withColumn("__d", sqrt(graft.functions.l2_dist_sq(col("__norm"), col("center"))))
-      .groupBy(col("__cid"), col("center"))
-      .agg(max(col("__d")).as("radius"))
-      .select(col("__cid").as("centroid_id"), col("center"), col("radius"))
+    // sub-centroids (micro-quantized component means, order-independent)
+    // + exact radii — the shared [[centersAndRadii]] kernel
+    val newMeta = centersAndRadii(sides, Micro)
 
     // rewrite ONLY the split directories (side-0 rows land back in the
     // old ones, side-1 rows create the fresh ones)

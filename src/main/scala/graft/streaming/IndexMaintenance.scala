@@ -79,9 +79,14 @@ object IndexMaintenance {
     else {
       IvfIndex.upsert(spark, indexPath, idCol, embCol, batch)
       // optional in-line occupancy repair before the fence is written:
-      // result-invisible (the radius-coverage contract), and
-      // replay-safe on its own terms — re-splitting an already-split
-      // index finds no hot cells and no-ops
+      // result-invisible (the radius-coverage contract). Replay
+      // semantics differ from the upsert's benign-duplication window:
+      // a split that crashes between its cells rewrite and its meta
+      // swap leaves the fresh directory meta-less (INVISIBLE to
+      // queries, not lost) — the next split pass's head-of-call
+      // IvfIndex.repairOrphanCells adopts it, and fresh ids allocate
+      // above filesystem directory ids so a replayed split can never
+      // overwrite the orphan
       splitCap.foreach(cap =>
         IvfIndex.splitToConvergence(spark, indexPath, idCol, embCol, cap))
       writeFence(spark, indexPath, batchId)

@@ -41,6 +41,17 @@ import org.apache.spark.sql.functions._
   */
 object StreamingSemanticDedup {
 
+  /** Hard ceiling on one micro-batch. The in-batch pair check is exact
+    * all-pairs over the batch and the replay-proof probe uses
+    * k = batch+1 (a batch-sized per-query heap), so cost is quadratic
+    * in BATCH size by design — fine at micro-batch scale, a grind/OOM
+    * for an oversized backfill. The contract is enforced, not
+    * comment-only: a larger batch fails fast with a pointer to the
+    * batch operators (q102's [[graft.pipeline.SemanticDedup]]) instead
+    * of resource-exhausting mid-stream.
+    */
+  val MaxBatchRows = 65536L
+
   private def ivfPath(workDir: String) = s"$workDir/ivf"
 
   private def exists(spark: SparkSession, dir: String): Boolean = {
@@ -85,7 +96,14 @@ object StreamingSemanticDedup {
     // exact join; the seed holds at most one row by the build-as-soon-
     // as-two invariant below.
     val seedPath = s"$workDir/seed"
-    val batchK = (vecs.count() + 1).min(Int.MaxValue - 1).toInt
+    val nBatch = vecs.count()
+    require(nBatch <= MaxBatchRows,
+      s"StreamingSemanticDedup: micro-batch has $nBatch rows, over the " +
+        s"$MaxBatchRows ceiling — the in-batch all-pairs check and the " +
+        "batch-sized replay-proof probe are quadratic in batch size; " +
+        "feed backfills this large through the batch operator " +
+        "(graft.pipeline.SemanticDedup) instead")
+    val batchK = (nBatch + 1).min(Int.MaxValue - 1).toInt
     val cm: DataFrame =
       if (exists(spark, idx))
         IvfIndex.queryTopK(spark, idx, "vec_id", "embedding",

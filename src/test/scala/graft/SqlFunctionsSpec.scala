@@ -58,4 +58,17 @@ class SqlFunctionsSpec extends AnyFunSuite with SharedSpark {
       Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
     assert(messages(err).exists(m => m != null && m.contains("out of range")))
   }
+
+  test("pq_adc rejects mistyped SQL input at analysis time") {
+    graft.functions.registerAll(spark)
+    // array<bigint> codes through the raw SQL-registry path: without the
+    // declared input types this would reach toIntArray and be MISREAD
+    // (4-byte strides over 8-byte longs) into garbage codes — it must
+    // fail analysis instead, never produce a wrong ADC sum
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT pq_adc(array(2L, 0L), array(1.0D, 2.0D, 3.0D, 4.0D))")
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
 }

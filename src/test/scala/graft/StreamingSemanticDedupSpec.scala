@@ -55,6 +55,21 @@ class StreamingSemanticDedupSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("an oversized micro-batch fails fast, pointing at the batch operator") {
+    import spark.implicits._
+    // the in-batch all-pairs check and the batch-sized replay-proof
+    // probe are quadratic in batch size BY DESIGN — the ceiling turns
+    // an oversized backfill into a clear error before any quadratic
+    // work, not an OOM/grind mid-stream
+    val big = spark.range(StreamingSemanticDedup.MaxBatchRows + 1)
+      .select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.0f)).as("embedding"))
+    val err = intercept[IllegalArgumentException] {
+      StreamingSemanticDedup.admissionStep(big, tempDir("oversized"), tau = 0.99)
+    }
+    assert(err.getMessage.contains("SemanticDedup"))
+  }
+
   test("one-shot admission equals the sequential greedy fold") {
     import spark.implicits._
     val rows = feed(90L)
