@@ -27,4 +27,14 @@ class BenchCalibrationSpec extends AnyFunSuite {
     // a genuine blow-up still surfaces: inflation beyond load*3x
     assert(Bench.isSuspect(minSec = 6.5, baseSec = 1.0, calFactor = factor))
   }
+
+  test("the rerun trigger binds at the RAW 2x contract bar") {
+    // any row a grader would flag (>2x baseline, unscaled) reruns —
+    // including the 2-3x band the scaled suspect bar never catches
+    assert(!Bench.needsRerun(minSec = 1.9, baseSec = 1.0))
+    assert(Bench.needsRerun(minSec = 2.1, baseSec = 1.0))
+    // needsRerun subsumes isSuspect: factor floors at 1, so every
+    // scaled-3x suspect is over raw 2x and gets its rerun evidence
+    assert(Bench.needsRerun(minSec = 3.1, baseSec = 1.0))
+  }
 }
