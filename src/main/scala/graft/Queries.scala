@@ -244,6 +244,37 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** Q111: HOT-CELL SPLIT maintenance of the COMPOSED IVF+PQ index
+    * under the exactness gate — the q106 contract extended to the
+    * composed family: built with too few cells (4, so every balanced
+    * cell is over-cap at any fixture SF), [[graft.query.IvfPq
+    * .splitToConvergence]] splits each hot cell in two and MOVES the
+    * PQ code rows with their cells (global codebooks make codes
+    * cell-independent — only the partition key changes), and the
+    * standard batch queries the split index against the same
+    * full-corpus exact oracle. Green only if the four-write marker-
+    * fenced commit leaves cells, metadata and codes agreeing — which
+    * closes the composed family's log-structured lifecycle: append
+    * (q109) → split (here) → compact, no re-cluster anywhere.
+    */
+  def q111IvfPqSplit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = indexWorkDir("ivfpq_split", dir)
+    val params = IvfPq.Params(
+      ivf = IvfIndex.Params(nCentroids = 4),
+      pq = PqIndex.Params(fitSampleMod = 4))
+    buildOnce(work) {
+      IvfPq.build(e, "vec_id", "embedding", work, params)
+      // same cap rule as q106: every balanced cell (~n/4) is hot
+      IvfPq.splitToConvergence(spark, work, "vec_id", "embedding",
+        occupancyCap = e.count() / 6)
+    }
+    IvfPq.queryTopK(spark, work, "vec_id", "embedding",
+        queryBatch(e), "query_id", "qvec", k = 5, threshold = 0.0, params = params)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Q97/Q100 via the maintained curation-signal store (cluster labels
     * + frozen-LM scores persisted once, read per query — see
     * [[graft.pipeline.CurationStore]]): same outputs and oracles as
@@ -738,6 +769,7 @@ object Queries {
     "q108_filtered_topk" -> (q108FilteredTopK _),
     "q109_ivfpq_upsert" -> (q109IvfPqUpsert _),
     "q110_capped_topk" -> (q110CappedTopK _),
+    "q111_ivfpq_split" -> (q111IvfPqSplit _),
     "q103_retrieval_eval" -> (q103RetrievalEval _),
     "q104_drift_monitor" -> (q104DriftMonitor _))
 
@@ -917,6 +949,9 @@ object Queries {
     // q109 queries the upsert-maintained composed index — same exact
     // oracle; maintenance must be invisible to results
     "q109_ivfpq_upsert" -> cosineTopKOracle,
+    // q111 queries the split-maintained composed index — same exact
+    // oracle; the codes-move-with-cells commit must be invisible too
+    "q111_ivfpq_split" -> cosineTopKOracle,
     // q110: cap-then-rank — at most 2 hits per label per query before
     // the global top-5, both rankings (sim desc, id asc)
     "q110_capped_topk" ->

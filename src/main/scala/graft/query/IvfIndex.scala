@@ -298,27 +298,48 @@ object IvfIndex {
   }
 
   /** Outcome of a [[splitHotCells]] pass: which cells were split (each
-    * into two), and which over-cap cells were left whole because every
+    * into two), which over-cap cells were left whole because every
     * member is identical (zero variance on every dimension — nothing
-    * to split by; exact dedup upstream owns that pathology).
+    * to split by; exact dedup upstream owns that pathology), and the
+    * (old, fresh) id pair per split cell — side 0 keeps the old id,
+    * side 1 gets the fresh one.
     */
-  case class SplitReport(split: Seq[Long], degenerate: Seq[Long]) {
+  case class SplitReport(
+      split: Seq[Long],
+      degenerate: Seq[Long],
+      newIds: Seq[(Long, Long)] = Nil) {
     def newCells: Int = split.size
   }
 
-  /** Cell ids present as `centroid_id=` directories under `cells/` —
-    * the FILESYSTEM's view of the index, as opposed to `cells_meta`'s.
-    * The two disagree only inside a crashed-split window (cells
-    * rewritten, meta not yet) — see [[repairOrphanCells]].
+  /** Cell ids present as `centroid_id=` directories under `dir` —
+    * the FILESYSTEM's view of a cell-partitioned table, as opposed to
+    * `cells_meta`'s. The two disagree only inside a crashed-split
+    * window — see [[repairOrphanCells]] / [[repairPendingCodes]].
     */
-  private def cellDirIds(spark: SparkSession, indexPath: String): Seq[Long] = {
-    val root = new org.apache.hadoop.fs.Path(s"$indexPath/cells")
+  private def partitionDirIds(spark: SparkSession, dir: String): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return Nil
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
       .map(_.getPath.getName.stripPrefix("centroid_id=").toLong)
   }
+
+  private def cellDirIds(spark: SparkSession, indexPath: String): Seq[Long] =
+    partitionDirIds(spark, s"$indexPath/cells")
+
+  private def codesDirIds(spark: SparkSession, indexPath: String): Seq[Long] =
+    partitionDirIds(spark, s"$indexPath/cell_codes")
+
+  /** A composed ([[IvfPq]]) split's in-progress marker: the (old id,
+    * fresh id) pairs of the cells being moved, written BEFORE any
+    * `cell_codes` mutation and deleted after the last one, so a crash
+    * anywhere between leaves [[repairPendingCodes]] enough to
+    * reconcile. Lives beside `cells/` — never read as part of any
+    * table.
+    */
+  private def splitPendingPath(indexPath: String): String =
+    s"$indexPath/split_pending"
 
   /** Exact per-cell centers + radii from (__cid, __norm) member rows —
     * micro-quantized component means (order-independent, the q44
@@ -388,6 +409,76 @@ object IvfIndex {
     orphans
   }
 
+  /** Reconcile a composed index's `cell_codes` table with its `cells`
+    * table after a crashed composed split ([[splitHotCells]] on an
+    * index carrying codes). The split commits in four writes — side-1
+    * codes into fresh directories, the cells dynamic-overwrite, the
+    * meta swap, the old-code-directory shrink — under a
+    * [[splitPendingPath]] marker naming the (old, fresh) cell pairs.
+    * A crash between any two of them leaves codes that disagree with
+    * cells only INSIDE the marked cells, in one of two benign shapes:
+    * fresh code directories whose cells never committed (invisible —
+    * no meta row probes them), or stale copies of moved rows still in
+    * the old directory (a probed duplicate's candidate row carries the
+    * old cell id, and the exact fetch reads the payload from `cells`,
+    * where the row no longer lives under that id — so it drops out;
+    * duplicate code rows can at worst transiently INFLATE the k-th
+    * best certified floor, the same transiently-weaker-answers class
+    * as the plain split's orphan-invisibility window).
+    *
+    * Repair is a reconciliation against the committed ground truth:
+    * the union of code rows under every marked directory (stale copies
+    * are value-identical — the codes are functions of the vector and
+    * the frozen global codebooks, not of the cell) is deduplicated by
+    * id, re-keyed by the cells table's committed assignment, and
+    * dynamic-overwritten back; fresh code directories with no cells
+    * directory are deleted. Runs at the head of every [[splitHotCells]]
+    * pass; a marker-less index returns immediately (one existence
+    * check, no jobs). @return the marker's pairs (empty = no repair).
+    */
+  def repairPendingCodes(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String): Seq[(Long, Long)] = {
+    val mp = new org.apache.hadoop.fs.Path(splitPendingPath(indexPath))
+    val fs = mp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(mp)) return Nil
+    val pairs = spark.read.parquet(mp.toString)
+      .select(col("old_id").cast("long"), col("new_id").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val cellDirs = cellDirIds(spark, indexPath).toSet
+    val codeDirs = codesDirIds(spark, indexPath).toSet
+    val affected = (pairs.map(_._1) ++ pairs.map(_._2)).distinct
+    val present = affected.filter(cellDirs)
+    val affectedCodes = affected.filter(codeDirs)
+    if (affectedCodes.nonEmpty && present.nonEmpty) {
+      // committed assignment of every member of the marked cells
+      val assign = spark.read.parquet(s"$indexPath/cells")
+        .filter(col("centroid_id").isin(present: _*))
+        .select(col(idCol), col("centroid_id"))
+      val codes = spark.read.parquet(s"$indexPath/cell_codes")
+        .filter(col("centroid_id").isin(affectedCodes: _*))
+        .drop("centroid_id")
+        .dropDuplicates(Seq(idCol)) // stale copies are value-identical
+      val fixed = codes.join(assign, idCol).localCheckpoint()
+      fixed
+        .transform(graft.util.PartitionedWrite.spread(
+          _, present.size, col("centroid_id"), col(idCol)))
+        .write.partitionBy("centroid_id").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$indexPath/cell_codes")
+    }
+    // a fresh-side codes directory whose cells directory never
+    // committed is a remnant of the crashed first write — delete it
+    pairs.map(_._2).filter(n => codeDirs(n) && !cellDirs(n)).foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$indexPath/cell_codes/centroid_id=$n"), true)
+      ()
+    }
+    fs.delete(mp, true)
+    pairs
+  }
+
   /** Hot-cell SPLIT maintenance — the missing half of the
     * log-structured index lifecycle next to [[upsert]] (append) and
     * [[compactIndex]] (file hygiene): repeated appends grow a cell's
@@ -436,6 +527,23 @@ object IvfIndex {
     * allocate above the max of meta ids AND filesystem directory ids.
     * A fully atomic commit needs a generation-directory rename, which
     * is filesystem-dependent and deliberately out of scope.
+    *
+    * COMPOSED indexes ([[IvfPq]]): an index carrying a `cell_codes`
+    * table has its code rows moved WITH their cells — codes are
+    * encoded against global codebooks, so a split changes only their
+    * partition key, never a code value. The commit grows to four
+    * writes ordered so the moved rows' codes are durable somewhere at
+    * every crash point (side-1 codes into the fresh directories FIRST,
+    * then cells, then meta, then the old code directories shrunk to
+    * side 0), all under a `split_pending` marker that the next pass's
+    * head-of-call [[repairPendingCodes]] uses to reconcile codes with
+    * the committed cells. Until repair, a crashed composed split can
+    * leave stale side-1 code copies in the old directory: a probed
+    * stale copy's candidate carries the old cell id and drops out at
+    * the exact payload fetch, and a doubly-probed vector can at worst
+    * transiently inflate the k-th-best certified floor — the same
+    * transiently-weaker-answers class as the orphan-invisibility
+    * window above, repaired at the next maintenance pass.
     */
   def splitHotCells(
       spark: SparkSession,
@@ -445,18 +553,18 @@ object IvfIndex {
       occupancyCap: Long): SplitReport = {
     val Micro = 1e6
     // a COMPOSED index ([[IvfPq]]) keeps a cell_codes table keyed by
-    // the same cell ids: splitting cells under it would silently
-    // desynchronize the code partitions and drop true neighbors from
-    // the stacked-bound scan — fail loudly instead
+    // the same cell ids: its code rows move WITH their cells below
+    // (codes are encoded against global codebooks, so a split changes
+    // only the partition key, never a code), under the
+    // [[splitPendingPath]] marker + [[repairPendingCodes]] crash story
     val codesPath = new org.apache.hadoop.fs.Path(s"$indexPath/cell_codes")
-    require(!codesPath.getFileSystem(spark.sessionState.newHadoopConf())
-        .exists(codesPath),
-      "IvfIndex.splitHotCells: this index carries a cell_codes table " +
-        "(a composed IvfPq index) — splitting would desynchronize the " +
-        "codes from their cells; rebuild the composed index instead")
-    // crash hygiene FIRST: adopt any meta-less directory a crashed
-    // split left behind, so its vectors are visible again before this
-    // pass decides anything
+    val hasCodes = codesPath.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(codesPath)
+    // crash hygiene FIRST: reconcile a crashed composed split's codes
+    // with the committed cells, then adopt any meta-less directory a
+    // crashed split left behind, so every vector is visible (and every
+    // code agrees with its cell) before this pass decides anything
+    repairPendingCodes(spark, indexPath, idCol)
     repairOrphanCells(spark, indexPath, idCol, embCol)
     // one partial-aggregating scan of (partition col) to find hot
     // cells; ≤ nCentroids ids reach the driver (the probe-pruning
@@ -476,7 +584,11 @@ object IvfIndex {
     // would silently DELETE the other writer's rows
     val maxId = math.max(
       cellMeta.agg(max(col("centroid_id").cast("long"))).head.getLong(0),
-      cellDirIds(spark, indexPath).foldLeft(Long.MinValue)(math.max))
+      // codes directories count too: a crashed composed split can leave
+      // a fresh-side codes directory the meta never saw, and a colliding
+      // fresh id would dynamic-overwrite it with another cell's codes
+      (cellDirIds(spark, indexPath) ++ codesDirIds(spark, indexPath))
+        .foldLeft(Long.MinValue)(math.max))
 
     // members of the hot cells only — pruned scan, normalized exactly
     // as the build's assignment pass ([[selfKnnGraph]] re-derive)
@@ -521,9 +633,9 @@ object IvfIndex {
     // side assignment + new ids: side 0 keeps the old id, side 1 maps
     // to maxId + 1 + rank(old id) — a driver-built splittable-sized map
     import spark.implicits._
-    val idMap = splittable.zipWithIndex
+    val idPairs = splittable.zipWithIndex
       .map { case (old, i) => (old, maxId + 1 + i) }
-      .toDF("centroid_id", "__new_cid")
+    val idMap = idPairs.toDF("centroid_id", "__new_cid")
     val sides = members
       .join(broadcast(splitInfo), "centroid_id")
       .join(broadcast(idMap), "centroid_id")
@@ -534,12 +646,45 @@ object IvfIndex {
         when(col("__q") <= col("__mean_q"), col("centroid_id").cast("long"))
           .otherwise(col("__new_cid")))
       .select(col(idCol), col(embCol), col("__norm"),
+        col("centroid_id").as("__oldcid"),
         col("__cid").cast(members.schema("centroid_id").dataType).as("__cid"))
       .localCheckpoint()
 
+    // COMPOSED index: the affected code rows, re-keyed by their new
+    // side. Checkpointed once — it feeds the fresh-directory write
+    // below AND the old-directory shrink after the meta swap, and the
+    // latter overwrites the directories this frame was read from.
+    val codesAssigned = if (!hasCodes) None else Some {
+      // marker FIRST: from here until the last codes write, a crash at
+      // any point is reconcilable by [[repairPendingCodes]]
+      idPairs.toDF("old_id", "new_id").repartition(1)
+        .write.mode("overwrite").parquet(splitPendingPath(indexPath))
+      spark.read.parquet(s"$indexPath/cell_codes")
+        .filter(col("centroid_id").isin(splittable: _*))
+        .withColumnRenamed("centroid_id", "__oldpart")
+        .join(sides.select(col(idCol), col("__cid"), col("__oldcid")), idCol)
+        .localCheckpoint()
+    }
+    def writeCodes(part: DataFrame, nDirs: Int): Unit = {
+      val dataCols = part.columns
+        .filterNot(Set("__cid", "__oldcid", "__oldpart")).map(col).toSeq
+      part.select(dataCols :+ col("__cid").as("centroid_id"): _*)
+        .transform(graft.util.PartitionedWrite.spread(
+          _, nDirs, col("centroid_id"), col(idCol)))
+        .write.partitionBy("centroid_id").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$indexPath/cell_codes")
+    }
+    // side-1 codes land in the FRESH directories before anything
+    // existing moves: every later crash point leaves the moved rows'
+    // codes durable somewhere (at worst duplicated, never lost)
+    codesAssigned.foreach(ca =>
+      writeCodes(ca.filter(col("__cid").cast("long") =!= col("__oldcid").cast("long")),
+        splittable.size))
+
     // sub-centroids (micro-quantized component means, order-independent)
     // + exact radii — the shared [[centersAndRadii]] kernel
-    val newMeta = centersAndRadii(sides, Micro)
+    val newMeta = centersAndRadii(sides.drop("__oldcid"), Micro)
 
     // rewrite ONLY the split directories (side-0 rows land back in the
     // old ones, side-1 rows create the fresh ones)
@@ -557,7 +702,21 @@ object IvfIndex {
         col("center"), col("radius")))
       .localCheckpoint()
     updated.write.mode("overwrite").parquet(s"$indexPath/cells_meta")
-    SplitReport(splittable, degenerate)
+    // shrink the old code directories to their side-0 rows LAST: until
+    // here the stale side-1 copies in them are what keeps a crash
+    // lossless, and from here cells/meta/fresh-codes are all committed.
+    // The mid-write kill window of this dynamic overwrite is the same
+    // accepted residual as the cells overwrite above (a fully atomic
+    // commit needs a generation-directory rename — out of scope);
+    // every BETWEEN-write crash point reconciles via the marker.
+    codesAssigned.foreach { ca =>
+      writeCodes(ca.filter(col("__cid").cast("long") === col("__oldcid").cast("long")),
+        splittable.size)
+      val mp = new org.apache.hadoop.fs.Path(splitPendingPath(indexPath))
+      mp.getFileSystem(spark.sessionState.newHadoopConf()).delete(mp, true)
+      ()
+    }
+    SplitReport(splittable, degenerate, idPairs)
   }
 
   private def centersOf(spark: SparkSession, model: KMeansModel): DataFrame = {

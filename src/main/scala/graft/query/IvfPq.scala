@@ -34,7 +34,9 @@ import org.apache.spark.sql.functions._
   * LUT per query, not per (query, cell)); per-cell residual encoding
   * (classic ADC's finer variant) drops into the same layout by keying
   * the codebooks table by cell — a cost refinement, not a correctness
-  * one.
+  * one. Global codebooks also make the codes CELL-INDEPENDENT, which
+  * is what lets [[splitHotCells]] move code rows between partitions
+  * without re-encoding anything.
   */
 object IvfPq {
 
@@ -103,6 +105,34 @@ object IvfPq {
       .write.mode("append").partitionBy("centroid_id")
       .parquet(s"$indexPath/cell_codes")
   }
+
+  /** Hot-cell split maintenance for the composed index — delegates to
+    * [[IvfIndex.splitHotCells]], which moves the `cell_codes` rows
+    * WITH their cells (global codebooks make codes cell-independent;
+    * only the partition key changes). Result-invisible by the stacked
+    * bounds' contracts; see the crash-ordering story on
+    * [[IvfIndex.splitHotCells]]. This completes the composed family's
+    * log-structured lifecycle: append ([[upsert]]) → split → compact
+    * ([[compactIndex]]), no full re-cluster anywhere.
+    */
+  def splitHotCells(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      occupancyCap: Long): IvfIndex.SplitReport =
+    IvfIndex.splitHotCells(spark, indexPath, idCol, embCol, occupancyCap)
+
+  /** [[splitHotCells]] looped to convergence — the occupancy-repair
+    * step of [[graft.streaming.IndexMaintenance.maintainIvfPq]].
+    */
+  def splitToConvergence(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      occupancyCap: Long): Unit =
+    IvfIndex.splitToConvergence(spark, indexPath, idCol, embCol, occupancyCap)
 
   /** Compact cells and cell_codes off the query path (partition
     * layouts preserved, pruning unaffected).

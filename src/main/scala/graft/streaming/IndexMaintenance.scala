@@ -153,19 +153,31 @@ object IndexMaintenance {
       embCol: String,
       batch: DataFrame,
       batchId: Long,
-      params: graft.query.IvfPq.Params = graft.query.IvfPq.Params()): Boolean = {
+      params: graft.query.IvfPq.Params = graft.query.IvfPq.Params(),
+      splitCap: Option[Long] = None): Boolean = {
     val spark = batch.sparkSession
     if (batchId <= lastApplied(spark, indexPath) || batch.isEmpty) false
     else {
       graft.query.IvfPq.upsert(spark, indexPath, idCol, embCol, batch, params)
+      // optional in-line occupancy repair (the [[applyBatch]] splitCap
+      // story, now available for the composed family too): the split
+      // moves code rows with their cells under the split_pending
+      // marker, so a replayed/crashed split reconciles at the next
+      // pass's head-of-call repair instead of desyncing codes
+      splitCap.foreach(cap => graft.query.IvfPq.splitToConvergence(
+        spark, indexPath, idCol, embCol, cap))
       writeFence(spark, indexPath, batchId)
       true
     }
   }
 
   /** Continuous composed-index maintenance. Same at-least-once caveat
-    * as [[applyBatch]]; run [[graft.query.IvfPq.compactIndex]] off the
-    * query path at compaction cadence.
+    * as [[applyBatch]]; with `splitCap` set, any cell an append pushes
+    * over the cap is split (codes moved with their cells) in the same
+    * batch, so probe cost stays bounded under continuous composed
+    * ingest without a rebuild. Run
+    * [[graft.query.IvfPq.compactIndex]] off the query path at
+    * compaction cadence.
     */
   def maintainIvfPq(
       vectors: DataFrame,
@@ -173,13 +185,14 @@ object IndexMaintenance {
       idCol: String,
       embCol: String,
       checkpointDir: String,
-      params: graft.query.IvfPq.Params = graft.query.IvfPq.Params()): StreamingQuery =
+      params: graft.query.IvfPq.Params = graft.query.IvfPq.Params(),
+      splitCap: Option[Long] = None): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyIvfPqBatch(indexPath, idCol, embCol, batch, batchId, params); ()
+        applyIvfPqBatch(indexPath, idCol, embCol, batch, batchId, params, splitCap); ()
       }
       .start()
 
