@@ -182,13 +182,20 @@ object Queries {
     * serves (metadata WHERE + ANN in one operator). Exact by the
     * per-(cell, label) radius bound: a query probes only cells that
     * contain its label, so rare labels probe almost nothing at any
-    * corpus geometry. Oracle = the label-equijoined brute-force
-    * ranking.
+    * corpus geometry. The radius metadata is the persisted
+    * build-once [[graft.query.IvfIndex.buildLabelMeta]] artifact
+    * (freshness proven per call by an occupancy scan; stale falls
+    * back to the per-call derivation, never to wrong answers).
+    * Oracle = the label-equijoined brute-force ranking.
     */
   def q108FilteredTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables(spark, dir, "embeddings")
     val work = indexWorkDir("ivf", dir)
     buildOnce(work)(IvfIndex.build(e, "vec_id", "embedding", work))
+    // label metadata is its own build-once artifact: the shared "ivf"
+    // index may already have been built by q39/q77/q82/q88's block
+    buildOnce(s"$work/__label_meta")(IvfIndex.buildLabelMeta(
+      spark, work, "vec_id", "embedding", e.select("vec_id", "label"), "label"))
     IvfIndex.queryTopKFiltered(spark, work, "vec_id", "embedding",
         e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),

@@ -67,6 +67,9 @@ object IvfIndex {
       embCol: String,
       outPath: String,
       params: Params = Params()): KMeansModel = {
+    // a rebuild invalidates any persisted label metadata FIRST — its
+    // freshness fingerprints cannot distinguish two same-shaped builds
+    invalidateLabelMeta(df.sparkSession, outPath)
     val prep = AnnIndex.prepared(df, idCol, embCol)
       .repartition(BuildPartitions, col(idCol))
       .sortWithinPartitions(idCol)
@@ -765,6 +768,90 @@ object IvfIndex {
       .groupBy(col("centroid_id"), col(labelCol))
       .agg(max(col("__d")).as("__rl"))
 
+  private def labelMetaPath(indexPath: String, labelCol: String): String =
+    s"$indexPath/label_meta_${labelCol.replaceAll("[^A-Za-z0-9_-]", "_")}"
+
+  /** Persist the per-(cell, label) radius metadata that
+    * [[queryTopKFiltered]] needs, making the filtered path
+    * build-once/query-many like every other index artifact: without
+    * this, each call re-reads every indexed VECTOR to recompute an
+    * nCells × nLabels frame; with it, a call reads the tiny persisted
+    * frame and proves freshness from parquet metadata + a directory
+    * listing — no payload bytes.
+    *
+    * Staleness is checked SOUNDLY via a (total rows, cell id set)
+    * snapshot taken here (before the radii pass, so a racing append
+    * between the two reads this build as stale rather than fresh),
+    * exhaustive over the index's mutation surface: [[upsert]] only
+    * appends rows (total grows), [[splitHotCells]] always mints fresh
+    * cell directories (id set changes), [[compactIndex]] is
+    * row-count-verified and assignment-preserving (correctly stays
+    * fresh), and a full [[build]] — the one rewrite that could
+    * reproduce both fingerprints with different contents — deletes
+    * every label-meta artifact explicitly. The LABEL side has no such
+    * fingerprint: the caller owns invalidation when the labels frame
+    * itself changes (rebuild here), the usual secondary-index
+    * contract. A stale artifact is never served — [[queryTopKFiltered]]
+    * falls back to the per-call recompute, so answers cannot go wrong,
+    * only the cost reverts.
+    */
+  def buildLabelMeta(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      labels: DataFrame,
+      labelCol: String): Unit = {
+    import spark.implicits._
+    val base = labelMetaPath(indexPath, labelCol)
+    // snapshot FIRST (see the staleness note above)
+    val snap = (spark.read.parquet(s"$indexPath/cells").count(),
+      cellDirIds(spark, indexPath).sorted)
+    val cellMeta = broadcast(spark.read.parquet(s"$indexPath/cells_meta"))
+    val assigned = normalizedAssigned(spark, indexPath, idCol, embCol)
+      .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
+    cellLabelRadii(assigned, cellMeta, labelCol)
+      .write.mode("overwrite").parquet(s"$base/radii")
+    Seq(snap).toDF("rows", "cells")
+      .repartition(1).write.mode("overwrite").parquet(s"$base/snapshot")
+  }
+
+  /** The persisted [[buildLabelMeta]] radii IF present and provably
+    * fresh (total row count and cell id set match the build-time
+    * snapshot — see the soundness argument there), else None. The
+    * count is parquet-metadata-only and the id set a driver-side
+    * directory listing: no shuffle, no payload read, no
+    * data-proportional work.
+    */
+  private[graft] def cachedLabelRadii(
+      spark: SparkSession,
+      indexPath: String,
+      labelCol: String): Option[DataFrame] = {
+    val base = labelMetaPath(indexPath, labelCol)
+    val rp = new org.apache.hadoop.fs.Path(s"$base/radii")
+    val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(rp) ||
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$base/snapshot"))) return None
+    val snap = spark.read.parquet(s"$base/snapshot").head
+    val fresh = snap.getLong(0) == spark.read.parquet(s"$indexPath/cells").count() &&
+      snap.getSeq[Long](1) == cellDirIds(spark, indexPath).sorted
+    if (fresh) Some(spark.read.parquet(s"$base/radii")) else None
+  }
+
+  /** Delete every persisted [[buildLabelMeta]] artifact — called by
+    * [[build]]: a rebuild is the one mutation that can reproduce the
+    * snapshot fingerprints with different cell contents, so it must
+    * invalidate explicitly.
+    */
+  private def invalidateLabelMeta(spark: SparkSession, indexPath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(root))
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("label_meta_"))
+        .foreach { s => fs.delete(s.getPath, true); () }
+  }
+
   /** FILTERED batch top-k: per-query top-k restricted to corpus rows
     * whose `labelCol` equals the query's — the attribute-constrained
     * ("filtered ANN") retrieval every production vector store serves,
@@ -776,13 +863,16 @@ object IvfIndex {
     * Candidates are label-filtered before ranking, so the exact kernel
     * prices only qualifying rows.
     *
-    * 100 TB shape: the label metadata is one nCells × nLabels
-    * aggregation over the index (localCheckpoint'd per call — cache it
-    * for query-service deployments); probes read only label-holding
-    * cell directories via the same static `isin` pruning as
-    * [[queryTopK]]. For high-cardinality predicates the radii frame
-    * grows linearly in distinct labels — fall back to [[queryTopK]] +
-    * post-filter + refill when nLabels approaches corpus size.
+    * 100 TB shape: the label metadata is the persisted
+    * [[buildLabelMeta]] artifact (build once, query many — a fresh
+    * call reads the tiny radii frame after a metadata-only freshness
+    * proof, no vector payloads; absent or stale it is derived per
+    * call, one nCells × nLabels aggregation over the index); probes
+    * read only label-holding cell directories via the same static
+    * `isin` pruning as [[queryTopK]]. For high-cardinality predicates
+    * the radii frame grows linearly in distinct labels — fall back to
+    * [[queryTopK]] + post-filter + refill when nLabels approaches
+    * corpus size.
     *
     * @param queries (queryIdCol, queryVecCol, labelCol) — the wanted
     *                label rides the query row
@@ -804,10 +894,16 @@ object IvfIndex {
       threshold: Double,
       probeWidth: Int = 1): DataFrame = {
     val cellMeta = broadcast(spark.read.parquet(s"$indexPath/cells_meta"))
-    val assigned = normalizedAssigned(spark, indexPath, idCol, embCol)
-      .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
-    val cellLabel = cellLabelRadii(assigned, cellMeta, labelCol)
-      .localCheckpoint()
+    // per-(cell, label) radii: the persisted [[buildLabelMeta]]
+    // artifact when present and provably fresh (a parquet-metadata
+    // count + directory listing, no vector reads), else derived per call
+    // from the assigned rows — a cost fallback, never a correctness
+    // one (a stale artifact is detected, not served)
+    val cellLabel = cachedLabelRadii(spark, indexPath, labelCol).getOrElse {
+      val assigned = normalizedAssigned(spark, indexPath, idCol, embCol)
+        .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
+      cellLabelRadii(assigned, cellMeta, labelCol).localCheckpoint()
+    }
 
     val qNorm = AnnIndex.prepared(
         queries.select(col(queryIdCol), col(queryVecCol).as("__qv"), col(labelCol)),

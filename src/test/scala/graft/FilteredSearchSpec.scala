@@ -82,6 +82,71 @@ class FilteredSearchSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("persisted label metadata serves the filtered path; staleness is detected") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    def rows(from: Long, until: Long) = (from until until).map { i =>
+      val base = Array.fill(8)(0.0f)
+      base((i % 4).toInt * 2) = 1.0f
+      (i, base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.08f), (i % 3).toInt)
+    }
+    val e = rows(0L, 160L).toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft-filt-meta").toString
+    IvfIndex.build(e.select("vec_id", "embedding"), "vec_id", "embedding", dir,
+      IvfIndex.Params(nCentroids = 4))
+
+    // no artifact yet: nothing cached
+    assert(IvfIndex.cachedLabelRadii(spark, dir, "label").isEmpty)
+    IvfIndex.buildLabelMeta(spark, dir, "vec_id", "embedding",
+      e.select("vec_id", "label"), "label")
+    assert(IvfIndex.cachedLabelRadii(spark, dir, "label").isDefined)
+
+    def query(corpus: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] = {
+      val queries = corpus.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+          col("label"))
+      topkSet(IvfIndex.queryTopKFiltered(spark, dir, "vec_id", "embedding",
+        queries, "query_id", "qvec", corpus.select("vec_id", "label"), "label",
+        k = 4, threshold = 0.0))
+    }
+    def exact(corpus: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] = {
+      val queries = corpus.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+          col("label"))
+      topkSet(corpus
+        .select(col("vec_id"), col("embedding"), col("label").as("__cl"))
+        .join(broadcast(queries), col("__cl") === col("label"))
+        .withColumn("sim", graft.functions.cosine_sim(col("embedding"), col("qvec")))
+        .filter(col("sim") > 0.0)
+        .select(col("query_id"), col("vec_id"), col("sim"))
+        .groupBy("query_id")
+        .agg(graft.functions.topk_by(col("vec_id"), col("sim"), lit(4)).as("t"))
+        .select(col("query_id"), posexplode(col("t")))
+        .select(col("query_id"), col("col.id").as("vec_id"),
+          (col("pos") + 1).cast("long").as("rn")))
+    }
+    // fresh cache: served and exact
+    assert(query(e) == exact(e))
+
+    // an append changes occupancy: the cache must read as stale, the
+    // query must fall back and STAY exact over the grown corpus (the
+    // appended rows can tighten nothing — they can only need LARGER
+    // label radii, which is exactly what a stale cache would get wrong)
+    val extra = rows(160L, 200L).toDF("vec_id", "embedding", "label")
+    IvfIndex.upsert(spark, dir, "vec_id", "embedding",
+      extra.select("vec_id", "embedding"))
+    val grown = e.unionByName(extra)
+    assert(IvfIndex.cachedLabelRadii(spark, dir, "label").isEmpty,
+      "a post-append cache read as fresh")
+    assert(query(grown) == exact(grown))
+
+    // rebuilt metadata is fresh again and still exact
+    IvfIndex.buildLabelMeta(spark, dir, "vec_id", "embedding",
+      grown.select("vec_id", "label"), "label")
+    assert(IvfIndex.cachedLabelRadii(spark, dir, "label").isDefined)
+    assert(query(grown) == exact(grown))
+  }
+
   test("a query whose label is absent from the corpus returns nothing") {
     import spark.implicits._
     val rnd = new scala.util.Random(37)
