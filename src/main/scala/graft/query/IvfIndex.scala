@@ -275,21 +275,21 @@ object IvfIndex {
     * partition column plus a driver-side listing of the ≤ nCells
     * directories (query compilation scale, not data movement).
     */
-  def stats(spark: SparkSession, indexPath: String): DataFrame = {
-    import spark.implicits._
-    val occ = spark.read.parquet(s"$indexPath/cells")
+  /** Per-cell row counts — one partial-aggregating scan of the
+    * partition column (no payload bytes read). Shared by [[stats]]
+    * and operational reporting.
+    */
+  private def cellOccupancy(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(s"$indexPath/cells")
       .groupBy(col("centroid_id").cast("long").as("centroid_id"))
       .agg(count(lit(1)).as("occupancy"))
-    val root = new org.apache.hadoop.fs.Path(s"$indexPath/cells")
-    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-    val files = fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
-      .map { s =>
-        val id = s.getPath.getName.stripPrefix("centroid_id=").toLong
-        val n = fs.listStatus(s.getPath).count(f => f.isFile &&
-          !f.getPath.getName.startsWith("_") && !f.getPath.getName.startsWith("."))
-        (id, n.toLong)
-      }.toDF("centroid_id", "n_files")
+
+  def stats(spark: SparkSession, indexPath: String): DataFrame = {
+    import spark.implicits._
+    val occ = cellOccupancy(spark, indexPath)
+    val files = graft.util.PartitionFiles
+      .counts(spark, s"$indexPath/cells", "centroid_id")
+      .toDF("centroid_id", "n_files")
     spark.read.parquet(s"$indexPath/cells_meta")
       .select(col("centroid_id").cast("long").as("centroid_id"), col("radius"))
       .join(occ, Seq("centroid_id"), "left")

@@ -142,6 +142,33 @@ object IvfPq {
       graft.util.Compaction.compact(spark, s"$indexPath/cells", Seq("centroid_id")),
       graft.util.Compaction.compact(spark, s"$indexPath/cell_codes", Seq("centroid_id")))
 
+  /** Maintenance diagnostics for the composed index —
+    * [[IvfIndex.stats]] widened with the codes side: one row per cell,
+    * (centroid_id, occupancy, radius, n_files, codes, code_files).
+    * `codes != occupancy` is the operational desync signal: a crashed
+    * split awaiting [[IvfIndex.repairPendingCodes]] (codes > occupancy
+    * — stale duplicates) or a torn [[upsert]] (codes < occupancy —
+    * cells appended, codes not; replay the batch). Two
+    * partition-column scans + two ≤ nCells directory listings; run
+    * off the query path.
+    */
+  def stats(spark: SparkSession, indexPath: String): DataFrame = {
+    import spark.implicits._
+    val codeOcc = spark.read.parquet(s"$indexPath/cell_codes")
+      .groupBy(col("centroid_id").cast("long").as("centroid_id"))
+      .agg(count(lit(1)).as("codes"))
+    val codeFiles = graft.util.PartitionFiles
+      .counts(spark, s"$indexPath/cell_codes", "centroid_id")
+      .toDF("centroid_id", "code_files")
+    IvfIndex.stats(spark, indexPath)
+      .join(codeOcc, Seq("centroid_id"), "left")
+      .join(broadcast(codeFiles), Seq("centroid_id"), "left")
+      .select(col("centroid_id"), col("occupancy"), col("radius"),
+        col("n_files"),
+        coalesce(col("codes"), lit(0L)).as("codes"),
+        coalesce(col("code_files"), lit(0L)).as("code_files"))
+  }
+
   /** Batch top-k, exact by the stacked bounds. Output:
     * (queryIdCol, idCol, sim, rn) — the shared retrieval shape.
     */

@@ -244,6 +244,36 @@ object LexicalSearch {
       workDir: String): graft.util.Compaction.Report =
     graft.util.Compaction.compact(spark, s"$workDir/postings", Seq("__bucket"))
 
+  /** Maintenance diagnostics for the postings index — the lexical twin
+    * of [[graft.query.IvfIndex.stats]]: one row per term-hash bucket,
+    * (bucket, postings, terms, n_files) — the inputs to the compact /
+    * rebuild decisions (n_files decay at append cadence →
+    * [[compactIndex]]; a pathologically hot bucket → widen
+    * [[IndexBuckets]] and rebuild). One partial-aggregating scan of
+    * the postings (bucket counts + per-bucket distinct terms) plus a
+    * driver-side listing of the ≤ [[IndexBuckets]] directories — no
+    * full-payload pass, run off the query path.
+    */
+  def stats(
+      spark: org.apache.spark.sql.SparkSession,
+      workDir: String): DataFrame = {
+    import spark.implicits._
+    val occ = spark.read.parquet(s"$workDir/postings")
+      .groupBy(col("__bucket").cast("long").as("bucket"))
+      .agg(
+        count(lit(1)).as("postings"),
+        countDistinct(col("__term")).as("terms"))
+    val files = graft.util.PartitionFiles
+      .counts(spark, s"$workDir/postings", "__bucket")
+      .toDF("bucket", "n_files")
+    occ.join(broadcast(files), Seq("bucket"), "full")
+      .select(col("bucket"),
+        coalesce(col("postings"), lit(0L)).as("postings"),
+        coalesce(col("terms"), lit(0L)).as("terms"),
+        coalesce(col("n_files"), lit(0L)).as("n_files"))
+      .orderBy("bucket")
+  }
+
   /** BM25 top-k against a [[buildIndex]]-persisted index. The query
     * batch's term-hash buckets are collected driver-side (bounded by
     * [[IndexBuckets]] — query compilation, not data movement) into a

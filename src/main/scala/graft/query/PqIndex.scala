@@ -289,6 +289,36 @@ object PqIndex {
       graft.util.Compaction.compact(spark, s"$indexPath/codes", Seq("__cbucket")),
       graft.util.Compaction.compact(spark, s"$indexPath/vectors", Seq("__vbucket")))
 
+  /** Maintenance diagnostics — one row per (table, bucket) across the
+    * codes and vectors tables: (table, bucket, rows, n_files). The
+    * compact-when-it-pays inputs ([[graft.query.IvfIndex.stats]]'s
+    * contract for this family): n_files decaying at append cadence →
+    * [[compactIndex]]; a rows mismatch between the two tables' totals
+    * → a torn [[upsert]] (codes appended, vectors not, or vice versa
+    * — the at-least-once window documented on
+    * [[graft.streaming.IndexMaintenance.applyPqBatch]]). Two
+    * partition-column scans + driver-side listings of ≤ 2 ×
+    * IndexBuckets directories; run off the query path.
+    */
+  def stats(spark: SparkSession, indexPath: String): DataFrame = {
+    import spark.implicits._
+    def side(table: String, bucketCol: String): DataFrame = {
+      val occ = spark.read.parquet(s"$indexPath/$table")
+        .groupBy(col(bucketCol).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("rows"))
+      val files = graft.util.PartitionFiles
+        .counts(spark, s"$indexPath/$table", bucketCol)
+        .toDF("bucket", "n_files")
+      occ.join(broadcast(files), Seq("bucket"), "full")
+        .select(lit(table).as("table"), col("bucket"),
+          coalesce(col("rows"), lit(0L)).as("rows"),
+          coalesce(col("n_files"), lit(0L)).as("n_files"))
+    }
+    side("codes", "__cbucket")
+      .unionByName(side("vectors", "__vbucket"))
+      .orderBy("table", "bucket")
+  }
+
   /** Per-query ADC lookup table against the index's persisted
     * codebooks: one row per query — (queryIdCol, __qv raw vector,
     * __lut FLAT array of one codebookSize-block per subspace in

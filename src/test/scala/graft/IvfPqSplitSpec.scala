@@ -174,6 +174,13 @@ class IvfPqSplitSpec extends AnyFunSuite with SharedSpark {
       .write.mode("overwrite").parquet(s"$dir/split_pending")
     assert(spark.read.parquet(s"$dir/cell_codes").count() > 200L,
       "the reconstructed state should carry duplicate code rows")
+    // the stats report surfaces the desync operationally:
+    // codes > occupancy in the stale old cells
+    val statsBroken = IvfPq.stats(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getAs[Long]("codes")))).toMap
+    assert(report.newIds.map(_._1).exists(c =>
+        statsBroken(c)._2 > statsBroken(c)._1),
+      s"stats did not flag the duplicate codes: $statsBroken")
 
     // repair directly (what the next pass runs at its head): the old
     // directories shrink to the committed cells assignment
@@ -181,6 +188,10 @@ class IvfPqSplitSpec extends AnyFunSuite with SharedSpark {
     assert(repaired.toSet == report.newIds.toSet)
     assert(!new java.io.File(s"$dir/split_pending").exists())
     assertInSync(dir, 200L)
+    // and the report reads healthy again: codes == occupancy per cell
+    val statsFixed = IvfPq.stats(spark, dir).collect()
+    assert(statsFixed.forall(r => r.getAs[Long]("codes") == r.getLong(1)),
+      "stats still reports a desync after repair")
     val (got, exact) = queryBoth(e, dir)
     assert(got == exact)
   }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.query.LexicalSearch
+import graft.streaming.IndexMaintenance
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -192,6 +193,43 @@ class LexicalSearchSpec extends AnyFunSuite with SharedSpark {
         batch, "query_id", "term", k = 10)
       assert(upserted.orderBy("query_id", "rank").collect().toSeq ===
         direct.orderBy("query_id", "rank").collect().toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(work))
+    }
+  }
+
+  test("stats reports postings/terms/files through the maintenance cycle") {
+    val docs = Tables(spark, Sf0001, "documents")
+    val work = java.nio.file.Files
+      .createTempDirectory("graft_lex_stats_spec").toString
+    try {
+      LexicalSearch.buildIndex(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text", work)
+      def snap() = LexicalSearch.stats(spark, work).collect()
+        .map(r => (r.getAs[Long]("postings"), r.getAs[Long]("terms"),
+          r.getAs[Long]("n_files")))
+      val s0 = snap()
+      assert(s0.map(_._1).sum ==
+        spark.read.parquet(s"$work/postings").count(),
+        "per-bucket postings must total the table")
+      assert(s0.forall { case (p, t, f) => t <= p && f >= 1L })
+
+      IndexMaintenance.applyLexicalBatch(work, "doc_id", "text",
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0), batchId = 0L)
+      val s1 = snap()
+      assert(s1.map(_._1).sum > s0.map(_._1).sum)
+      // appends fragment: file counts grew somewhere
+      assert(s1.map(_._3).sum > s0.map(_._3).sum)
+
+      LexicalSearch.compactIndex(spark, work)
+      val s2 = snap()
+      assert(s2.map(_._1).sum == s1.map(_._1).sum,
+        "compaction must not change postings")
+      assert(s2.map(_._3).sum < s1.map(_._3).sum,
+        "compaction did not shrink per-bucket file counts")
     } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()

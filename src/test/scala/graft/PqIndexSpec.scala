@@ -81,6 +81,35 @@ class PqIndexSpec extends AnyFunSuite with SharedSpark {
     assert(topkSet(pq) == topkSet(exact))
   }
 
+  test("stats reports rows/files for both tables through the maintenance cycle") {
+    val e = clustered(200L)
+    val dir = tmp("stats")
+    PqIndex.build(e.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+      "vec_id", "embedding", dir, SmallParams)
+    def snap(): Map[String, (Long, Long)] = PqIndex.stats(spark, dir)
+      .groupBy("table")
+      .agg(sum(col("rows")).as("r"), sum(col("n_files")).as("f"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val s0 = snap()
+    assert(s0("codes")._1 == 180L && s0("vectors")._1 == 180L,
+      s"build totals wrong: $s0")
+
+    PqIndex.upsert(spark, dir, "vec_id", "embedding",
+      e.filter(pmod(col("vec_id"), lit(10)) === 0), SmallParams)
+    val s1 = snap()
+    assert(s1("codes")._1 == 200L && s1("vectors")._1 == 200L,
+      s"post-upsert totals wrong: $s1 — a codes/vectors mismatch is the " +
+        "torn-upsert signal this report exists to surface")
+    assert(s1("codes")._2 > s0("codes")._2 || s1("vectors")._2 > s0("vectors")._2,
+      "appends should fragment some bucket")
+
+    PqIndex.compactIndex(spark, dir)
+    val s2 = snap()
+    assert(s2("codes")._1 == 200L && s2("vectors")._1 == 200L)
+    assert(s2("codes")._2 + s2("vectors")._2 < s1("codes")._2 + s1("vectors")._2,
+      "compaction did not shrink file counts")
+  }
+
   test("a conflicting duplicate id fails the job naming the id") {
     import spark.implicits._
     val e = clustered(50L)
