@@ -160,6 +160,43 @@ final class GraftClient(
       .select(col("content"), col("metadata"), col("sim"))
   }
 
+  /** BATCH variant of [[queryIndexed]] — the missing serving shape for
+    * anything beyond a point lookup (an evaluation set, a reprocessing
+    * job, an API batching window): one IVF probe and ONE pruned
+    * payload fetch for the whole batch, i.e. two bounded driver
+    * round-trips TOTAL instead of two per vector. The probe broadcasts
+    * the query batch (the [[graft.query.IvfIndex.queryTopK]]
+    * point-lookup contract — for corpus-sized batches use
+    * `selfKnnGraph`-style mining instead); the payload read is pruned
+    * to the hit rows' partition directories by their bucket ids (≤ 64
+    * values reach the driver — never the hits themselves, whose count
+    * grows with the batch) and then equi-joined on `row_id`.
+    *
+    * @param queries one row per query: (queryIdCol, vecCol)
+    * @return (queryIdCol, content, metadata, sim, rn), rn 1..count by
+    *         sim descending per query — [[queryIndexed]]'s result
+    *         shape plus the query id and rank
+    */
+  def queryIndexedBatch(
+      annPath: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      threshold: Double,
+      count: Int): DataFrame = {
+    val hits = graft.query.IvfIndex.queryTopK(spark, s"$annPath/ivf",
+        "row_id", "embedding", queries, queryIdCol, vecCol, count, threshold)
+      .localCheckpoint()
+    val buckets = hits.select(pmod(hash(col("row_id")), lit(64)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val payload = spark.read.parquet(s"$annPath/payload")
+      .filter(col("__rbucket").isin(buckets: _*))
+      .select(col("row_id"), col("content"), col("metadata"))
+    hits.join(payload, "row_id")
+      .select(col(queryIdCol), col("content"), col("metadata"),
+        col("sim"), col("rn"))
+  }
+
   /** [[query]] projected to the reference's columnar result shape
     * (parallel index-aligned arrays, vector-client.ts:411-414).
     */

@@ -64,6 +64,36 @@ class GraftClientSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("batch indexed query equals the per-vector loop (one probe, one fetch)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-client-batch").toString
+    val client = new GraftClient(spark,
+      GraftClient.Config(chunkSize = 200, chunkOverlap = 40, embedDim = 64))
+    client.ingest(mdxDocs.toDF("doc_id", "mdx"), "doc_id", "mdx", s"$dir/index")
+    client.buildQueryIndex(s"$dir/index", s"$dir/ann")
+
+    val probes = Seq(
+      "HEADER: Usage | CONTENT: Call ingest then query with an embedded question string.",
+      "HEADER: Tuning | CONTENT: Broadcast small tables and let AQE handle skewed joins.",
+      "completely unrelated probe text with no matching chunk")
+    val vecs = probes.zipWithIndex.map { case (p, i) =>
+      (i.toLong, client.embedText(p))
+    }
+    val queries = vecs.toDF("query_id", "qvec")
+    val batch = client.queryIndexedBatch(s"$dir/ann", queries, "query_id", "qvec",
+        threshold = 0.0, count = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[String]("content"),
+        math.rint(r.getAs[Double]("sim") * 1e9), r.getAs[Long]("rn")))
+      .toSet
+    val looped = vecs.flatMap { case (qid, v) =>
+      client.queryIndexed(s"$dir/ann", v, threshold = 0.0, count = 3)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getString(0),
+          math.rint(r.getDouble(2) * 1e9), (i + 1).toLong) }
+    }.toSet
+    assert(batch == looped, "batch serving diverged from the per-vector loop")
+  }
+
   test("answer fills a caller-supplied template") {
     val dir = java.nio.file.Files.createTempDirectory("graft-client-tpl").toString
     val client = new GraftClient(spark,
