@@ -54,6 +54,7 @@ object Bench {
     "q106_ivf_split" -> "ivf_split",
     "q107_ivfpq_topk" -> "ivfpq_index",
     "q111_ivfpq_split" -> "ivfpq_split",
+    "q112_residual_topk" -> "ivfpq_residual",
     "q109_ivfpq_upsert" -> "ivfpq_upsert",
     "q85_ivf_upsert" -> "ivf_upsert",
     "q89_lex_upsert" -> "lex_upsert",

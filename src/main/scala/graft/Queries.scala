@@ -282,6 +282,45 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** Q112: RESIDUAL (IVFADC) encoding for the composed index
+    * ([[graft.query.IvfPq.Params.residual]]) driven through its FULL
+    * maintenance lifecycle under the exactness gate: build over 80%
+    * of the corpus with deliberately-too-few cells, upsert 10%
+    * (reuses the build's encoding generations), split every hot cell
+    * (residual codes MOVE with their generation — nothing
+    * re-encodes), then upsert the last 10% into the split-minted
+    * cells (fresh generations minted from their current centroids).
+    * The standard batch then queries against the same full-corpus
+    * exact oracle as q107/q109/q111 — green only if the per-(query,
+    * generation) LUT pricing is exact across all accumulated
+    * generations. The mode's payoff (tighter residual bounds → a
+    * smaller exact-verify fetch on clustered corpora) is spec-pinned
+    * on constructed clusters; this row prices the isotropic worst
+    * case like the rest of the family.
+    */
+  def q112ResidualTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = indexWorkDir("ivfpq_residual", dir)
+    val params = IvfPq.Params(
+      ivf = IvfIndex.Params(nCentroids = 4),
+      pq = PqIndex.Params(fitSampleMod = 4),
+      residual = true)
+    buildOnce(work) {
+      IvfPq.build(e.filter(pmod(col("vec_id"), lit(10)) >= 2),
+        "vec_id", "embedding", work, params)
+      IvfPq.upsert(spark, work, "vec_id", "embedding",
+        e.filter(pmod(col("vec_id"), lit(10)) === 0), params)
+      IvfPq.splitToConvergence(spark, work, "vec_id", "embedding",
+        occupancyCap = e.count() / 6)
+      IvfPq.upsert(spark, work, "vec_id", "embedding",
+        e.filter(pmod(col("vec_id"), lit(10)) === 1), params)
+    }
+    IvfPq.queryTopK(spark, work, "vec_id", "embedding",
+        queryBatch(e), "query_id", "qvec", k = 5, threshold = 0.0, params = params)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Q97/Q100 via the maintained curation-signal store (cluster labels
     * + frozen-LM scores persisted once, read per query — see
     * [[graft.pipeline.CurationStore]]): same outputs and oracles as
@@ -777,6 +816,7 @@ object Queries {
     "q109_ivfpq_upsert" -> (q109IvfPqUpsert _),
     "q110_capped_topk" -> (q110CappedTopK _),
     "q111_ivfpq_split" -> (q111IvfPqSplit _),
+    "q112_residual_topk" -> (q112ResidualTopK _),
     "q103_retrieval_eval" -> (q103RetrievalEval _),
     "q104_drift_monitor" -> (q104DriftMonitor _))
 
@@ -959,6 +999,10 @@ object Queries {
     // q111 queries the split-maintained composed index — same exact
     // oracle; the codes-move-with-cells commit must be invisible too
     "q111_ivfpq_split" -> cosineTopKOracle,
+    // q112 queries the residual-encoded composed index after its full
+    // build/upsert/split/upsert lifecycle — same exact oracle; every
+    // encoding generation must price exactly
+    "q112_residual_topk" -> cosineTopKOracle,
     // q110: cap-then-rank — at most 2 hits per label per query before
     // the global top-5, both rankings (sim desc, id asc)
     "q110_capped_topk" ->

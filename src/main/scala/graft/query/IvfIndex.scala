@@ -734,7 +734,7 @@ object IvfIndex {
     * them): (idCol, embCol, centroid_id, __norm) — shared by every
     * corpus-as-queries pattern.
     */
-  private def normalizedAssigned(
+  private[query] def normalizedAssigned(
       spark: SparkSession,
       indexPath: String,
       idCol: String,

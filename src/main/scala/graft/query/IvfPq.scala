@@ -30,19 +30,53 @@ import org.apache.spark.sql.functions._
   * int rows per vector, partition-pruned at the source), and the full
   * payloads of only the vectors that survive the code bound. Neither
   * the codes nor the payload table ever shuffles — the query batch
-  * broadcasts. Codes here are encoded against GLOBAL codebooks (one
-  * LUT per query, not per (query, cell)); per-cell residual encoding
-  * (classic ADC's finer variant) drops into the same layout by keying
-  * the codebooks table by cell — a cost refinement, not a correctness
-  * one. Global codebooks also make the codes CELL-INDEPENDENT, which
-  * is what lets [[splitHotCells]] move code rows between partitions
-  * without re-encoding anything.
+  * broadcasts. Two encodings share the layout ([[Params.residual]]):
+  * GLOBAL (default — codes priced against the raw vectors, one LUT
+  * per query) and RESIDUAL (classic IVFADC — codes priced against
+  * vector − centroid residuals through append-only encoding
+  * generations, one LUT per (query, generation); far tighter bounds,
+  * hence far smaller exact-verify fetches, on clustered corpora).
+  * Both keep every code row self-consistent under maintenance —
+  * global codes are cell-independent outright, residual codes carry
+  * their generation — which is what lets [[splitHotCells]] move code
+  * rows between partitions without re-encoding anything in either
+  * mode.
   */
 object IvfPq {
 
+  /** `residual = true` selects per-cell RESIDUAL encoding — classic
+    * IVFADC: codebooks are fit on (vector − cell centroid) residuals,
+    * which are far more concentrated than the vectors themselves on a
+    * clustered corpus, so the stored `resid` quantization error (and
+    * with it the certified [lb, ub] width, and with THAT the
+    * exact-verify fetch volume) shrinks. A cost refinement only: both
+    * modes are EXACT by the same bound.
+    *
+    * Encoding generations: every code row carries the `enc_id` of the
+    * center it was encoded against, resolved through an APPEND-ONLY
+    * `enc_centers` table — the LUT is built per (query, enc), so a
+    * code row stays self-consistent forever: splits MOVE rows without
+    * re-encoding (exactly as in global mode), and upserts into a
+    * re-centered or split-minted cell append a fresh generation
+    * rather than touching anything. Center drift between a row's enc
+    * generation and its cell's current centroid costs bound TIGHTNESS
+    * (more fetches), never answers — re-encode by rebuilding when the
+    * fetch volume says it pays, the family's compact-when-it-pays
+    * discipline.
+    */
   case class Params(
       ivf: IvfIndex.Params = IvfIndex.Params(),
-      pq: PqIndex.Params = PqIndex.Params())
+      pq: PqIndex.Params = PqIndex.Params(),
+      residual: Boolean = false)
+
+  /** A residual-mode index is recognized on disk by its `enc_centers`
+    * table — query and maintenance read the mode from the index, so a
+    * caller cannot mismatch it.
+    */
+  private[graft] def isResidual(spark: SparkSession, indexPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexPath/enc_centers")
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
 
   /** Build = one [[IvfIndex.build]] (cells + radii metadata + the
     * payload table, parquet-partitioned by cell) + PQ codebooks fit
@@ -57,18 +91,59 @@ object IvfPq {
       params: Params = Params()): Unit = {
     val spark = df.sparkSession
     IvfIndex.build(df, idCol, embCol, outPath, params.ivf)
-    PqIndex.fitAndWriteCodebooks(df, idCol, embCol, outPath, params.pq)
-    // encode every vector and co-partition the codes WITH their cell:
-    // the cell-level bound then prunes code directories before a single
-    // code is read
-    val assignment = spark.read.parquet(s"$outPath/cells")
-      .select(col(idCol), col("centroid_id"))
-    PqIndex.encode(df, idCol, embCol, PqIndex.codebooksDf(spark, outPath), params.pq)
-      .join(assignment, idCol)
-      .transform(graft.util.PartitionedWrite.spread(
-        _, params.ivf.nCentroids, col("centroid_id"), col(idCol)))
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$outPath/cell_codes")
+    if (!params.residual) {
+      PqIndex.fitAndWriteCodebooks(df, idCol, embCol, outPath, params.pq)
+      // encode every vector and co-partition the codes WITH their cell:
+      // the cell-level bound then prunes code directories before a
+      // single code is read
+      val assignment = spark.read.parquet(s"$outPath/cells")
+        .select(col(idCol), col("centroid_id"))
+      PqIndex.encode(df, idCol, embCol, PqIndex.codebooksDf(spark, outPath), params.pq)
+        .join(assignment, idCol)
+        .transform(graft.util.PartitionedWrite.spread(
+          _, params.ivf.nCentroids, col("centroid_id"), col(idCol)))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$outPath/cell_codes")
+    } else {
+      // RESIDUAL mode ([[Params.residual]]): codebooks fit on
+      // (normalized vector − cell centroid), codes priced against the
+      // per-row generation center. Build-time generations are the
+      // build centroids themselves: enc_id := centroid_id.
+      val meta = spark.read.parquet(s"$outPath/cells_meta")
+      val residuals = IvfIndex.normalizedAssigned(spark, outPath, idCol, embCol)
+        .join(broadcast(meta.select(col("centroid_id"), col("center"))),
+          "centroid_id")
+        .withColumn("__res",
+          zip_with(col("__norm"), col("center"),
+            (a, b) => (a - b).cast("float")))
+        .select(col(idCol), col("centroid_id"), col("__res"))
+        // one pruned-free scan feeds both the fit and the encode
+        .localCheckpoint()
+      val fitInput = if (params.pq.fitSampleMod > 1)
+        residuals.filter(
+          pmod(hash(col(idCol)), lit(params.pq.fitSampleMod)) === 0)
+      else residuals
+      PqIndex.fitCodebooksFrom(
+        PqIndex.subspaceRowsOf(fitInput, idCol, "__res", params.pq, Nil),
+        idCol, outPath, params.pq)
+      // enc tables FIRST (append-only; codes reference them) — the
+      // residual-mode marker is the enc_centers table itself
+      meta.select(col("centroid_id").cast("long").as("enc_id"), col("center"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$outPath/enc_centers")
+      meta.select(col("centroid_id"),
+          col("centroid_id").cast("long").as("enc_id"))
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$outPath/enc_current")
+      PqIndex.encodePrepared(residuals, idCol, "__res",
+          PqIndex.codebooksDf(spark, outPath), params.pq)
+        .join(residuals.select(col(idCol), col("centroid_id")), idCol)
+        .withColumn("enc_id", col("centroid_id").cast("long"))
+        .transform(graft.util.PartitionedWrite.spread(
+          _, params.ivf.nCentroids, col("centroid_id"), col(idCol)))
+        .write.mode("overwrite").partitionBy("centroid_id")
+        .parquet(s"$outPath/cell_codes")
+    }
   }
 
   /** Incremental maintenance of the composed index: assign NEW vectors
@@ -94,26 +169,95 @@ object IvfPq {
     val nCells = cellMeta.count().toInt.max(1)
     val assignment = IvfIndex.assignNew(cellMeta, nCells, idCol, embCol, newRows)
       .select(col(idCol), col("centroid_id"))
-    PqIndex.encode(newRows, idCol, embCol,
-        PqIndex.codebooksDf(spark, indexPath), params.pq)
-      .join(assignment, idCol)
-      // spread by the LIVE cell count (read above), not the params'
-      // nominal nCentroids — the caller's params need not match the
-      // build and the count is already on hand
-      .transform(graft.util.PartitionedWrite.spread(
-        _, nCells, col("centroid_id"), col(idCol)))
-      .write.mode("append").partitionBy("centroid_id")
-      .parquet(s"$indexPath/cell_codes")
+    if (!isResidual(spark, indexPath)) {
+      PqIndex.encode(newRows, idCol, embCol,
+          PqIndex.codebooksDf(spark, indexPath), params.pq)
+        .join(assignment, idCol)
+        // spread by the LIVE cell count (read above), not the params'
+        // nominal nCentroids — the caller's params need not match the
+        // build and the count is already on hand
+        .transform(graft.util.PartitionedWrite.spread(
+          _, nCells, col("centroid_id"), col(idCol)))
+        .write.mode("append").partitionBy("centroid_id")
+        .parquet(s"$indexPath/cell_codes")
+    } else {
+      // RESIDUAL mode: encode against the assigned cell's CURRENT enc
+      // generation; cells without one (minted by a split since the
+      // last generation was recorded) get a fresh generation from
+      // their current centroid. All driver collects are ≤ nCells
+      // (the probe-pruning bound); the enc tables are written BEFORE
+      // any code references them, so a crash between the writes
+      // leaves at worst unreferenced generations, never a dangling
+      // enc_id.
+      val targets = assignment.select(col("centroid_id").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSet
+      val have = spark.read.parquet(s"$indexPath/enc_current")
+        .select(col("centroid_id").cast("long"))
+        .collect().map(_.getLong(0)).toSet
+      val missing = (targets -- have).toSeq.sorted
+      if (missing.nonEmpty) {
+        import spark.implicits._
+        val maxEnc = spark.read.parquet(s"$indexPath/enc_centers")
+          .agg(max(col("enc_id"))).head.getLong(0)
+        val mintMap = missing.zipWithIndex
+          .map { case (c, i) => (c, maxEnc + 1 + i) }
+          .toDF("__cid", "__enc")
+        val minted = cellMeta
+          .join(broadcast(mintMap),
+            col("centroid_id").cast("long") === col("__cid"))
+          .localCheckpoint()
+        minted.select(col("__enc").as("enc_id"), col("center"))
+          .repartition(1).write.mode("append")
+          .parquet(s"$indexPath/enc_centers")
+        val updatedCur = spark.read.parquet(s"$indexPath/enc_current")
+          .unionByName(minted.select(
+            col("centroid_id").cast("long").as("centroid_id"),
+            col("__enc").as("enc_id")))
+          .select(col("centroid_id").cast("long").as("centroid_id"), col("enc_id"))
+          .localCheckpoint()
+        updatedCur.repartition(1).write.mode("overwrite")
+          .parquet(s"$indexPath/enc_current")
+      }
+      val encCur = broadcast(spark.read.parquet(s"$indexPath/enc_current")
+        .select(col("centroid_id").cast("long").as("__ecell"), col("enc_id")))
+      val encCenters = broadcast(
+        spark.read.parquet(s"$indexPath/enc_centers"))
+      val prep = AnnIndex.prepared(
+          newRows.dropDuplicates(Seq(idCol, embCol)), idCol, embCol)
+        .select(col(idCol),
+          org.apache.spark.ml.functions.vector_to_array(col("features"))
+            .cast("array<float>").as("__norm"))
+      val residuals = prep
+        .join(assignment, idCol)
+        .join(encCur, col("centroid_id").cast("long") === col("__ecell"))
+        .join(encCenters, "enc_id")
+        .withColumn("__res",
+          zip_with(col("__norm"), col("center"),
+            (a, b) => (a - b).cast("float")))
+        .select(col(idCol), col("centroid_id"), col("enc_id"), col("__res"))
+        .localCheckpoint()
+      PqIndex.encodePrepared(residuals, idCol, "__res",
+          PqIndex.codebooksDf(spark, indexPath), params.pq)
+        .join(residuals.select(col(idCol), col("centroid_id"), col("enc_id")),
+          idCol)
+        .transform(graft.util.PartitionedWrite.spread(
+          _, nCells, col("centroid_id"), col(idCol)))
+        .write.mode("append").partitionBy("centroid_id")
+        .parquet(s"$indexPath/cell_codes")
+    }
   }
 
   /** Hot-cell split maintenance for the composed index — delegates to
     * [[IvfIndex.splitHotCells]], which moves the `cell_codes` rows
-    * WITH their cells (global codebooks make codes cell-independent;
-    * only the partition key changes). Result-invisible by the stacked
-    * bounds' contracts; see the crash-ordering story on
-    * [[IvfIndex.splitHotCells]]. This completes the composed family's
-    * log-structured lifecycle: append ([[upsert]]) → split → compact
-    * ([[compactIndex]]), no full re-cluster anywhere.
+    * WITH their cells: only the partition key changes, in BOTH
+    * encodings (global codes are cell-independent; residual codes
+    * carry their enc generation, which the move preserves — a moved
+    * row keeps pricing against the center it was encoded with).
+    * Result-invisible by the stacked bounds' contracts; see the
+    * crash-ordering story on [[IvfIndex.splitHotCells]]. This
+    * completes the composed family's log-structured lifecycle: append
+    * ([[upsert]]) → split → compact ([[compactIndex]]), no full
+    * re-cluster anywhere.
     */
   def splitHotCells(
       spark: SparkSession,
@@ -206,14 +350,31 @@ object IvfPq {
       params: Params = Params()): (DataFrame, DataFrame, DataFrame) = {
     val pad = lit(1e-6)
     val cellMeta = broadcast(spark.read.parquet(s"$indexPath/cells_meta"))
-    val lutq = PqIndex.queryLut(
-      spark, indexPath, queries, queryIdCol, queryVecCol, params.pq)
+    val residualMode = isResidual(spark, indexPath)
     val qNorm = AnnIndex.prepared(
         queries.select(col(queryIdCol), col(queryVecCol).as("__qv")),
         queryIdCol, "__qv")
-      .select(col(queryIdCol),
+      .select(col(queryIdCol), col("__qv"),
         org.apache.spark.ml.functions.vector_to_array(col("features"))
           .cast("array<float>").as("__qnorm"))
+    // the ADC lookup tables: global mode prices every code against one
+    // LUT per query; residual mode prices a code against the LUT of
+    // ITS encoding generation — one LUT per (query, enc_id), built
+    // from q − enc_center over the append-only enc_centers table
+    // (queries × nEnc rows, broadcast-sized by the point-lookup
+    // contract)
+    val lutq =
+      if (!residualMode)
+        PqIndex.queryLut(spark, indexPath, queries, queryIdCol, queryVecCol, params.pq)
+      else
+        PqIndex.lutOf(
+          qNorm.crossJoin(broadcast(spark.read.parquet(s"$indexPath/enc_centers")))
+            .withColumn("__qdiff",
+              zip_with(col("__qnorm"), col("center"),
+                (a, b) => (a - b).cast("float"))),
+          Seq(queryIdCol, "enc_id"), "__qdiff",
+          PqIndex.codebooksDf(spark, indexPath), params.pq)
+    val lutKeys = if (!residualMode) Seq(queryIdCol) else Seq(queryIdCol, "enc_id")
 
     // per (query, cell): probe order + the cell-level bound
     val wCent = Window.partitionBy(col(queryIdCol))
@@ -237,7 +398,7 @@ object IvfPq {
         .collect().map(_.get(0)).toSeq
       codes.filter(col("centroid_id").isin(probed: _*))
         .join(broadcast(selM), Seq("centroid_id"))
-        .join(broadcast(lutq), queryIdCol)
+        .join(broadcast(lutq), lutKeys)
         .withColumn("__adc", sqrt(graft.functions.pq_adc(col("codes"), col("__lut"))))
         .withColumn("__lb",
           lit(1.0) - pow(col("__adc") + col("resid") + pad, 2) / 2)
@@ -279,7 +440,7 @@ object IvfPq {
       .filter(col("centroid_id").isin(fetchCells: _*))
       .select(col(idCol), col(embCol))
       .join(candM.select(col(queryIdCol), col(idCol)), idCol)
-      .join(broadcast(lutq.select(col(queryIdCol), col("__qv"))), queryIdCol)
+      .join(broadcast(qNorm.select(col(queryIdCol), col("__qv"))), queryIdCol)
       .withColumn("sim", cosine_sim(col("__qv"), col(embCol)))
       .filter(col("sim") > threshold)
       .select(col(queryIdCol), col(idCol), col("sim"))

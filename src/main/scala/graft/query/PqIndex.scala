@@ -112,14 +112,32 @@ object PqIndex {
       embCol: String,
       params: Params,
       keep: Seq[String]): DataFrame =
-    AnnIndex.prepared(df, idCol, embCol)
-      .select(
-        (col(idCol) +: keep.map(col) :+
-          vector_to_array(col("features")).cast("array<float>").as("__norm")): _*)
+    subspaceRowsOf(
+      AnnIndex.prepared(df, idCol, embCol)
+        .select(
+          (col(idCol) +: keep.map(col) :+
+            vector_to_array(col("features")).cast("array<float>").as("__prep")): _*),
+      idCol, "__prep", params, keep)
+
+  /** [[subspaceRows]] over an ALREADY-prepared float-array column —
+    * no normalization. The residual path needs this: a residual is
+    * the DIFFERENCE of a unit vector and its cell center, and
+    * re-normalizing it would destroy the ‖q − x̂‖ identity the ADC
+    * bound rests on.
+    */
+  private[query] def subspaceRowsOf(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      params: Params,
+      keep: Seq[String]): DataFrame =
+    df
+      .select((col(idCol) +: keep.map(col) :+
+        col(vecCol).cast("array<float>").as("__pqv")): _*)
       .withColumn("sub", explode(sequence(lit(0), lit(params.numSub - 1))))
       .withColumn("__subvec",
-        slice(col("__norm"), col("sub") * params.subDim + 1, lit(params.subDim)))
-      .drop("__norm")
+        slice(col("__pqv"), col("sub") * params.subDim + 1, lit(params.subDim)))
+      .drop("__pqv")
 
   /** Encode a corpus against per-subspace codebooks: one row per id with
     * `codes` (argmin codebook entry per subspace, ties to the lower
@@ -135,9 +153,32 @@ object PqIndex {
       idCol: String,
       embCol: String,
       codebooks: DataFrame,
+      params: Params): DataFrame =
+    encodeSubRows(
+      subspaceRows(df.dropDuplicates(Seq(idCol, embCol)), idCol, embCol, params, Nil),
+      idCol, codebooks, params)
+
+  /** [[encode]] over an already-prepared vector column
+    * ([[subspaceRowsOf]] semantics — no normalization): the residual
+    * path's encoder. Same per-id shape and the same
+    * conflicting-duplicate enforcement.
+    */
+  private[query] def encodePrepared(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      codebooks: DataFrame,
+      params: Params): DataFrame =
+    encodeSubRows(
+      subspaceRowsOf(df.dropDuplicates(Seq(idCol)), idCol, vecCol, params, Nil),
+      idCol, codebooks, params)
+
+  private def encodeSubRows(
+      subRows: DataFrame,
+      idCol: String,
+      codebooks: DataFrame,
       params: Params): DataFrame = {
-    val best = subspaceRows(
-        df.dropDuplicates(Seq(idCol, embCol)), idCol, embCol, params, Nil)
+    val best = subRows
       .join(codebooks, "sub")
       // per-(id, sub) argmin over the codebook: a per-row fold over the
       // K centers (no K-way row blow-up, no shuffle) — strict < keeps
@@ -204,13 +245,26 @@ object PqIndex {
       embCol: String,
       outPath: String,
       params: Params): Unit = {
-    val spark = df.sparkSession
     val fitInput = if (params.fitSampleMod > 1)
       df.filter(pmod(hash(col(idCol)), lit(params.fitSampleMod)) === 0)
     else df
+    fitCodebooksFrom(
+      subspaceRows(fitInput, idCol, embCol, params, Nil), idCol, outPath, params)
+  }
+
+  /** The fitting core over any per-subspace row source ((idCol, sub,
+    * __subvec) — [[subspaceRows]] for raw vectors, [[subspaceRowsOf]]
+    * for residuals). Caller owns sampling.
+    */
+  private[query] def fitCodebooksFrom(
+      subRowsIn: DataFrame,
+      idCol: String,
+      outPath: String,
+      params: Params): Unit = {
+    val spark = subRowsIn.sparkSession
     // one materialized pass feeds all numSub fits with the pinned
     // layout; each fit reads only its 8-dim slice
-    val subRows = subspaceRows(fitInput, idCol, embCol, params, Nil)
+    val subRows = subRowsIn
       .repartition(BuildPartitions, col(idCol))
       .sortWithinPartitions(idCol, "sub")
       .persist()
@@ -327,6 +381,32 @@ object PqIndex {
     * that priced the stored residuals. Broadcast-sized by the
     * point-lookup contract; shared with [[IvfPq]].
     */
+  /** ADC lookup tables for arbitrary difference vectors, keyed by any
+    * column set: (keyCols..., vecCol array<float>) → (keyCols...,
+    * __lut), lut[sub·K + code] = ‖v_sub − c‖² via the same [[d2]]
+    * kernel as everywhere. The residual path's per-(query, enc
+    * generation) LUT builder, where the vector is q − enc_center.
+    */
+  private[query] def lutOf(
+      vecRows: DataFrame,
+      keyCols: Seq[String],
+      vecCol: String,
+      codebooks: DataFrame,
+      params: Params): DataFrame =
+    vecRows
+      .withColumn("sub", explode(sequence(lit(0), lit(params.numSub - 1))))
+      .withColumn("__subvec",
+        slice(col(vecCol).cast("array<float>"),
+          col("sub") * params.subDim + 1, lit(params.subDim)))
+      .join(codebooks, "sub")
+      .withColumn("__lut_sub",
+        transform(col("centers"), c => d2(col("__subvec"), c)))
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(struct(col("sub"), col("__lut_sub"))).as("__ls"))
+      .select(keyCols.map(col) :+
+        flatten(transform(array_sort(col("__ls")), s => s.getField("__lut_sub")))
+          .as("__lut"): _*)
+
   private[query] def queryLut(
       spark: SparkSession,
       indexPath: String,
