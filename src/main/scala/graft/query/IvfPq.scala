@@ -304,13 +304,115 @@ object IvfPq {
     val codeFiles = graft.util.PartitionFiles
       .counts(spark, s"$indexPath/cell_codes", "centroid_id")
       .toDF("centroid_id", "code_files")
-    IvfIndex.stats(spark, indexPath)
+    val base = IvfIndex.stats(spark, indexPath)
       .join(codeOcc, Seq("centroid_id"), "left")
       .join(broadcast(codeFiles), Seq("centroid_id"), "left")
       .select(col("centroid_id"), col("occupancy"), col("radius"),
         col("n_files"),
         coalesce(col("codes"), lit(0L)).as("codes"),
         coalesce(col("code_files"), lit(0L)).as("code_files"))
+    if (!isResidual(spark, indexPath)) base
+    else {
+      // residual mode: generation-drift visibility per cell —
+      // `generations` = distinct enc generations among the cell's
+      // rows, `enc_drift` = max distance between the cell's CURRENT
+      // centroid and a generation center its rows still price
+      // against. Drift loosens the residual bounds (more fetches,
+      // never wrong answers); [[reencodeCells]] when it grows. The
+      // per-(cell, generation) aggregation is distinct-pair-sized —
+      // ≤ nCells × nGenerations rows, no payload bytes.
+      val meta = spark.read.parquet(s"$indexPath/cells_meta")
+        .select(col("centroid_id").cast("long").as("centroid_id"),
+          col("center").as("__cur"))
+      val drift = spark.read.parquet(s"$indexPath/cell_codes")
+        .select(col("centroid_id").cast("long").as("centroid_id"), col("enc_id"))
+        .distinct()
+        .join(broadcast(spark.read.parquet(s"$indexPath/enc_centers")), "enc_id")
+        .join(broadcast(meta), "centroid_id")
+        .withColumn("__d",
+          sqrt(graft.functions.l2_dist_sq(col("center"), col("__cur"))))
+        .groupBy("centroid_id")
+        .agg(countDistinct(col("enc_id")).as("generations"),
+          max(col("__d")).as("enc_drift"))
+      base.join(drift, Seq("centroid_id"), "left")
+        .select(base.columns.map(col) :+
+          coalesce(col("generations"), lit(0L)).as("generations") :+
+          coalesce(col("enc_drift"), lit(0.0)).as("enc_drift"): _*)
+    }
+  }
+
+  /** Re-encode the codes of the given cells (default: every cell)
+    * against their CURRENT centroids under a single fresh generation —
+    * the tightness-restore op residual mode needs once generation
+    * drift accumulates (splits re-center cells; moved rows keep
+    * pricing against the center they were encoded with). Off the
+    * query path, result-invisible at every point: until a partition's
+    * overwrite commits its rows price against their old generations,
+    * after it against the new one, and the per-(query, generation)
+    * LUT covers both. Cost: one pruned scan of the selected cells'
+    * payloads + encode + a dynamic overwrite of only their code
+    * directories. The mid-write kill window of the dynamic overwrite
+    * is the family's accepted residual (as for compaction and the
+    * split); enc appends before any code references them.
+    */
+  def reencodeCells(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      params: Params = Params(),
+      cells: Option[Seq[Long]] = None): Unit = {
+    import spark.implicits._
+    require(isResidual(spark, indexPath),
+      "IvfPq.reencodeCells: a global-codebook index has no generations to " +
+        "re-encode — rebuild to refit its codebooks")
+    val meta = spark.read.parquet(s"$indexPath/cells_meta")
+    val targets = cells.getOrElse(
+      meta.select(col("centroid_id").cast("long"))
+        .collect().map(_.getLong(0)).toSeq).sorted
+    if (targets.isEmpty) return
+    // one fresh generation per target cell, minted from the current
+    // centroid; enc tables first (append-only, codes reference them)
+    val maxEnc = spark.read.parquet(s"$indexPath/enc_centers")
+      .agg(max(col("enc_id"))).head.getLong(0)
+    val mintMap = targets.zipWithIndex
+      .map { case (c, i) => (c, maxEnc + 1 + i) }
+      .toDF("__cid", "__enc")
+    val minted = meta
+      .join(broadcast(mintMap), col("centroid_id").cast("long") === col("__cid"))
+      .localCheckpoint()
+    minted.select(col("__enc").as("enc_id"), col("center"))
+      .repartition(1).write.mode("append").parquet(s"$indexPath/enc_centers")
+    val updatedCur = spark.read.parquet(s"$indexPath/enc_current")
+      .select(col("centroid_id").cast("long").as("centroid_id"), col("enc_id"))
+      .filter(!col("centroid_id").isin(targets: _*))
+      .unionByName(minted.select(
+        col("centroid_id").cast("long").as("centroid_id"),
+        col("__enc").as("enc_id")))
+      .localCheckpoint()
+    updatedCur.repartition(1).write.mode("overwrite")
+      .parquet(s"$indexPath/enc_current")
+    // pruned payload scan of the target cells, residual vs the CURRENT
+    // centroid, frozen-codebook encode, dynamic overwrite of only the
+    // target code directories
+    val members = IvfIndex.normalizedAssigned(spark, indexPath, idCol, embCol)
+      .filter(col("centroid_id").isin(targets: _*))
+    val residuals = members
+      .join(broadcast(minted.select(
+          col("centroid_id"), col("center"), col("__enc").as("enc_id"))),
+        Seq("centroid_id"))
+      .withColumn("__res",
+        zip_with(col("__norm"), col("center"), (a, b) => (a - b).cast("float")))
+      .select(col(idCol), col("centroid_id"), col("enc_id"), col("__res"))
+      .localCheckpoint()
+    PqIndex.encodePrepared(residuals, idCol, "__res",
+        PqIndex.codebooksDf(spark, indexPath), params.pq)
+      .join(residuals.select(col(idCol), col("centroid_id"), col("enc_id")), idCol)
+      .transform(graft.util.PartitionedWrite.spread(
+        _, targets.size, col("centroid_id"), col(idCol)))
+      .write.mode("overwrite").partitionBy("centroid_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$indexPath/cell_codes")
   }
 
   /** Batch top-k, exact by the stacked bounds. Output:

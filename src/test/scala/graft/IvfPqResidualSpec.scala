@@ -129,6 +129,47 @@ class IvfPqResidualSpec extends AnyFunSuite with SharedSpark {
     assert(got == exact)
   }
 
+  test("reencodeCells collapses drifted generations and tightens the fetch") {
+    val e = clustered(240L)
+    val dir = tmp("reencode")
+    IvfPq.build(e.filter(pmod(col("vec_id"), lit(10)) >= 2),
+      "vec_id", "embedding", dir, params)
+    IvfPq.upsert(spark, dir, "vec_id", "embedding",
+      e.filter(pmod(col("vec_id"), lit(10)) === 0), params)
+    IvfPq.splitToConvergence(spark, dir, "vec_id", "embedding", occupancyCap = 40L)
+    IvfPq.upsert(spark, dir, "vec_id", "embedding",
+      e.filter(pmod(col("vec_id"), lit(10)) === 1), params)
+
+    // post-split state: moved rows price against pre-split centers —
+    // the stats report must SHOW the drift
+    def drifts(): Map[Long, (Long, Double)] = IvfPq.stats(spark, dir)
+      .select(col("centroid_id"), col("generations"), col("enc_drift"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val before = drifts()
+    assert(before.values.exists(_._2 > 1e-6),
+      s"no generation drift visible after a re-centering split: $before")
+
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def fetch(): Long = IvfPq.queryTopKWithDiag(spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 3, threshold = 0.0, params = params)._3.count()
+    val fetchBefore = fetch()
+
+    IvfPq.reencodeCells(spark, dir, "vec_id", "embedding", params)
+    val after = drifts()
+    assert(after.values.forall { case (g, d) => g == 1L && d < 1e-6 },
+      s"re-encode left drifted generations: $after")
+    // nothing dangles, counts hold, answers identical, fetch no worse
+    assert(spark.read.parquet(s"$dir/cell_codes")
+      .join(spark.read.parquet(s"$dir/enc_centers"), Seq("enc_id"), "left_anti")
+      .isEmpty)
+    assert(spark.read.parquet(s"$dir/cell_codes").count() == 240L)
+    val (got, exact) = queryBoth(e, dir, params)
+    assert(got == exact)
+    assert(fetch() <= fetchBefore,
+      "re-encoding against current centroids loosened the bounds")
+  }
+
   test("residual codes move through a crashed split's repair with generations intact") {
     import spark.implicits._
     val e = clustered(200L)

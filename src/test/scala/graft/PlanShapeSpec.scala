@@ -243,6 +243,49 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "ranking tail not the answer-sized aggregate:\n" + plan.take(2000))
   }
 
+  test("residual-mode IVF+PQ keeps the pruned fetch and aggregate tail") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqres-plan").toString
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    val p = graft.query.IvfPq.Params(
+      ivf = graft.query.IvfIndex.Params(nCentroids = 8), residual = true)
+    graft.query.IvfPq.build(e, "vec_id", "embedding", dir, p)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val plan = graft.query.IvfPq.queryTopK(spark, dir, "vec_id", "embedding",
+        queries, "query_id", "qvec", k = 5, threshold = 0.0, params = p)
+      .queryExecution.executedPlan.toString
+    // the per-(query, generation) LUT join must not change the scan
+    // shape: payload fetch statically pruned, answer-sized ranking
+    assert("PartitionFilters: \\[centroid_id[^\\]]{0,200}? IN".r
+        .findFirstIn(plan).isDefined,
+      "residual exact-fetch payload scan not statically pruned:\n" + plan.take(2000))
+    assert(plan.contains("partial_topk_by") && !plan.contains("Window"),
+      "residual ranking tail not the answer-sized aggregate:\n" + plan.take(2000))
+  }
+
+  test("the client's batch serving path prunes the payload fetch by bucket") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-client-plan").toString
+    val client = new GraftClient(spark,
+      GraftClient.Config(chunkSize = 200, chunkOverlap = 40, embedDim = 64))
+    val docs = Seq(
+      (1L, "## Context\nctx one\n\n## Usage\nCall ingest then query here.\n"),
+      (2L, "## Context\nctx two\n\n## Tuning\nBroadcast small tables.\n"))
+      .toDF("doc_id", "mdx")
+    client.ingest(docs, "doc_id", "mdx", s"$dir/index")
+    client.buildQueryIndex(s"$dir/index", s"$dir/ann")
+    val queries = Seq((0L, client.embedText("Call ingest then query here.")))
+      .toDF("query_id", "qvec")
+    val plan = client.queryIndexedBatch(s"$dir/ann", queries,
+        "query_id", "qvec", threshold = 0.0, count = 3)
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[__rbucket[^\\]]{0,200}? IN".r
+        .findFirstIn(plan).isDefined,
+      "batch payload scan not statically pruned by bucket:\n" + plan.take(2000))
+  }
+
   test("batch top-k partial-aggregates BEFORE the exchange; no window") {
     import org.apache.spark.sql.functions.col
     val e = graft.Tables(spark, Sf0001, "embeddings")
