@@ -32,6 +32,14 @@ object GraftClient {
     * index-aligned parallel arrays of chunk contents and their contexts.
     */
   case class Embedding(context: Seq[String], metadataContext: Seq[String])
+
+  /** Partition-directory count of the [[GraftClient.buildQueryIndex]]
+    * payload table. ONE constant shared by the write and both pruned
+    * read paths — a drifted literal at any of the three sites would
+    * compute wrong bucket ids and silently filter hit rows out of the
+    * payload fetch.
+    */
+  private[graft] val PayloadBuckets = 64
 }
 
 final class GraftClient(
@@ -120,9 +128,10 @@ final class GraftClient(
       .select(col("row_id"), col("content"), col("metadata"), col("embedding"))
     graft.query.IvfIndex.build(withId, "row_id", "embedding", s"$annPath/ivf")
     withId.select("row_id", "content", "metadata")
-      .withColumn("__rbucket", pmod(hash(col("row_id")), lit(64)))
+      .withColumn("__rbucket",
+        pmod(hash(col("row_id")), lit(GraftClient.PayloadBuckets)))
       .transform(graft.util.PartitionedWrite.spread(
-        _, 64, col("__rbucket"), col("row_id")))
+        _, GraftClient.PayloadBuckets, col("__rbucket"), col("row_id")))
       .write.mode("overwrite").partitionBy("__rbucket")
       .parquet(s"$annPath/payload")
   }
@@ -150,7 +159,7 @@ final class GraftClient(
     // used, computed over the tiny id list)
     val ids = hits.select("row_id").collect().map(_.getLong(0)).toSeq
     val buckets = ids.toDF("row_id")
-      .select(pmod(hash(col("row_id")), lit(64)).as("b"))
+      .select(pmod(hash(col("row_id")), lit(GraftClient.PayloadBuckets)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val payload = spark.read.parquet(s"$annPath/payload")
       .filter(col("__rbucket").isin(buckets: _*))
@@ -187,7 +196,8 @@ final class GraftClient(
     val hits = graft.query.IvfIndex.queryTopK(spark, s"$annPath/ivf",
         "row_id", "embedding", queries, queryIdCol, vecCol, count, threshold)
       .localCheckpoint()
-    val buckets = hits.select(pmod(hash(col("row_id")), lit(64)).as("b"))
+    val buckets = hits
+      .select(pmod(hash(col("row_id")), lit(GraftClient.PayloadBuckets)).as("b"))
       .distinct().collect().map(_.getInt(0)).toSeq
     val payload = spark.read.parquet(s"$annPath/payload")
       .filter(col("__rbucket").isin(buckets: _*))

@@ -470,6 +470,17 @@ object IvfIndex {
         .write.partitionBy("centroid_id").mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(s"$indexPath/cell_codes")
+      // an affected code directory whose reconciled row set is EMPTY
+      // is untouchable by the dynamic overwrite (it never writes an
+      // empty partition) — delete it explicitly so stale copies
+      // cannot outlive the repair; ≤ affected ids reach the driver
+      val kept = fixed.select(col("centroid_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      affectedCodes.filterNot(kept).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$indexPath/cell_codes/centroid_id=$c"), true)
+        ()
+      }
     }
     // a fresh-side codes directory whose cells directory never
     // committed is a remnant of the crashed first write — delete it
@@ -713,10 +724,25 @@ object IvfIndex {
     // commit needs a generation-directory rename — out of scope);
     // every BETWEEN-write crash point reconciles via the marker.
     codesAssigned.foreach { ca =>
-      writeCodes(ca.filter(col("__cid").cast("long") === col("__oldcid").cast("long")),
-        splittable.size)
+      val side0 = ca.filter(
+        col("__cid").cast("long") === col("__oldcid").cast("long"))
+      writeCodes(side0, splittable.size)
+      // dynamic overwrite cannot EMPTY a partition — a split cell
+      // whose surviving code rows all moved to side 1 (possible only
+      // after a torn upsert left codes < occupancy) would keep its
+      // stale copies forever. Delete such directories explicitly;
+      // ≤ splittable ids reach the driver.
+      val kept = side0.select(col("__cid").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(s"$indexPath/cell_codes")
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      splittable.filterNot(kept).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$indexPath/cell_codes/centroid_id=$c"), true)
+        ()
+      }
       val mp = new org.apache.hadoop.fs.Path(splitPendingPath(indexPath))
-      mp.getFileSystem(spark.sessionState.newHadoopConf()).delete(mp, true)
+      fs.delete(mp, true)
       ()
     }
     SplitReport(splittable, degenerate, idPairs)

@@ -304,11 +304,18 @@ object IvfPq {
     val codeFiles = graft.util.PartitionFiles
       .counts(spark, s"$indexPath/cell_codes", "centroid_id")
       .toDF("centroid_id", "code_files")
+    // FULL joins on the codes side: a crashed-early composed split
+    // leaves fresh code directories with no cells_meta row, and a
+    // meta-driven left join would drop exactly the rows that carry
+    // the desync this report exists to surface (codes > 0 with
+    // occupancy 0)
     val base = IvfIndex.stats(spark, indexPath)
-      .join(codeOcc, Seq("centroid_id"), "left")
-      .join(broadcast(codeFiles), Seq("centroid_id"), "left")
-      .select(col("centroid_id"), col("occupancy"), col("radius"),
-        col("n_files"),
+      .join(codeOcc, Seq("centroid_id"), "full")
+      .join(codeFiles, Seq("centroid_id"), "full")
+      .select(col("centroid_id"),
+        coalesce(col("occupancy"), lit(0L)).as("occupancy"),
+        col("radius"),
+        coalesce(col("n_files"), lit(0L)).as("n_files"),
         coalesce(col("codes"), lit(0L)).as("codes"),
         coalesce(col("code_files"), lit(0L)).as("code_files"))
     if (!isResidual(spark, indexPath)) base
@@ -413,6 +420,22 @@ object IvfPq {
       .write.mode("overwrite").partitionBy("centroid_id")
       .option("partitionOverwriteMode", "dynamic")
       .parquet(s"$indexPath/cell_codes")
+    // retire superseded generations: without this every re-encode
+    // grows enc_centers (and with it the per-query LUT work of EVERY
+    // future query) without bound. Referenced = generations a code
+    // row still prices against ∪ each cell's current generation
+    // (tomorrow's upsert targets); the rewrite runs AFTER the code
+    // overwrite commits, so a crash in between strands extra
+    // generations (harmless), never a dangling reference.
+    val referenced = spark.read.parquet(s"$indexPath/cell_codes")
+      .select(col("enc_id")).distinct()
+      .unionByName(
+        spark.read.parquet(s"$indexPath/enc_current").select(col("enc_id")))
+      .distinct()
+    val prunedEnc = spark.read.parquet(s"$indexPath/enc_centers")
+      .join(referenced, "enc_id").localCheckpoint()
+    prunedEnc.repartition(1).write.mode("overwrite")
+      .parquet(s"$indexPath/enc_centers")
   }
 
   /** Batch top-k, exact by the stacked bounds. Output:
@@ -534,14 +557,30 @@ object IvfPq {
         col("__ub") >= coalesce(col("floor_lb"), lit(threshold)))
       .select(col(queryIdCol), col(idCol), col("centroid_id"))
 
-    // exact re-rank: payloads read pruned to the candidates' cells
+    // exact re-rank: payloads read pruned to the candidates' cells.
+    // Inside a split's commit window (and in a crashed split's state
+    // until repair) a stale code copy can surface the same vector
+    // from two cells — old and new directory both probed — and a
+    // duplicate candidate would occupy two ranks of the final top-k,
+    // displacing a true neighbor. The split_pending marker EXACTLY
+    // brackets that window (written before any code moves, cleared
+    // after the shrink / by repair), so the (query, id) dedup is
+    // applied only while it exists: a healthy index pays nothing, a
+    // racing or crashed-state query pays one candidate-sized
+    // exchange for a correct result shape. Floor inflation from the
+    // duplicate's lb rows remains the documented transient weakening
+    // until repair.
+    val mp = new org.apache.hadoop.fs.Path(s"$indexPath/split_pending")
+    val inSplitWindow = mp.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(mp)
     val candM = cand.localCheckpoint()
     val fetchCells = candM.select("centroid_id").distinct()
       .collect().map(_.get(0)).toSeq
+    val candPairs = candM.select(col(queryIdCol), col(idCol))
     val result = spark.read.parquet(s"$indexPath/cells")
       .filter(col("centroid_id").isin(fetchCells: _*))
       .select(col(idCol), col(embCol))
-      .join(candM.select(col(queryIdCol), col(idCol)), idCol)
+      .join(if (inSplitWindow) candPairs.distinct() else candPairs, idCol)
       .join(broadcast(qNorm.select(col(queryIdCol), col("__qv"))), queryIdCol)
       .withColumn("sim", cosine_sim(col("__qv"), col(embCol)))
       .filter(col("sim") > threshold)
@@ -549,6 +588,6 @@ object IvfPq {
       .transform(SimilaritySearch.topKExplode(_, queryIdCol, idCol, "sim", k))
     (result,
       scanned.select(col(queryIdCol), col("centroid_id")).distinct(),
-      candM.select(col(queryIdCol), col(idCol)))
+      candM.select(col(queryIdCol), col(idCol)).distinct())
   }
 }

@@ -161,7 +161,11 @@ object PqIndex {
   /** [[encode]] over an already-prepared vector column
     * ([[subspaceRowsOf]] semantics — no normalization): the residual
     * path's encoder. Same per-id shape and the same
-    * conflicting-duplicate enforcement.
+    * conflicting-duplicate enforcement: exact duplicate (id, vec)
+    * rows collapse (benign retry), while a CONFLICTING duplicate must
+    * SURVIVE to the per-id subspace-count check so the job fails
+    * naming the id — deduping by id alone would silently encode an
+    * arbitrary copy.
     */
   private[query] def encodePrepared(
       df: DataFrame,
@@ -170,7 +174,7 @@ object PqIndex {
       codebooks: DataFrame,
       params: Params): DataFrame =
     encodeSubRows(
-      subspaceRowsOf(df.dropDuplicates(Seq(idCol)), idCol, vecCol, params, Nil),
+      subspaceRowsOf(df.dropDuplicates(Seq(idCol, vecCol)), idCol, vecCol, params, Nil),
       idCol, codebooks, params)
 
   private def encodeSubRows(

@@ -159,6 +159,11 @@ class IvfPqResidualSpec extends AnyFunSuite with SharedSpark {
     val after = drifts()
     assert(after.values.forall { case (g, d) => g == 1L && d < 1e-6 },
       s"re-encode left drifted generations: $after")
+    // superseded generations are retired: enc_centers holds exactly
+    // one generation per cell, so per-query LUT work stays bounded
+    assert(spark.read.parquet(s"$dir/enc_centers").count() ==
+      spark.read.parquet(s"$dir/cells_meta").count(),
+      "re-encode did not retire superseded generations")
     // nothing dangles, counts hold, answers identical, fetch no worse
     assert(spark.read.parquet(s"$dir/cell_codes")
       .join(spark.read.parquet(s"$dir/enc_centers"), Seq("enc_id"), "left_anti")
@@ -168,6 +173,24 @@ class IvfPqResidualSpec extends AnyFunSuite with SharedSpark {
     assert(got == exact)
     assert(fetch() <= fetchBefore,
       "re-encoding against current centroids loosened the bounds")
+  }
+
+  test("a conflicting duplicate id fails the residual build loudly") {
+    import spark.implicits._
+    // global mode aborts on (same id, different embedding) — residual
+    // mode must too, not silently encode an arbitrary copy
+    val e = clustered(60L).unionByName(Seq(
+      (5L, Array(0f, 0f, 0f, 0f, 1.0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding"))
+    val dir = tmp("dup")
+    val err = intercept[Exception] {
+      IvfPq.build(e, "vec_id", "embedding", dir, params)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(err).exists(m => m != null &&
+        (m.contains("duplicated id") || m.contains("conflicting"))),
+      s"wrong failure: ${messages(err).take(3)}")
   }
 
   test("residual codes move through a crashed split's repair with generations intact") {

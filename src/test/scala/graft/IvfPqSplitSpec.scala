@@ -142,6 +142,15 @@ class IvfPqSplitSpec extends AnyFunSuite with SharedSpark {
     val (gotCrashed, exactCrashed) = queryBoth(e, dir)
     assert(gotCrashed == exactCrashed, "the crashed-early state lost answers")
 
+    // and the stats report SHOWS the crashed state: the fresh code
+    // directories have no cells row, so they surface as codes > 0
+    // with occupancy 0 (a meta-driven join would hide exactly these)
+    val orphanRows = IvfPq.stats(spark, dir)
+      .filter(col("occupancy") === 0 && col("codes") > 0)
+      .select(col("centroid_id")).collect().map(_.getLong(0)).toSet
+    assert(report.newIds.map(_._2).toSet.subsetOf(orphanRows),
+      s"stats hid the orphan code directories: $orphanRows")
+
     // next maintenance pass: repair reconciles (fresh code directories
     // whose cells never committed are deleted), then the split re-runs
     IvfPq.splitToConvergence(spark, dir, "vec_id", "embedding", occupancyCap = 60L)
@@ -181,6 +190,18 @@ class IvfPqSplitSpec extends AnyFunSuite with SharedSpark {
     assert(report.newIds.map(_._1).exists(c =>
         statsBroken(c)._2 > statsBroken(c)._1),
       s"stats did not flag the duplicate codes: $statsBroken")
+    // queries racing the crashed state must never return the same
+    // vector at two ranks (the fetch dedups duplicate candidates) —
+    // the floor inflation may transiently weaken answers, duplicates
+    // in the OUTPUT would be a wrong shape
+    val queriesB = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val broken = IvfPq.queryTopK(spark, dir, "vec_id", "embedding",
+      queriesB, "query_id", "qvec", k = 3, threshold = 0.0, params = params)
+    val pairs = broken.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.distinct.length,
+      "a stale duplicate occupied two ranks in the crashed state")
 
     // repair directly (what the next pass runs at its head): the old
     // directories shrink to the committed cells assignment
