@@ -203,6 +203,57 @@ class IndexMaintenanceSpec extends AnyFunSuite with SharedSpark {
     assert(spark.read.parquet(s"$dir/cell_codes").count() == before)
   }
 
+  test("streamed RESIDUAL composed maintenance with a split cap stays exact") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // the full production loop for the residual family in one run:
+    // residual build → streamed upserts (generation reuse + minting)
+    // → in-batch splits (codes move with their generation) behind the
+    // replay fence — answers must stay the brute-force exact set
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqres-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ivfpqres-ckpt").toString
+    val params = graft.query.IvfPq.Params(
+      ivf = IvfIndex.Params(nCentroids = 4),
+      pq = graft.query.PqIndex.Params(fitSampleMod = 4),
+      residual = true)
+    graft.query.IvfPq.build(e.filter(pmod(col("vec_id"), lit(10)) < 7),
+      "vec_id", "embedding", dir, params)
+    val arrivals = e.filter(pmod(col("vec_id"), lit(10)) >= 7)
+      .as[(Long, Array[Float])].collect().toSeq
+    val cap = e.count() / 6
+
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = IndexMaintenance.maintainIvfPq(
+      input.toDS().toDF("vec_id", "embedding"), dir, "vec_id", "embedding",
+      ckpt, params, splitCap = Some(cap))
+    try {
+      val (b1, b2) = arrivals.splitAt(arrivals.size / 2)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+    } finally q.stop()
+
+    assert(spark.read.parquet(s"$dir/cell_codes").count() == e.count())
+    // splits ran: occupancy bounded, and every code row's generation
+    // still resolves (moved rows kept theirs, minted ones appended)
+    val occ = spark.read.parquet(s"$dir/cells")
+      .groupBy("centroid_id").count().agg(max(col("count"))).head.getLong(0)
+    assert(occ <= cap, s"occupancy $occ over cap $cap under streamed ingest")
+    assert(spark.read.parquet(s"$dir/cell_codes")
+      .join(spark.read.parquet(s"$dir/enc_centers"), Seq("enc_id"), "left_anti")
+      .isEmpty, "a streamed code row references a missing generation")
+
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val got = topkSet(graft.query.IvfPq.queryTopK(spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 5, threshold = 0.0, 1, params))
+    val exact = topkSet(SimilaritySearch.topKBatch(
+      e, "embedding", "vec_id", queries, "query_id", "qvec", k = 5, threshold = 0.0))
+    assert(got == exact)
+  }
+
   test("maintainIvf with a split cap keeps occupancy bounded under ingest") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
