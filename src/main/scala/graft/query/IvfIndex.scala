@@ -70,6 +70,22 @@ object IvfIndex {
     // a rebuild invalidates any persisted label metadata FIRST — its
     // freshness fingerprints cannot distinguish two same-shaped builds
     invalidateLabelMeta(df.sparkSession, outPath)
+    // ... and retires any COMPOSED artifacts from a previous build at
+    // this path: stale cell_codes would desync from the fresh cells,
+    // and a stale enc_centers table would make [[IvfPq.isResidual]]
+    // misread a later global re-encode as residual (wrong bounds,
+    // silently wrong answers). A rebuild through this face yields a
+    // clean plain-IVF index; [[IvfPq.build]] rewrites its own
+    // artifacts right after.
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(outPath)
+        .getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      Seq("cell_codes", "enc_centers", "enc_current", "codebooks",
+          "split_pending")
+        .foreach { t =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/$t"), true); ()
+        }
+    }
     val prep = AnnIndex.prepared(df, idCol, embCol)
       .repartition(BuildPartitions, col(idCol))
       .sortWithinPartitions(idCol)
@@ -157,6 +173,28 @@ object IvfIndex {
     * replaced either.
     */
   def upsert(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      newRows: DataFrame): Unit = {
+    // a COMPOSED index must append through [[IvfPq.upsert]]: a
+    // cells-only append would leave the new vectors with no code
+    // rows, and the composed scan would silently never surface them
+    val codesPath = new org.apache.hadoop.fs.Path(s"$indexPath/cell_codes")
+    require(!codesPath.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(codesPath),
+      "IvfIndex.upsert: this index carries a cell_codes table (a composed " +
+        "IvfPq index) — append through IvfPq.upsert so the codes land " +
+        "with their cells")
+    upsertCells(spark, indexPath, idCol, embCol, newRows)
+  }
+
+  /** [[upsert]]'s body without the composed-index guard — the cells
+    * half of [[IvfPq.upsert]], which appends the matching code rows
+    * itself.
+    */
+  private[query] def upsertCells(
       spark: SparkSession,
       indexPath: String,
       idCol: String,

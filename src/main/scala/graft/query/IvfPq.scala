@@ -60,9 +60,9 @@ object IvfPq {
     * re-centered or split-minted cell append a fresh generation
     * rather than touching anything. Center drift between a row's enc
     * generation and its cell's current centroid costs bound TIGHTNESS
-    * (more fetches), never answers — re-encode by rebuilding when the
-    * fetch volume says it pays, the family's compact-when-it-pays
-    * discipline.
+    * (more fetches), never answers — [[reencodeCells]] restores it
+    * (and [[stats]]' enc_drift column says when that pays), the
+    * family's compact-when-it-pays discipline.
     */
   case class Params(
       ivf: IvfIndex.Params = IvfIndex.Params(),
@@ -164,7 +164,7 @@ object IvfPq {
       embCol: String,
       newRows: DataFrame,
       params: Params = Params()): Unit = {
-    IvfIndex.upsert(spark, indexPath, idCol, embCol, newRows)
+    IvfIndex.upsertCells(spark, indexPath, idCol, embCol, newRows)
     val cellMeta = spark.read.parquet(s"$indexPath/cells_meta")
     val nCells = cellMeta.count().toInt.max(1)
     val assignment = IvfIndex.assignNew(cellMeta, nCells, idCol, embCol, newRows)

@@ -175,6 +175,34 @@ class IvfPqResidualSpec extends AnyFunSuite with SharedSpark {
       "re-encoding against current centroids loosened the bounds")
   }
 
+  test("a global rebuild over a residual directory retires the mode cleanly") {
+    val e = clustered(120L)
+    val dir = tmp("mode-switch")
+    IvfPq.build(e, "vec_id", "embedding", dir, params)
+    assert(IvfPq.isResidual(spark, dir))
+    // rebuild the SAME path in global mode: stale enc tables must not
+    // survive to misread the fresh global codes as residual
+    val globalParams = params.copy(residual = false)
+    IvfPq.build(e, "vec_id", "embedding", dir, globalParams)
+    assert(!IvfPq.isResidual(spark, dir),
+      "stale enc tables survived a global rebuild — mode misread")
+    val (got, exact) = queryBoth(e, dir, globalParams)
+    assert(got == exact)
+  }
+
+  test("the plain-IVF upsert face refuses a composed index") {
+    val e = clustered(80L)
+    val dir = tmp("guard")
+    IvfPq.build(e.filter(col("vec_id") < 60), "vec_id", "embedding", dir, params)
+    // a cells-only append would leave the new vectors code-less and
+    // silently invisible to the composed scan — the face fails loudly
+    val err = intercept[IllegalArgumentException] {
+      IvfIndex.upsert(spark, dir, "vec_id", "embedding",
+        e.filter(col("vec_id") >= 60))
+    }
+    assert(err.getMessage.contains("IvfPq.upsert"))
+  }
+
   test("a conflicting duplicate id fails the residual build loudly") {
     import spark.implicits._
     // global mode aborts on (same id, different embedding) — residual
