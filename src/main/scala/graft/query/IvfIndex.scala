@@ -81,7 +81,7 @@ object IvfIndex {
       val fs = new org.apache.hadoop.fs.Path(outPath)
         .getFileSystem(df.sparkSession.sessionState.newHadoopConf())
       Seq("cell_codes", "enc_centers", "enc_current", "codebooks",
-          "split_pending")
+          "split_pending", "_tmp_residuals")
         .foreach { t =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/$t"), true); ()
         }
@@ -203,6 +203,19 @@ object IvfIndex {
     val cellMeta = spark.read.parquet(s"$indexPath/cells_meta")
     // nCentroids-row frame: count it once here, not per write below
     val nCells = cellMeta.count().toInt.max(1)
+    // label-meta fold eligibility is decided BEFORE the append: an
+    // artifact is foldable iff the batch carries its label column AND
+    // the artifact is provably fresh w.r.t. the PRE-append index (the
+    // same fingerprint check queries use — an artifact someone else
+    // already staled cannot be "caught up" by a batch-sized merge,
+    // because the rows that staled it are unknown here)
+    val batchCols = newRows.columns.toSet
+    val foldable = labelMetaArtifacts(spark, indexPath)
+      .filter { case (lc, _, snapRows, snapCells) =>
+        batchCols(lc) &&
+          snapRows == spark.read.parquet(s"$indexPath/cells").count() &&
+          snapCells == cellDirIds(spark, indexPath).sorted
+      }
     val assigned = assignNew(cellMeta, nCells, idCol, embCol, newRows)
       .persist()
     try {
@@ -224,7 +237,94 @@ object IvfIndex {
           greatest(col("radius"), coalesce(col("__new_r"), lit(0.0))).as("radius"))
         .localCheckpoint()
       updated.write.mode("overwrite").parquet(s"$indexPath/cells_meta")
+      // maintain the filtered-search label metadata THROUGH the append
+      // instead of letting it go stale: for each foldable artifact, the
+      // batch's per-(cell, label) max distances merge into the persisted
+      // radii (a batch-sized max-merge — radii only ever grow under an
+      // append, so the merge is exact), and the snapshot advances to the
+      // post-append fingerprints. q108-class queries then stay on the
+      // cheap persisted path under continuous ingest ([[upsert]]-fed
+      // maintenance included) with no manual [[buildLabelMeta]] rerun.
+      if (foldable.nonEmpty)
+        foldLabelMeta(spark, indexPath, idCol, assigned, newRows, foldable)
     } finally assigned.unpersist()
+  }
+
+  /** The persisted [[buildLabelMeta]] artifacts under `indexPath`:
+    * (labelCol, basePath, snapshot rows, snapshot cell ids). One tiny
+    * snapshot read per artifact; artifacts written before the
+    * snapshot carried its label column are skipped (they can only be
+    * rebuilt, never folded).
+    */
+  private def labelMetaArtifacts(
+      spark: SparkSession,
+      indexPath: String): Seq[(String, String, Long, Seq[Long])] = {
+    val root = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("label_meta_"))
+      .flatMap { s =>
+        val base = s.getPath.toString
+        val snapP = new org.apache.hadoop.fs.Path(s"$base/snapshot")
+        if (!fs.exists(snapP)) None
+        else {
+          val snap = spark.read.parquet(snapP.toString)
+          if (!snap.columns.contains("label_col")) None
+          else {
+            val r = snap.head
+            // getSeq, not getAs[Seq]: Spark hands back a mutable
+            // ArraySeq that a cast to immutable Seq would CCE on
+            Some((r.getAs[String]("label_col"), base,
+              r.getAs[Long]("rows"),
+              r.getSeq[Long](r.fieldIndex("cells")).toSeq))
+          }
+        }
+      }
+  }
+
+  /** The batch-sized max-merge of [[upsertCells]]: fold the assigned
+    * batch's per-(cell, label) max distances into each foldable
+    * artifact's radii and advance its snapshot. The new snapshot is
+    * derived ARITHMETICALLY from the pre-append snapshot plus this
+    * batch (rows + batch count; cells ∪ batch cells) — never re-read
+    * from the index — so a racing writer's rows make the real
+    * fingerprints diverge from it and the artifact reads stale
+    * (fail-safe), exactly the [[buildLabelMeta]] race discipline.
+    */
+  private def foldLabelMeta(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      assigned: DataFrame,
+      newRows: DataFrame,
+      artifacts: Seq[(String, String, Long, Seq[Long])]): Unit = {
+    import spark.implicits._
+    val batchN = assigned.count()
+    // ≤ nCells ids (the probe-pruning collect bound)
+    val batchCells = assigned.select(col("centroid_id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    artifacts.foreach { case (lc, base, snapRows, snapCells) =>
+      val old = spark.read.parquet(s"$base/radii")
+      val cidT = old.schema("centroid_id").dataType
+      // assignNew's `d` IS the member→centroid distance the radii
+      // bound needs (same normalized-vector kernel as the build)
+      val batchRadii = assigned
+        .join(newRows.select(col(idCol), col(lc)), Seq(idCol))
+        .groupBy(col("centroid_id"), col(lc))
+        .agg(max(col("d")).as("__new_rl"))
+      val merged = old
+        .withColumnRenamed("__rl", "__old_rl")
+        .join(batchRadii, Seq("centroid_id", lc), "full")
+        .select(col("centroid_id").cast(cidT).as("centroid_id"), col(lc),
+          greatest(coalesce(col("__old_rl"), lit(0.0)),
+            coalesce(col("__new_rl"), lit(0.0))).as("__rl"))
+        .localCheckpoint() // materialized BEFORE overwriting its source
+      merged.write.mode("overwrite").parquet(s"$base/radii")
+      Seq((snapRows + batchN, (snapCells ++ batchCells).distinct.sorted, lc))
+        .toDF("rows", "cells", "label_col")
+        .repartition(1).write.mode("overwrite").parquet(s"$base/snapshot")
+    }
   }
 
   /** Nearest-existing-centroid assignment of a new batch:
@@ -846,9 +946,13 @@ object IvfIndex {
     * Staleness is checked SOUNDLY via a (total rows, cell id set)
     * snapshot taken here (before the radii pass, so a racing append
     * between the two reads this build as stale rather than fresh),
-    * exhaustive over the index's mutation surface: [[upsert]] only
-    * appends rows (total grows), [[splitHotCells]] always mints fresh
-    * cell directories (id set changes), [[compactIndex]] is
+    * exhaustive over the index's mutation surface: [[upsert]] either
+    * FOLDS the batch into this artifact and advances the snapshot
+    * (when the batch carries the label column — the radii max-merge
+    * in [[upsertCells]], exact because an append can only grow
+    * per-(cell, label) radii) or leaves the snapshot behind the grown
+    * row count (stale, detected), [[splitHotCells]] always mints
+    * fresh cell directories (id set changes), [[compactIndex]] is
     * row-count-verified and assignment-preserving (correctly stays
     * fresh), and a full [[build]] — the one rewrite that could
     * reproduce both fingerprints with different contents — deletes
@@ -876,7 +980,10 @@ object IvfIndex {
       .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
     cellLabelRadii(assigned, cellMeta, labelCol)
       .write.mode("overwrite").parquet(s"$base/radii")
-    Seq(snap).toDF("rows", "cells")
+    // label_col rides the snapshot so [[upsertCells]] can fold a
+    // label-carrying batch into this artifact without guessing the
+    // column back out of the sanitized directory name
+    Seq((snap._1, snap._2, labelCol)).toDF("rows", "cells", "label_col")
       .repartition(1).write.mode("overwrite").parquet(s"$base/snapshot")
   }
 
@@ -897,8 +1004,10 @@ object IvfIndex {
     if (!fs.exists(rp) ||
         !fs.exists(new org.apache.hadoop.fs.Path(s"$base/snapshot"))) return None
     val snap = spark.read.parquet(s"$base/snapshot").head
-    val fresh = snap.getLong(0) == spark.read.parquet(s"$indexPath/cells").count() &&
-      snap.getSeq[Long](1) == cellDirIds(spark, indexPath).sorted
+    val fresh =
+      snap.getAs[Long]("rows") == spark.read.parquet(s"$indexPath/cells").count() &&
+        snap.getSeq[Long](snap.fieldIndex("cells")).toSeq ==
+          cellDirIds(spark, indexPath).sorted
     if (fresh) Some(spark.read.parquet(s"$base/radii")) else None
   }
 
@@ -934,13 +1043,21 @@ object IvfIndex {
     * call, one nCells × nLabels aggregation over the index); probes
     * read only label-holding cell directories via the same static
     * `isin` pruning as [[queryTopK]]. For high-cardinality predicates
-    * the radii frame grows linearly in distinct labels — fall back to
-    * [[queryTopK]] + post-filter + refill when nLabels approaches
-    * corpus size.
+    * the radii frame grows toward corpus size — past `maxLabelFanout`
+    * the call AUTOMATICALLY branches to [[queryTopK]] overfetch +
+    * post-filter + refill ([[filteredViaOverfetch]]): same exact
+    * answers, and the only corpus-proportional artifact anywhere is
+    * the index scan the unfiltered bound already prices.
     *
     * @param queries (queryIdCol, queryVecCol, labelCol) — the wanted
     *                label rides the query row
     * @param labels  (idCol, labelCol) corpus label source
+    * @param maxLabelFanout the largest per-(cell, label) radii frame
+    *                this call may build/broadcast — measured as the
+    *                persisted artifact's row count when one is fresh,
+    *                else estimated as `approx_count_distinct(label)`
+    *                (a lower bound on the pairs frame). Past it the
+    *                overfetch fallback runs instead.
     * @return (queryIdCol, idCol, sim, rn), rn 1..k by sim desc, ties
     *         ascending id — only label-matching rows appear
     */
@@ -956,14 +1073,73 @@ object IvfIndex {
       labelCol: String,
       k: Int,
       threshold: Double,
-      probeWidth: Int = 1): DataFrame = {
+      probeWidth: Int = 1,
+      maxLabelFanout: Long = 1000000L): DataFrame =
+    queryTopKFilteredWithPath(spark, indexPath, idCol, embCol, queries,
+      queryIdCol, queryVecCol, labels, labelCol, k, threshold, probeWidth,
+      maxLabelFanout)._1
+
+  /** [[queryTopKFiltered]] plus which path ran (`true` = the
+    * high-cardinality overfetch fallback) — the branch decision,
+    * spec-checkable.
+    */
+  private[graft] def queryTopKFilteredWithPath(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      labels: DataFrame,
+      labelCol: String,
+      k: Int,
+      threshold: Double,
+      probeWidth: Int = 1,
+      maxLabelFanout: Long = 1000000L): (DataFrame, Boolean) = {
+    // branch on the size of the radii frame this call would otherwise
+    // build AND broadcast: the fresh artifact's row count when present
+    // (parquet-metadata-only), else approx_count_distinct over the
+    // labels frame — one narrow partial-aggregated scan, vastly cheaper
+    // than the nCells × nLabels derivation it guards
+    val cached = cachedLabelRadii(spark, indexPath, labelCol)
+    val fanout = cached.map(_.count()).getOrElse(
+      labels.agg(approx_count_distinct(col(labelCol))).head.getLong(0))
+    if (fanout > maxLabelFanout)
+      (filteredViaOverfetch(spark, indexPath, idCol, embCol, queries,
+        queryIdCol, queryVecCol, labels, labelCol, k, threshold, probeWidth),
+        true)
+    else
+      (filteredViaLabelRadii(spark, indexPath, idCol, embCol, queries,
+        queryIdCol, queryVecCol, labels, labelCol, k, threshold, probeWidth,
+        cached), false)
+  }
+
+  /** The label-radius path of [[queryTopKFiltered]] — exact by the
+    * per-(cell, label) triangle bound; `cached` is the already-probed
+    * [[cachedLabelRadii]] result (None → per-call derivation).
+    */
+  private def filteredViaLabelRadii(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      labels: DataFrame,
+      labelCol: String,
+      k: Int,
+      threshold: Double,
+      probeWidth: Int,
+      cached: Option[DataFrame]): DataFrame = {
     val cellMeta = broadcast(spark.read.parquet(s"$indexPath/cells_meta"))
     // per-(cell, label) radii: the persisted [[buildLabelMeta]]
     // artifact when present and provably fresh (a parquet-metadata
     // count + directory listing, no vector reads), else derived per call
     // from the assigned rows — a cost fallback, never a correctness
     // one (a stale artifact is detected, not served)
-    val cellLabel = cachedLabelRadii(spark, indexPath, labelCol).getOrElse {
+    val cellLabel = cached.getOrElse {
       val assigned = normalizedAssigned(spark, indexPath, idCol, embCol)
         .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
       cellLabelRadii(assigned, cellMeta, labelCol).localCheckpoint()
@@ -1022,6 +1198,98 @@ object IvfIndex {
 
     pass1.unionByName(pass2)
       .transform(SimilaritySearch.topKExplode(_, queryIdCol, idCol, "sim", k))
+  }
+
+  /** The HIGH-CARDINALITY path of [[queryTopKFiltered]]: when the
+    * per-(cell, label) radii frame would approach corpus size (a
+    * near-unique label column), restricting probes per label buys
+    * nothing — so run the UNFILTERED [[queryTopK]] with an overfetch,
+    * post-filter to label-mates, and REFILL any query whose matches
+    * came up short.
+    *
+    * Exactness argument per finished query: it finishes in a round
+    * either with ≥ k label-mates among the global top-`kk` (any
+    * label-mate outside that top-kk scores below every kept one — the
+    * true filtered top-k is inside), or with the round's hit list
+    * UN-truncated (fewer than `kk` rows passed the threshold at all,
+    * so the matches are ALL label-mates above the threshold), or at
+    * `kk = corpus` (same). A query can therefore never finish with a
+    * label-mate missing from its collected matches.
+    *
+    * Cost shape: each round is one [[queryTopK]] over only the still-
+    * deficient queries at 4× the previous overfetch — ≤ log₄(corpus/k)
+    * rounds, each answer-sized on the wire; the only driver-side
+    * values are per-round COUNTS (no row collects). With a sane
+    * overfetch the first round finishes the typical query: on a
+    * near-unique label most queries have < k label-mates TOTAL and
+    * finish via the untruncated/exhausted rule.
+    */
+  private def filteredViaOverfetch(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      labels: DataFrame,
+      labelCol: String,
+      k: Int,
+      threshold: Double,
+      probeWidth: Int): DataFrame = {
+    // parquet-metadata-only row count: the overfetch ceiling
+    val corpusN = math.min(
+      spark.read.parquet(s"$indexPath/cells").count(),
+      Int.MaxValue.toLong)
+    val corpLab = labels.select(col(idCol), col(labelCol).as("__clabel"))
+    var pending = queries
+      .select(col(queryIdCol), col(queryVecCol), col(labelCol))
+      .localCheckpoint()
+    var nPending = pending.count()
+    // first overfetch: 4k (floored at k+8 so tiny k still overfetches)
+    var kk = math.min(math.max(4L * k, k + 8L), math.max(corpusN, 1L))
+    val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    while (nPending > 0) {
+      val exhausted = kk >= corpusN
+      val hits = queryTopK(spark, indexPath, idCol, embCol, pending,
+        queryIdCol, queryVecCol, kk.toInt, threshold, probeWidth)
+      // label every hit (inner join keeps all — every hit id is
+      // indexed) and compare against the query's wanted label; the
+      // hits side is answer-sized (pending × kk), the corpus labels
+      // side streams — broadcast the hits
+      val labeled = broadcast(hits.localCheckpoint())
+        .join(corpLab, Seq(idCol))
+        .join(broadcast(pending.select(col(queryIdCol), col(labelCol))),
+          Seq(queryIdCol))
+        .withColumn("__is_match", col("__clabel") === col(labelCol))
+        .localCheckpoint()
+      val matched = labeled.filter(col("__is_match"))
+        .select(col(queryIdCol), col(idCol), col("sim"))
+      // a query refills iff its matches came up short AND its hit list
+      // was truncated at kk (more corpus rows may hide below) AND the
+      // overfetch can still grow
+      val deficient =
+        if (exhausted) pending.select(col(queryIdCol)).limit(0)
+        else labeled.groupBy(col(queryIdCol))
+          .agg(count(lit(1)).as("__tot"),
+            sum(when(col("__is_match"), 1L).otherwise(0L)).as("__m"))
+          .filter(col("__m") < k && col("__tot") === kk)
+          .select(col(queryIdCol))
+          .localCheckpoint()
+      parts += matched.join(deficient, Seq(queryIdCol), "left_anti")
+      pending = pending.join(deficient, Seq(queryIdCol), "left_semi")
+        .localCheckpoint()
+      nPending = deficient.count()
+      kk = math.min(kk * 4, math.max(corpusN, 1L))
+    }
+    parts.reduceOption(_ unionByName _)
+      .map(SimilaritySearch.topKExplode(_, queryIdCol, idCol, "sim", k))
+      .getOrElse(
+        // empty query batch: an empty frame in the contract shape
+        queries.select(col(queryIdCol)).limit(0)
+          .withColumn(idCol, lit(null).cast("long"))
+          .withColumn("sim", lit(null).cast("double"))
+          .withColumn("rn", lit(null).cast("long")))
   }
 
   /** Batch top-k against a built IVF index, exact by the cell-radius

@@ -128,23 +128,87 @@ class FilteredSearchSpec extends AnyFunSuite with SharedSpark {
     // fresh cache: served and exact
     assert(query(e) == exact(e))
 
-    // an append changes occupancy: the cache must read as stale, the
-    // query must fall back and STAY exact over the grown corpus (the
-    // appended rows can tighten nothing — they can only need LARGER
-    // label radii, which is exactly what a stale cache would get wrong)
+    // a LABEL-CARRYING append folds into the artifact (the upsertCells
+    // batch-sized max-merge): post-append the cache must read as FRESH
+    // and the query must stay exact over the grown corpus — the
+    // appended rows can only need LARGER label radii, which is exactly
+    // what the fold grows
     val extra = rows(160L, 200L).toDF("vec_id", "embedding", "label")
-    IvfIndex.upsert(spark, dir, "vec_id", "embedding",
-      extra.select("vec_id", "embedding"))
+    IvfIndex.upsert(spark, dir, "vec_id", "embedding", extra)
     val grown = e.unionByName(extra)
-    assert(IvfIndex.cachedLabelRadii(spark, dir, "label").isEmpty,
-      "a post-append cache read as fresh")
+    assert(IvfIndex.cachedLabelRadii(spark, dir, "label").isDefined,
+      "a label-carrying append did not keep the artifact fresh")
     assert(query(grown) == exact(grown))
+
+    // a LABEL-LESS append cannot be folded (the batch's labels are
+    // unknown): the cache must read as stale and the query must fall
+    // back — and STAY exact over the grown corpus
+    val extra2 = rows(200L, 240L).toDF("vec_id", "embedding", "label")
+    IvfIndex.upsert(spark, dir, "vec_id", "embedding",
+      extra2.select("vec_id", "embedding"))
+    val grown2 = grown.unionByName(extra2)
+    assert(IvfIndex.cachedLabelRadii(spark, dir, "label").isEmpty,
+      "a post-label-less-append cache read as fresh")
+    assert(query(grown2) == exact(grown2))
 
     // rebuilt metadata is fresh again and still exact
     IvfIndex.buildLabelMeta(spark, dir, "vec_id", "embedding",
-      grown.select("vec_id", "label"), "label")
+      grown2.select("vec_id", "label"), "label")
     assert(IvfIndex.cachedLabelRadii(spark, dir, "label").isDefined)
-    assert(query(grown) == exact(grown))
+    assert(query(grown2) == exact(grown2))
+    // ... and a fold on TOP of a rebuilt artifact still works (the
+    // snapshot round-trips through the fold's arithmetic derivation)
+    val extra3 = rows(240L, 260L).toDF("vec_id", "embedding", "label")
+    IvfIndex.upsert(spark, dir, "vec_id", "embedding", extra3)
+    val grown3 = grown2.unionByName(extra3)
+    assert(IvfIndex.cachedLabelRadii(spark, dir, "label").isDefined,
+      "a fold after rebuild did not keep the artifact fresh")
+    assert(query(grown3) == exact(grown3))
+  }
+
+  test("near-unique labels branch to the overfetch fallback and stay exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    // label = vec_id / 2 → every label has exactly 2 members: with
+    // k = 3 > group size, every query exercises the refill loop's
+    // untruncated/exhausted finish rule, never the ≥ k rule
+    val e = (0L until 120L).map { i =>
+      val base = Array.fill(8)(0.0f)
+      base((i % 4).toInt * 2) = 1.0f
+      (i, base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.08f), i / 2)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft-filt-hicard").toString
+    IvfIndex.build(e.select("vec_id", "embedding"), "vec_id", "embedding", dir,
+      IvfIndex.Params(nCentroids = 4))
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label"))
+    // 60 distinct labels > maxLabelFanout = 16 → the fallback branch
+    val (got, usedFallback) = IvfIndex.queryTopKFilteredWithPath(
+      spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", e.select("vec_id", "label"), "label",
+      k = 3, threshold = 0.0, probeWidth = 1, maxLabelFanout = 16L)
+    assert(usedFallback, "high-cardinality labels did not take the fallback")
+    val exact = e.select(col("vec_id"), col("embedding"), col("label").as("__cl"))
+      .join(broadcast(queries), col("__cl") === col("label"))
+      .withColumn("sim", graft.functions.cosine_sim(col("embedding"), col("qvec")))
+      .filter(col("sim") > 0.0)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+      .groupBy("query_id")
+      .agg(graft.functions.topk_by(col("vec_id"), col("sim"), lit(3)).as("t"))
+      .select(col("query_id"), posexplode(col("t")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rn"))
+    assert(topkSet(got) ==
+      exact.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // the branch decision, both ways: a roomy fanout cap keeps the
+    // label-radius path (same fixture, same exact answers)
+    val (got2, usedFallback2) = IvfIndex.queryTopKFilteredWithPath(
+      spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", e.select("vec_id", "label"), "label",
+      k = 3, threshold = 0.0, probeWidth = 1, maxLabelFanout = 1000000L)
+    assert(!usedFallback2, "a roomy fanout cap still took the fallback")
+    assert(topkSet(got2) == topkSet(got))
   }
 
   test("a query whose label is absent from the corpus returns nothing") {
