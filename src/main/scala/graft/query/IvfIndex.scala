@@ -1251,14 +1251,21 @@ object IvfIndex {
     val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     while (nPending > 0) {
       val exhausted = kk >= corpusN
+      // materialized once: the hit list feeds the label join AND the
+      // truncation tally below
       val hits = queryTopK(spark, indexPath, idCol, embCol, pending,
         queryIdCol, queryVecCol, kk.toInt, threshold, probeWidth)
-      // label every hit (inner join keeps all — every hit id is
-      // indexed) and compare against the query's wanted label; the
-      // hits side is answer-sized (pending × kk), the corpus labels
-      // side streams — broadcast the hits
-      val labeled = broadcast(hits.localCheckpoint())
-        .join(corpLab, Seq(idCol))
+        .localCheckpoint()
+      // label every hit and compare against the query's wanted label;
+      // LEFT join — an id the labels frame does not cover can never
+      // match (same as the radii path's inner label join) but must
+      // still COUNT toward the truncation test below, or a top-kk
+      // padded with unlabeled rows would read as un-truncated and
+      // finish a query whose label-mates hide below the cut. The hits
+      // side is answer-sized (pending × kk), the corpus labels side
+      // streams — broadcast the hits
+      val labeled = broadcast(hits)
+        .join(corpLab, Seq(idCol), "left")
         .join(broadcast(pending.select(col(queryIdCol), col(labelCol))),
           Seq(queryIdCol))
         .withColumn("__is_match", col("__clabel") === col(labelCol))
@@ -1267,13 +1274,17 @@ object IvfIndex {
         .select(col(queryIdCol), col(idCol), col("sim"))
       // a query refills iff its matches came up short AND its hit list
       // was truncated at kk (more corpus rows may hide below) AND the
-      // overfetch can still grow
+      // overfetch can still grow. The truncation tally counts the RAW
+      // hits — one row per (query, id) by the topKExplode contract —
+      // not the labeled rows, which a multi-label corpus would inflate
+      // past kk and so misread truncation as completion
       val deficient =
         if (exhausted) pending.select(col(queryIdCol)).limit(0)
-        else labeled.groupBy(col(queryIdCol))
-          .agg(count(lit(1)).as("__tot"),
-            sum(when(col("__is_match"), 1L).otherwise(0L)).as("__m"))
-          .filter(col("__m") < k && col("__tot") === kk)
+        else hits.groupBy(col(queryIdCol)).agg(count(lit(1)).as("__tot"))
+          .join(
+            matched.groupBy(col(queryIdCol)).agg(count(lit(1)).as("__m")),
+            Seq(queryIdCol), "left")
+          .filter(coalesce(col("__m"), lit(0L)) < k && col("__tot") === kk)
           .select(col(queryIdCol))
           .localCheckpoint()
       parts += matched.join(deficient, Seq(queryIdCol), "left_anti")
