@@ -110,39 +110,53 @@ object IvfPq {
       // per-row generation center. Build-time generations are the
       // build centroids themselves: enc_id := centroid_id.
       val meta = spark.read.parquet(s"$outPath/cells_meta")
-      val residuals = IvfIndex.normalizedAssigned(spark, outPath, idCol, embCol)
+      // the residual frame is CORPUS-sized and feeds two consumers
+      // (codebook fit, encode): spill it to a parquet temp table under
+      // the index path instead of localCheckpoint — checkpoint blocks
+      // are executor-resident and lineage-truncated, so at 100 TB one
+      // lost executor (or memory pressure) kills the build; the
+      // underscore prefix keeps every table reader from ever listing
+      // it, and the finally deletes it win or lose
+      val tmpResiduals = s"$outPath/_tmp_residuals"
+      IvfIndex.normalizedAssigned(spark, outPath, idCol, embCol)
         .join(broadcast(meta.select(col("centroid_id"), col("center"))),
           "centroid_id")
         .withColumn("__res",
           zip_with(col("__norm"), col("center"),
             (a, b) => (a - b).cast("float")))
         .select(col(idCol), col("centroid_id"), col("__res"))
-        // one pruned-free scan feeds both the fit and the encode
-        .localCheckpoint()
-      val fitInput = if (params.pq.fitSampleMod > 1)
-        residuals.filter(
-          pmod(hash(col(idCol)), lit(params.pq.fitSampleMod)) === 0)
-      else residuals
-      PqIndex.fitCodebooksFrom(
-        PqIndex.subspaceRowsOf(fitInput, idCol, "__res", params.pq, Nil),
-        idCol, outPath, params.pq)
-      // enc tables FIRST (append-only; codes reference them) — the
-      // residual-mode marker is the enc_centers table itself
-      meta.select(col("centroid_id").cast("long").as("enc_id"), col("center"))
-        .repartition(1)
-        .write.mode("overwrite").parquet(s"$outPath/enc_centers")
-      meta.select(col("centroid_id"),
-          col("centroid_id").cast("long").as("enc_id"))
-        .repartition(1)
-        .write.mode("overwrite").parquet(s"$outPath/enc_current")
-      PqIndex.encodePrepared(residuals, idCol, "__res",
-          PqIndex.codebooksDf(spark, outPath), params.pq)
-        .join(residuals.select(col(idCol), col("centroid_id")), idCol)
-        .withColumn("enc_id", col("centroid_id").cast("long"))
-        .transform(graft.util.PartitionedWrite.spread(
-          _, params.ivf.nCentroids, col("centroid_id"), col(idCol)))
-        .write.mode("overwrite").partitionBy("centroid_id")
-        .parquet(s"$outPath/cell_codes")
+        .write.mode("overwrite").parquet(tmpResiduals)
+      try {
+        val residuals = spark.read.parquet(tmpResiduals)
+        val fitInput = if (params.pq.fitSampleMod > 1)
+          residuals.filter(
+            pmod(hash(col(idCol)), lit(params.pq.fitSampleMod)) === 0)
+        else residuals
+        PqIndex.fitCodebooksFrom(
+          PqIndex.subspaceRowsOf(fitInput, idCol, "__res", params.pq, Nil),
+          idCol, outPath, params.pq)
+        // enc tables FIRST (append-only; codes reference them) — the
+        // residual-mode marker is the enc_centers table itself
+        meta.select(col("centroid_id").cast("long").as("enc_id"), col("center"))
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$outPath/enc_centers")
+        meta.select(col("centroid_id"),
+            col("centroid_id").cast("long").as("enc_id"))
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$outPath/enc_current")
+        PqIndex.encodePrepared(residuals, idCol, "__res",
+            PqIndex.codebooksDf(spark, outPath), params.pq)
+          .join(residuals.select(col(idCol), col("centroid_id")), idCol)
+          .withColumn("enc_id", col("centroid_id").cast("long"))
+          .transform(graft.util.PartitionedWrite.spread(
+            _, params.ivf.nCentroids, col("centroid_id"), col(idCol)))
+          .write.mode("overwrite").partitionBy("centroid_id")
+          .parquet(s"$outPath/cell_codes")
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(tmpResiduals)
+        p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+        ()
+      }
     }
   }
 
@@ -436,6 +450,49 @@ object IvfPq {
       .join(referenced, "enc_id").localCheckpoint()
     prunedEnc.repartition(1).write.mode("overwrite")
       .parquet(s"$indexPath/enc_centers")
+  }
+
+  /** The observe→repair loop of residual mode, CLOSED: re-encode
+    * exactly the cells whose encoding-generation drift (max distance
+    * between a generation center a cell's rows still price against
+    * and the cell's CURRENT centroid — [[stats]]' `enc_drift`)
+    * exceeds `cap`, and return them. A global-codebook index (no
+    * generations) and a drift-free index are both no-ops, so
+    * maintenance can call this unconditionally at batch cadence:
+    * the detection pass reads only the codes table's (cell, enc)
+    * column pairs (distinct-pair-sized, no payload bytes) plus the
+    * two tiny enc/meta tables, and the repair prices only the
+    * drifted cells ([[reencodeCells]]'s pruned shape). Result-
+    * invisible end to end — drift costs fetch volume, never answers,
+    * and the re-encode only restores bound tightness.
+    */
+  def reencodeDrifted(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      params: Params = Params(),
+      cap: Double = 0.0): Seq[Long] = {
+    if (!isResidual(spark, indexPath)) return Nil
+    val meta = spark.read.parquet(s"$indexPath/cells_meta")
+      .select(col("centroid_id").cast("long").as("centroid_id"),
+        col("center").as("__cur"))
+    // ≤ nCells ids reach the driver (the probe-pruning collect bound)
+    val drifted = spark.read.parquet(s"$indexPath/cell_codes")
+      .select(col("centroid_id").cast("long").as("centroid_id"), col("enc_id"))
+      .distinct()
+      .join(broadcast(spark.read.parquet(s"$indexPath/enc_centers")), "enc_id")
+      .join(broadcast(meta), "centroid_id")
+      .withColumn("__d",
+        sqrt(graft.functions.l2_dist_sq(col("center"), col("__cur"))))
+      .groupBy("centroid_id")
+      .agg(max(col("__d")).as("__drift"))
+      .filter(col("__drift") > cap)
+      .select(col("centroid_id"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    if (drifted.nonEmpty)
+      reencodeCells(spark, indexPath, idCol, embCol, params, Some(drifted))
+    drifted
   }
 
   /** Batch top-k, exact by the stacked bounds. Output:

@@ -154,7 +154,8 @@ object IndexMaintenance {
       batch: DataFrame,
       batchId: Long,
       params: graft.query.IvfPq.Params = graft.query.IvfPq.Params(),
-      splitCap: Option[Long] = None): Boolean = {
+      splitCap: Option[Long] = None,
+      reencodeDriftCap: Option[Double] = None): Boolean = {
     val spark = batch.sparkSession
     if (batchId <= lastApplied(spark, indexPath) || batch.isEmpty) false
     else {
@@ -166,6 +167,15 @@ object IndexMaintenance {
       // pass's head-of-call repair instead of desyncing codes
       splitCap.foreach(cap => graft.query.IvfPq.splitToConvergence(
         spark, indexPath, idCol, embCol, cap))
+      // optional in-line residual-drift repair AFTER the split (splits
+      // re-center cells, which is exactly what mints drift): any cell
+      // whose enc_drift exceeds the cap re-encodes against its current
+      // centroid in the same fenced batch, so residual-mode bound
+      // tightness is maintained — not merely observable — under
+      // continuous ingest. No-op on global-codebook indexes and on
+      // drift-free batches; result-invisible always.
+      reencodeDriftCap.foreach(cap => graft.query.IvfPq.reencodeDrifted(
+        spark, indexPath, idCol, embCol, params, cap))
       writeFence(spark, indexPath, batchId)
       true
     }
@@ -175,9 +185,12 @@ object IndexMaintenance {
     * as [[applyBatch]]; with `splitCap` set, any cell an append pushes
     * over the cap is split (codes moved with their cells) in the same
     * batch, so probe cost stays bounded under continuous composed
-    * ingest without a rebuild. Run
-    * [[graft.query.IvfPq.compactIndex]] off the query path at
-    * compaction cadence.
+    * ingest without a rebuild; with `reencodeDriftCap` set, residual
+    * encoding-generation drift past the cap is repaired in the same
+    * batch too ([[graft.query.IvfPq.reencodeDrifted]]), so bound
+    * tightness — and with it exact-verify fetch volume — stays bounded
+    * as well. Run [[graft.query.IvfPq.compactIndex]] off the query
+    * path at compaction cadence.
     */
   def maintainIvfPq(
       vectors: DataFrame,
@@ -186,13 +199,15 @@ object IndexMaintenance {
       embCol: String,
       checkpointDir: String,
       params: graft.query.IvfPq.Params = graft.query.IvfPq.Params(),
-      splitCap: Option[Long] = None): StreamingQuery =
+      splitCap: Option[Long] = None,
+      reencodeDriftCap: Option[Double] = None): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyIvfPqBatch(indexPath, idCol, embCol, batch, batchId, params, splitCap); ()
+        applyIvfPqBatch(indexPath, idCol, embCol, batch, batchId, params,
+          splitCap, reencodeDriftCap); ()
       }
       .start()
 

@@ -175,6 +175,61 @@ class IvfPqResidualSpec extends AnyFunSuite with SharedSpark {
       "re-encoding against current centroids loosened the bounds")
   }
 
+  test("maintenance closes the drift loop: reencodeDriftCap repairs in the fenced batch") {
+    import graft.streaming.IndexMaintenance
+    val e = clustered(240L)
+    // two IDENTICAL indexes (builds are bit-deterministic) fed the same
+    // two maintenance batches; only B sets reencodeDriftCap — so the
+    // final corpora are identical and the fetch diagnostic compares
+    // drift-left-alone against drift-repaired directly
+    val dirA = tmp("drift-open")
+    val dirB = tmp("drift-closed")
+    Seq(dirA, dirB).foreach(d => IvfPq.build(
+      e.filter(pmod(col("vec_id"), lit(10)) >= 2), "vec_id", "embedding", d, params))
+    // batch 0: upsert 10% + split to convergence — the split re-centers
+    // cells while moved rows keep pricing against pre-split centers:
+    // drift injected on both sides
+    Seq(dirA, dirB).foreach(d => assert(IndexMaintenance.applyIvfPqBatch(
+      d, "vec_id", "embedding", e.filter(pmod(col("vec_id"), lit(10)) === 0),
+      0L, params, splitCap = Some(40L))))
+    def maxDrift(d: String): Double = IvfPq.stats(spark, d)
+      .agg(max(col("enc_drift"))).head.getDouble(0)
+    assert(maxDrift(dirA) > 1e-6, "the split injected no visible drift")
+    // batch 1: the last 10% — B's batch also carries the drift cap, so
+    // the repair runs INSIDE the fenced batch, after its split pass
+    assert(IndexMaintenance.applyIvfPqBatch(
+      dirA, "vec_id", "embedding", e.filter(pmod(col("vec_id"), lit(10)) === 1),
+      1L, params, splitCap = Some(40L)))
+    assert(IndexMaintenance.applyIvfPqBatch(
+      dirB, "vec_id", "embedding", e.filter(pmod(col("vec_id"), lit(10)) === 1),
+      1L, params, splitCap = Some(40L), reencodeDriftCap = Some(1e-6)))
+    assert(maxDrift(dirA) > 1e-6, "the un-capped side lost its drift")
+    assert(maxDrift(dirB) <= 1e-6,
+      s"the capped side kept drift ${maxDrift(dirB)} after its fenced repair")
+    // identical corpora, identical answers, and the repaired side's
+    // tighter bounds fetch LESS for the exact verify
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    def fetch(d: String): Long = IvfPq.queryTopKWithDiag(spark, d,
+      "vec_id", "embedding", queries, "query_id", "qvec",
+      k = 3, threshold = 0.0, params = params)._3.count()
+    val (gotA, exactA) = queryBoth(e, dirA, params)
+    assert(gotA == exactA)
+    val (gotB, exactB) = queryBoth(e, dirB, params)
+    assert(gotB == exactB)
+    assert(fetch(dirB) <= fetch(dirA),
+      s"drift repair loosened the fetch: ${fetch(dirB)} vs ${fetch(dirA)}")
+    // the detection pass alone: nothing left over the cap → no-op
+    assert(IvfPq.reencodeDrifted(spark, dirB, "vec_id", "embedding", params,
+      cap = 1e-6).isEmpty)
+    // ... and a global-codebook index has no generations: uncondition-
+    // ally callable from maintenance, always a no-op there
+    val dirG = tmp("drift-global")
+    IvfPq.build(e, "vec_id", "embedding", dirG, params.copy(residual = false))
+    assert(IvfPq.reencodeDrifted(spark, dirG, "vec_id", "embedding",
+      params.copy(residual = false), cap = 0.0).isEmpty)
+  }
+
   test("a global rebuild over a residual directory retires the mode cleanly") {
     val e = clustered(120L)
     val dir = tmp("mode-switch")
