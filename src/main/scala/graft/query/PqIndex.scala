@@ -189,7 +189,11 @@ object PqIndex {
       // the lowest code on ties
       .withColumn("__best",
         aggregate(
-          sequence(lit(0), lit(params.codebookSize - 1)),
+          // iterate the codebook's ACTUAL length, not the nominal
+          // params.codebookSize: the fit clamps K to the corpus size
+          // (cold-start corpora — see kEff at the fit), and a static
+          // bound would index past the centers array exactly there
+          sequence(lit(0), size(col("centers")) - 1),
           struct(lit(-1).as("code"), lit(Double.MaxValue).as("d2")),
           (acc, j) => {
             val dd = d2(col("__subvec"), element_at(col("centers"), j + 1))

@@ -46,6 +46,21 @@ class PqIndexSpec extends AnyFunSuite with SharedSpark {
   private val SmallParams =
     PqIndex.Params(dim = 8, numSub = 4, codebookSize = 8)
 
+  test("cold start: a corpus smaller than codebookSize builds, encodes and stays exact") {
+    // the fit clamps K to the corpus size; the encoder must iterate
+    // the CLAMPED codebook (regression: a static params.codebookSize
+    // bound indexed past the centers array on exactly this shape)
+    val e = clustered(5L)
+    val dir = tmp("cold")
+    PqIndex.build(e, "vec_id", "embedding", dir, SmallParams)
+    val queries = e.select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val pq = PqIndex.queryTopK(spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 3, threshold = 0.0, SmallParams)
+    val exact = SimilaritySearch.topKBatch(
+      e, "embedding", "vec_id", queries, "query_id", "qvec", k = 3, threshold = 0.0)
+    assert(topkSet(pq) == topkSet(exact))
+  }
+
   test("clustered corpus: exact answer AND the fetch is bound-pruned") {
     val e = clustered(200L)
     val dir = tmp("clustered")
