@@ -167,6 +167,39 @@ object TrainingFeed {
       IndexMaintenance.writeFence(spark, indexPath, batchId)
     }
 
+    // ---- stage 5 (observer): retrieval health of the maintained ----
+    // ---- index                                                  ----
+    // opt-in via [[enableHealthProbe]]: after the index fold, the fixed
+    // probe set is retrieved against the maintained index and scored by
+    // [[graft.query.RetrievalEval.metrics]] — the signal [[driftReport]]
+    // cannot give (not "has the input mix moved" but "does the index
+    // still RETRIEVE"). Replay-proof without its own fence: one metrics
+    // partition per batch, first write wins — and a replay that does
+    // reach the recompute sees the identical post-index-fence index, so
+    // the metrics it would write are identical anyway. Observational
+    // like stage 0: failures log and skip, admission unaffected.
+    if (exists(spark, s"$workDir/health/queries") &&
+        exists(spark, s"$indexPath/cells_meta")) {
+      val mDir = s"$workDir/health/metrics/batch=$batchId"
+      if (!exists(spark, mDir))
+        try {
+          val hq = spark.read.parquet(s"$workDir/health/queries")
+          val rels = spark.read.parquet(s"$workDir/health/rels")
+          val kH = spark.read.parquet(s"$workDir/health/k").head.getInt(0)
+          // threshold -2 < any cosine: health wants the full ranked
+          // list, the relevance join does the grading
+          val hits = IvfIndex.queryTopK(spark, indexPath, "doc_id", "embedding",
+            hq, "query_id", "qvec", kH, threshold = -2.0)
+          graft.query.RetrievalEval
+            .metrics(hits, "query_id", "doc_id", "rn", rels, kH)
+            .write.mode("overwrite").parquet(mDir)
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger("graft.TrainingFeed").warn(
+              s"health probe failed on batch $batchId (admission unaffected): $e")
+        }
+    }
+
     // ---- seen-payload shas (LAST state write before the fence) ----
     fresh.select("content_sha").write.mode("append").parquet(shasPath)
     IndexMaintenance.writeFence(spark, workDir, batchId)
@@ -204,4 +237,47 @@ object TrainingFeed {
     */
   def driftReport(spark: SparkSession, workDir: String): DataFrame =
     StreamingDrift.report(spark, s"$workDir/drift")
+
+  /** Opt into the stage-5 retrieval-health observer: persist a FIXED
+    * probe set — queries `(query_id, qvec)` in the feed's embedding
+    * space (the same `hash_embed(text, cfg.embedDim)` kernel stage 4
+    * indexes with, for the default embedder) and a graded relevance
+    * set `(query_id, doc_id)` — that every subsequent [[step]]
+    * retrieves against the maintained index AFTER its fold and scores
+    * via [[graft.query.RetrievalEval.metrics]], one metrics partition
+    * per batch. An operator running the feed for a week then has the
+    * recall signal the drift observer cannot give: [[healthReport]]'s
+    * recall/MRR/NDCG trajectory over batch ids says whether the index
+    * still retrieves, not merely whether the input mix moved.
+    *
+    * Probe cost per batch: one [[IvfIndex.queryTopK]] over the fixed
+    * batch of probe queries (point-lookup shape — broadcast queries,
+    * bound-pruned cells) plus an answer-sized metrics aggregation;
+    * independent of corpus growth except through the probes the index
+    * geometry demands.
+    */
+  def enableHealthProbe(
+      probeQueries: DataFrame,
+      rels: DataFrame,
+      workDir: String,
+      k: Int = 10): Unit = {
+    require(k >= 1, "k must be >= 1")
+    val spark = probeQueries.sparkSession
+    import spark.implicits._
+    probeQueries.select(col("query_id"), col("qvec"))
+      .write.mode("overwrite").parquet(s"$workDir/health/queries")
+    rels.select(col("query_id"), col("doc_id"))
+      .write.mode("overwrite").parquet(s"$workDir/health/rels")
+    Seq(k).toDF("k")
+      .repartition(1).write.mode("overwrite").parquet(s"$workDir/health/k")
+  }
+
+  /** Per-(batch, query) retrieval health of the maintained index —
+    * [[graft.query.RetrievalEval.metrics]]' columns plus the `batch`
+    * partition column. A batch is present iff the probe was enabled
+    * and an index existed when it was applied; a metric row reflects
+    * the index state just after that batch's fold.
+    */
+  def healthReport(spark: SparkSession, workDir: String): DataFrame =
+    spark.read.parquet(s"$workDir/health/metrics")
 }

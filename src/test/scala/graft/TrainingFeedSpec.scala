@@ -188,6 +188,75 @@ class TrainingFeedSpec extends AnyFunSuite with SharedSpark {
       .collect().map(_.toSeq).toSet == wantDrift)
   }
 
+  test("health probe: per-batch retrieval metrics off the maintained index, replay-identical") {
+    import spark.implicits._
+    val work = tempDir("health")
+    val cfg = TrainingFeed.Config(
+      quotas = feed.map(_._3).distinct.map(_ -> Long.MaxValue / 4).toMap)
+    val docs = feed.take(60)
+    val (b0, b1) = (docs.take(30), docs.drop(30))
+    // probe set: 3 docs arriving in batch 0, 2 in batch 1 — each query
+    // is its own doc's embedding, relevance = that doc (self-retrieval:
+    // an indexed probe doc must surface at rank 1 with sim 1.0)
+    val probeIds = Seq(2L, 7L, 11L, 31L, 44L)
+    val probeQ = docs.filter(d => probeIds.contains(d._1))
+      .toDF("doc_id", "text", "source")
+      .select(col("doc_id").as("query_id"),
+        graft.functions.hash_embed(col("text"), lit(cfg.embedDim)).as("qvec"))
+    val rels = probeIds.map(i => (i, i)).toDF("query_id", "doc_id")
+    TrainingFeed.enableHealthProbe(probeQ, rels, work, k = 3)
+
+    TrainingFeed.step(b0.toDF("doc_id", "text", "source"), 0L, work, cfg)
+    TrainingFeed.step(b1.toDF("doc_id", "text", "source"), 1L, work, cfg)
+
+    val rep = TrainingFeed.healthReport(spark, work)
+    assert(rep.select("batch").distinct().collect().map(_.getInt(0)).toSet
+      == Set(0, 1))
+    assert(rep.count() == 10L, "one metrics row per (batch, probe query)")
+
+    // batch-0 metrics: a probe doc ADMITTED in batch 0 self-retrieves
+    // at rank 1; a probe doc that had not arrived yet scores zero hits
+    val admitted0 = spark.read.parquet(s"$work/gated/batch=0")
+      .filter(col("admitted")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val m0 = rep.filter(col("batch") === 0)
+      .select(col("query_id").cast("long"), col("first_rel_rank"), col("hits_at_k"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    probeIds.foreach { q =>
+      if (admitted0(q)) assert(m0(q) == ((1L, 1L)), s"query $q not rank-1 in batch 0")
+      else assert(m0(q)._2 == 0L, s"unarrived doc $q scored a hit in batch 0")
+    }
+
+    // batch-1 metrics equal a DIRECT RetrievalEval over the maintained
+    // index as it stands after batch 1 (the observer is just the wiring)
+    val direct = graft.query.RetrievalEval.metrics(
+      graft.query.IvfIndex.queryTopK(spark, s"$work/index", "doc_id", "embedding",
+        probeQ, "query_id", "qvec", k = 3, threshold = -2.0),
+      "query_id", "doc_id", "rn", rels, k = 3)
+    def metricSet(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.select("query_id", "n_rel", "hits_at_k", "recall_micro", "success_at_k",
+          "first_rel_rank", "mrr_micro", "dcg_nanos", "idcg_nanos", "ndcg_micro")
+        .collect().map(_.toSeq).toSet
+    val rep1 = metricSet(rep.filter(col("batch") === 1))
+    assert(rep1 == metricSet(direct))
+
+    // crash replay of the final batch (chain fence lost after all state
+    // writes): metrics must come out IDENTICAL — the index fence pins
+    // the index state and the per-batch partition is first-write-wins
+    fs(work).delete(new org.apache.hadoop.fs.Path(s"$work/applied_batch"), true)
+    TrainingFeed.step(b1.toDF("doc_id", "text", "source"), 1L, work, cfg)
+    assert(metricSet(TrainingFeed.healthReport(spark, work)
+      .filter(col("batch") === 1)) == rep1)
+    // ... and even if the metrics partition itself was lost in the
+    // crash, the replay recomputes the identical rows (same fenced
+    // index, same fixed probe set)
+    fs(work).delete(new org.apache.hadoop.fs.Path(s"$work/applied_batch"), true)
+    fs(work).delete(new org.apache.hadoop.fs.Path(s"$work/health/metrics/batch=1"), true)
+    TrainingFeed.step(b1.toDF("doc_id", "text", "source"), 1L, work, cfg)
+    assert(metricSet(TrainingFeed.healthReport(spark, work)
+      .filter(col("batch") === 1)) == rep1)
+  }
+
   private def fs(dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
