@@ -53,6 +53,16 @@ final class GraftClient(
     chunkOverlap = config.chunkOverlap,
     embedDim = config.embedDim)
 
+  /** PQ params sized to this client's embedding space: numSub = the
+    * largest divisor of embedDim ≤ 8 (PQ subspaces must tile the
+    * vector exactly; ≥ 1 always exists).
+    */
+  private def pqParams = graft.query.IvfPq.Params(
+    pq = graft.query.PqIndex.Params(
+      dim = config.embedDim,
+      numSub = (math.min(8, config.embedDim) to 1 by -1)
+        .find(config.embedDim % _ == 0).get))
+
   /** `ingestData({data, dbTable})`: split MDX documents, validate that
     * every document's first section is `## Context` (A-6), sub-chunk,
     * embed, and write the index table to `indexPath`.
@@ -119,14 +129,31 @@ final class GraftClient(
     * global window, rebuild-stable. Build once; [[queryIndexed]] then
     * serves the reference's query semantics without ever scanning the
     * full index.
+    *
+    * `composed = true` builds the COMPOSED IVF+PQ index instead
+    * ([[graft.query.IvfPq]]) — same exactness contract, but the probe
+    * scans few-byte PQ codes and fetches full embeddings only for
+    * code-bound survivors: the right trade once the corpus outgrows
+    * what cell pruning alone keeps memory-resident. The serve faces
+    * ([[queryIndexed]]/[[queryIndexedBatch]]) read the layout from the
+    * index (`cell_codes` presence), so a caller never states the mode
+    * twice.
     */
-  def buildQueryIndex(indexPath: String, annPath: String): Unit = {
+  def buildQueryIndex(
+      indexPath: String,
+      annPath: String,
+      composed: Boolean = false): Unit = {
     val idx = spark.read.parquet(indexPath)
     val withId = graft.pipeline.ScalableWindow.globalRunningSum(
         idx.withColumn("__one", lit(1L)), "__one", "row_id",
         col("doc_id").asc, col("chunk_id").asc, col("piece_id").asc)
       .select(col("row_id"), col("content"), col("metadata"), col("embedding"))
-    graft.query.IvfIndex.build(withId, "row_id", "embedding", s"$annPath/ivf")
+    if (composed)
+      graft.query.IvfPq.build(
+        withId.select("row_id", "embedding"), "row_id", "embedding",
+        s"$annPath/ivf", pqParams)
+    else
+      graft.query.IvfIndex.build(withId, "row_id", "embedding", s"$annPath/ivf")
     withId.select("row_id", "content", "metadata")
       .withColumn("__rbucket",
         pmod(hash(col("row_id")), lit(GraftClient.PayloadBuckets)))
@@ -134,6 +161,31 @@ final class GraftClient(
         _, GraftClient.PayloadBuckets, col("__rbucket"), col("row_id")))
       .write.mode("overwrite").partitionBy("__rbucket")
       .parquet(s"$annPath/payload")
+  }
+
+  /** Route batch retrieval by the index's own layout: the composed
+    * ([[graft.query.IvfPq]]) scan when a `cell_codes` table exists,
+    * plain [[graft.query.IvfIndex]] otherwise. Both are exact and
+    * return the shared (queryIdCol, row_id, sim, rn) shape, so the
+    * serve faces above them are mode-blind.
+    */
+  private def topKHits(
+      annPath: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      threshold: Double,
+      count: Int): DataFrame = {
+    val codes = new org.apache.hadoop.fs.Path(s"$annPath/ivf/cell_codes")
+    val composed = codes.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(codes)
+    if (composed)
+      graft.query.IvfPq.queryTopK(spark, s"$annPath/ivf",
+        "row_id", "embedding", queries, queryIdCol, vecCol, count, threshold,
+        params = pqParams)
+    else
+      graft.query.IvfIndex.queryTopK(spark, s"$annPath/ivf",
+        "row_id", "embedding", queries, queryIdCol, vecCol, count, threshold)
   }
 
   /** [[query]] routed through the [[buildQueryIndex]] artifacts: same
@@ -150,8 +202,7 @@ final class GraftClient(
       count: Int): DataFrame = {
     import spark.implicits._
     val q = Seq((0L, queryVec)).toDF("query_id", "qvec")
-    val hits = graft.query.IvfIndex.queryTopK(spark, s"$annPath/ivf",
-        "row_id", "embedding", q, "query_id", "qvec", count, threshold)
+    val hits = topKHits(annPath, q, "query_id", "qvec", threshold, count)
       .select(col("row_id"), col("sim"), col("rn"))
       .localCheckpoint()
     // ≤ count rows by construction: collect ids, prune the payload read
@@ -176,7 +227,10 @@ final class GraftClient(
     * round-trips TOTAL instead of two per vector. The probe broadcasts
     * the query batch (the [[graft.query.IvfIndex.queryTopK]]
     * point-lookup contract — for corpus-sized batches use
-    * `selfKnnGraph`-style mining instead); the payload read is pruned
+    * `selfKnnGraph`-style mining instead) and rides whichever index
+    * [[buildQueryIndex]] wrote — plain IVF or the composed IVF+PQ
+    * scan, read from the layout ([[topKHits]]), result-identical by
+    * the families' shared exactness contract; the payload read is pruned
     * to the hit rows' partition directories by their bucket ids (≤ 64
     * values reach the driver — never the hits themselves, whose count
     * grows with the batch) and then equi-joined on `row_id`.
@@ -193,8 +247,8 @@ final class GraftClient(
       vecCol: String,
       threshold: Double,
       count: Int): DataFrame = {
-    val hits = graft.query.IvfIndex.queryTopK(spark, s"$annPath/ivf",
-        "row_id", "embedding", queries, queryIdCol, vecCol, count, threshold)
+    val hits = topKHits(annPath, queries, queryIdCol, vecCol, count = count,
+        threshold = threshold)
       .localCheckpoint()
     val buckets = hits
       .select(pmod(hash(col("row_id")), lit(GraftClient.PayloadBuckets)).as("b"))

@@ -94,6 +94,47 @@ class GraftClientSpec extends AnyFunSuite with SharedSpark {
     assert(batch == looped, "batch serving diverged from the per-vector loop")
   }
 
+  test("composed-index serving equals the plain-IVF path, routed by layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-client-pq").toString
+    val client = new GraftClient(spark,
+      GraftClient.Config(chunkSize = 200, chunkOverlap = 40, embedDim = 64))
+    client.ingest(mdxDocs.toDF("doc_id", "mdx"), "doc_id", "mdx", s"$dir/index")
+    client.buildQueryIndex(s"$dir/index", s"$dir/ann")
+    client.buildQueryIndex(s"$dir/index", s"$dir/annpq", composed = true)
+    // the layouts really differ — and the serve faces read the mode
+    // from the index, never from a caller flag
+    def hasCodes(p: String) = {
+      val cp = new org.apache.hadoop.fs.Path(s"$p/ivf/cell_codes")
+      cp.getFileSystem(spark.sessionState.newHadoopConf()).exists(cp)
+    }
+    assert(!hasCodes(s"$dir/ann") && hasCodes(s"$dir/annpq"))
+
+    val probes = Seq(
+      "HEADER: Usage | CONTENT: Call ingest then query with an embedded question string.",
+      "HEADER: Tuning | CONTENT: Broadcast small tables and let AQE handle skewed joins.",
+      "completely unrelated probe text with no matching chunk")
+    val vecs = probes.zipWithIndex.map { case (p, i) =>
+      (i.toLong, client.embedText(p))
+    }
+    val queries = vecs.toDF("query_id", "qvec")
+    def batchSet(ann: String) =
+      client.queryIndexedBatch(ann, queries, "query_id", "qvec",
+          threshold = 0.0, count = 3)
+        .collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[String]("content"),
+          math.rint(r.getAs[Double]("sim") * 1e9), r.getAs[Long]("rn")))
+        .toSet
+    assert(batchSet(s"$dir/annpq") == batchSet(s"$dir/ann"),
+      "composed batch serving diverged from the plain-IVF path")
+    // the point face routes identically
+    val qvec = client.embedText(probes.head)
+    def pointRows(ann: String) =
+      client.queryIndexed(ann, qvec, threshold = 0.0, count = 3)
+        .select("content", "sim").collect()
+        .map(r => (r.getString(0), math.rint(r.getDouble(1) * 1e9))).toSeq
+    assert(pointRows(s"$dir/annpq") == pointRows(s"$dir/ann"))
+  }
+
   test("answer fills a caller-supplied template") {
     val dir = java.nio.file.Files.createTempDirectory("graft-client-tpl").toString
     val client = new GraftClient(spark,
