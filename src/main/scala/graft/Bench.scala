@@ -17,7 +17,10 @@ import org.apache.spark.sql.SparkSession
   * a third run is taken, and any query still over 2× after the sweep gets
   * a post-sweep fresh-probe + fresh-runs rerun recorded under "reruns".
   * Queries still over the scaled 3× bar after that are listed under
-  * "suspect" instead of being silently published as regressions.
+  * "suspect" instead of being silently published as regressions. If the
+  * WHOLE sweep ran on a loaded box (calibration factor > 1.25), the
+  * entire sweep retries once and the better-factor run is published
+  * (provenance under calibration.sweep_retried / first_factor).
   *
   * Build-vs-query visibility: the first invocation of a query that
   * constructs a memoized artifact (q15's verified-pair cache, q38's LSH
@@ -38,12 +41,16 @@ object Bench {
     "q15_minhash_neardup" -> "pair_cache",
     "q38_ann_index_topk" -> "lsh_index",
     // the shared "ivf" index is built by whichever of its users runs
-    // FIRST in the sweep (q108 in a full alphabetical run; any one of
-    // them in a SPARK_GRAFT_ONLY subset) — every sharer carries the
+    // FIRST in the sweep (q39 in a full run — [[sweepKey]] orders it
+    // before q108 so the family's own query prices its build; any one
+    // of them in a SPARK_GRAFT_ONLY subset) — every sharer carries a
     // builder tag and the recording below is first-wins, so the cold
     // build is priced once wherever it actually happens and later
-    // sharers just burn one warm excluded run
-    "q108_filtered_topk" -> "ivf_index",
+    // sharers just burn one warm excluded run. q108's own tag prices
+    // the label-meta artifact its first run additionally builds (in a
+    // q108-only subset it absorbs the ivf build too — documented in
+    // BASELINE.md).
+    "q108_filtered_topk" -> "filtered_label_meta",
     "q39_ivf_topk" -> "ivf_index",
     "q77_knn_graph" -> "ivf_index",
     "q82_contrastive_pairs" -> "ivf_index",
@@ -113,6 +120,18 @@ object Bench {
     */
   private[graft] def needsRerun(minSec: Double, baseSec: Double): Boolean =
     minSec > 2.0 * baseSec
+
+  /** Sweep-order overrides on top of the alphabetical sort. One entry:
+    * q108 sorts alphabetically BEFORE q39, so its cold run used to pay
+    * (and price) the shared ivf_index build plus its own label-meta
+    * build under one opaque number; keying it to sort just after q39
+    * makes each family's own query price its build — q39's cold run is
+    * the ivf build, q108's is the label-meta artifact. (q15 before its
+    * sharers q32/q41/q60 and q100 before q97 already hold
+    * alphabetically.)
+    */
+  private val sweepKey = Map(
+    "q108_filtered_topk" -> "q39_ivf_topk~filtered")
 
   /** Optional standing per-query baseline (name → seconds), maintained
     * alongside BASELINE.md; absence just disables the 3×-of-baseline
@@ -196,108 +215,142 @@ object Bench {
     // probe reference: recorded clean-box cost of calibrationProbe; if
     // absent the factor stays 1 and behavior is the pre-calibration one
     val probeRef = baseline.get("__probe")
-    val probeBefore = calibrationProbe(spark)
-    // mid-sweep samples: a load spike that arrives AND departs between
-    // the endpoint probes is invisible to them (observed in round 7:
-    // totals 20-30% high with both endpoint probes clean). One
-    // single-shot probe every ProbeEvery queries bounds that blind
-    // window; single-shot is fine mid-sweep — the kernel is JIT-warm
-    // after the min-of-3 endpoint probe, and the factor only ever
-    // loosens the bar, so a noisy-high sample cannot create suspects.
-    val ProbeEvery = 25
-    val probeMids = scala.collection.mutable.ArrayBuffer[Double]()
-    var sinceProbe = 0
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val suspects = scala.collection.mutable.ArrayBuffer[String]()
-    val builds = scala.collection.mutable.LinkedHashMap[String, Double]()
     val fnsByName = SparkEntry.queries
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       fnsByName(name)(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq
-      .filterNot { case (name, _) => excluded(name) }
-      .filter { case (name, _) => only.forall(_(name)) }
-      .sortBy(_._1)
-      .flatMap { case (name, _) =>
-        try {
-          def once(): Double = runOnce(name)
-          // cold first run of a builder query = artifact build + query;
-          // headline min is then taken over warm runs only
-          sinceProbe += 1
-          if (sinceProbe >= ProbeEvery) {
-            sinceProbe = 0
-            // min-of-2: a single noisy-high mid sample only loosens the
-            // suspect bar, but it also inflates the REPORTED factor —
-            // one retry keeps the factor honest at ~1s extra per sample
-            probeMids += math.min(calibrationProbeOnce(spark),
-              calibrationProbeOnce(spark))
+
+    /** One full measured sweep — endpoint + mid probes, per-query
+      * min-of-two with the in-sweep and post-sweep rerun machinery,
+      * suspect adjudication. Extracted so a loaded-box sweep (factor
+      * past the retry bar) can run once more as a whole.
+      */
+    case class Sweep(
+        finalResults: Seq[(String, Double)],
+        builds: Seq[(String, Double)],
+        suspects: Seq[String],
+        reruns: Seq[(String, Double, Double)], // (name, sweep min, rerun min)
+        errors: Seq[(String, String)],
+        probeBefore: Double,
+        probeAfter: Double,
+        probeMidMax: Double,
+        calFactor: Double)
+    def runSweep(): Sweep = {
+      val probeBefore = calibrationProbe(spark)
+      // mid-sweep samples: a load spike that arrives AND departs between
+      // the endpoint probes is invisible to them (observed in round 7:
+      // totals 20-30% high with both endpoint probes clean). One
+      // single-shot probe every ProbeEvery queries bounds that blind
+      // window; single-shot is fine mid-sweep — the kernel is JIT-warm
+      // after the min-of-3 endpoint probe, and the factor only ever
+      // loosens the bar, so a noisy-high sample cannot create suspects.
+      val ProbeEvery = 25
+      val probeMids = scala.collection.mutable.ArrayBuffer[Double]()
+      var sinceProbe = 0
+      val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+      val suspects = scala.collection.mutable.ArrayBuffer[String]()
+      val builds = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val results = SparkEntry.queries.toSeq
+        .filterNot { case (name, _) => excluded(name) }
+        .filter { case (name, _) => only.forall(_(name)) }
+        .sortBy { case (name, _) => sweepKey.getOrElse(name, name) }
+        .flatMap { case (name, _) =>
+          try {
+            def once(): Double = runOnce(name)
+            // cold first run of a builder query = artifact build + query;
+            // headline min is then taken over warm runs only
+            sinceProbe += 1
+            if (sinceProbe >= ProbeEvery) {
+              sinceProbe = 0
+              // min-of-2: a single noisy-high mid sample only loosens the
+              // suspect bar, but it also inflates the REPORTED factor —
+              // one retry keeps the factor honest at ~1s extra per sample
+              probeMids += math.min(calibrationProbeOnce(spark),
+                calibrationProbeOnce(spark))
+            }
+            builders.get(name).foreach { b =>
+              // first-wins: the first sharer of a work dir records the
+              // actual cold build; later sharers' excluded runs are warm
+              // and must not overwrite it
+              val t = once()
+              if (!builds.contains(b)) builds += b -> t
+            }
+            val times = scala.collection.mutable.ArrayBuffer(once(), once())
+            def min = times.min
+            // in-sweep third run at the 2× contract bar (was 3×): cheap
+            // insurance that a transient spike clears before the
+            // post-sweep rerun machinery even has to engage
+            val over2x = baseline.get(name).exists(b => needsRerun(min, b))
+            if (over2x || times.max > 2.5 * min) times += once()
+            Some(name -> times.min)
+          } catch {
+            case e: Throwable =>
+              errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              None
           }
-          builders.get(name).foreach { b =>
-            // first-wins: the first sharer of a work dir records the
-            // actual cold build; later sharers' excluded runs are warm
-            // and must not overwrite it
-            val t = once()
-            if (!builds.contains(b)) builds += b -> t
-          }
-          val times = scala.collection.mutable.ArrayBuffer(once(), once())
-          def min = times.min
-          // in-sweep third run at the 2× contract bar (was 3×): cheap
-          // insurance that a transient spike clears before the
-          // post-sweep rerun machinery even has to engage
-          val over2x = baseline.get(name).exists(b => needsRerun(min, b))
-          if (over2x || times.max > 2.5 * min) times += once()
-          Some(name -> times.min)
-        } catch {
-          case e: Throwable =>
-            errors += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            None
+        }
+      // suspect adjudication happens AFTER the sweep so the post-sweep
+      // probe can witness load that built up during the run
+      val probeAfter = calibrationProbe(spark)
+      val calFactor = probeRef
+        .map(r => ((probeMids :+ probeBefore :+ probeAfter).max) / r)
+        .getOrElse(1.0)
+      // Auto-rerun: a transient spike during the sweep must not survive
+      // into the artifact as a phantom regression (round 10 published
+      // q89 at 10.35 s that re-measured 1.17 s on a quiet box). Each
+      // would-be suspect gets a fresh single-shot probe (its own local
+      // contention reading) and two fresh runs; the artifact keeps BOTH
+      // readings — the original min under "reruns.first" semantics (the
+      // headline becomes the overall min) — so the artifact itself
+      // documents contention vs regression without a judge re-measure.
+      // Only a query that is STILL over the bar under its rerun-local
+      // factor is published as suspect.
+      val reruns = scala.collection.mutable.ArrayBuffer[(String, Double, Double)]()
+      val finalResults = results.map { case (name, min0) =>
+        baseline.get(name) match {
+          // rerun at the RAW 2× contract bar (needsRerun), which subsumes
+          // the scaled 3× suspect bar (factor floors at 1): every row the
+          // artifact would show over 2× baseline gets its fresh-probe +
+          // fresh-runs reading recorded under "reruns"
+          case Some(b) if needsRerun(min0, b) =>
+            val probeNow = calibrationProbeOnce(spark)
+            val localFactor = probeRef.map(probeNow / _).getOrElse(1.0)
+            val rerunMin = try math.min(runOnce(name), runOnce(name)) catch {
+              case _: Throwable => Double.MaxValue // keep the original reading
+            }
+            if (rerunMin < Double.MaxValue) reruns += ((name, min0, rerunMin))
+            // math.min absorbs the failed-rerun sentinel (Double.MaxValue)
+            val best = math.min(min0, rerunMin)
+            if (isSuspect(best, b, localFactor)) suspects += name
+            name -> best
+          case _ =>
+            name -> min0
         }
       }
-    // suspect adjudication happens AFTER the sweep so the post-sweep
-    // probe can witness load that built up during the run
-    val probeAfter = calibrationProbe(spark)
-    val calFactor = probeRef
-      .map(r => ((probeMids :+ probeBefore :+ probeAfter).max) / r)
-      .getOrElse(1.0)
-    // Auto-rerun: a transient spike during the sweep must not survive
-    // into the artifact as a phantom regression (round 10 published
-    // q89 at 10.35 s that re-measured 1.17 s on a quiet box). Each
-    // would-be suspect gets a fresh single-shot probe (its own local
-    // contention reading) and two fresh runs; the artifact keeps BOTH
-    // readings — the original min under "reruns.first" semantics (the
-    // headline becomes the overall min) — so the artifact itself
-    // documents contention vs regression without a judge re-measure.
-    // Only a query that is STILL over the bar under its rerun-local
-    // factor is published as suspect.
-    val reruns = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val rerunFirsts = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val finalResults = results.map { case (name, min0) =>
-      baseline.get(name) match {
-        // rerun at the RAW 2× contract bar (needsRerun), which subsumes
-        // the scaled 3× suspect bar (factor floors at 1): every row the
-        // artifact would show over 2× baseline gets its fresh-probe +
-        // fresh-runs reading recorded under "reruns"
-        case Some(b) if needsRerun(min0, b) =>
-          val probeNow = calibrationProbeOnce(spark)
-          val localFactor = probeRef.map(probeNow / _).getOrElse(1.0)
-          val rerunMin = try math.min(runOnce(name), runOnce(name)) catch {
-            case _: Throwable => Double.MaxValue // keep the original reading
-          }
-          if (rerunMin < Double.MaxValue) {
-            rerunFirsts += name -> min0
-            reruns += name -> rerunMin
-          }
-          // math.min absorbs the failed-rerun sentinel (Double.MaxValue)
-          val best = math.min(min0, rerunMin)
-          if (isSuspect(best, b, localFactor)) suspects += name
-          name -> best
-        case _ =>
-          name -> min0
-      }
+      Sweep(finalResults, builds.toSeq, suspects.toSeq, reruns.toSeq,
+        errors.toSeq, probeBefore, probeAfter,
+        if (probeMids.isEmpty) 0.0 else probeMids.max, calFactor)
     }
+
+    val firstSweep = runSweep()
+    // whole-sweep retry: a calibration factor past 1.25 means the BOX
+    // was loaded for the sweep — per-row reruns then pepper the
+    // artifact with contention evidence instead of clean numbers. One
+    // retry of the entire sweep, keeping whichever run the probe says
+    // saw the quieter box; the builds map stays the FIRST sweep's (its
+    // builder runs were the cold ones — the retry re-reads the same
+    // on-disk artifacts warm).
+    val retried = probeRef.isDefined && firstSweep.calFactor > 1.25
+    val secondSweep = if (retried) Some(runSweep()) else None
+    val chosen = secondSweep.filter(_.calFactor < firstSweep.calFactor)
+      .getOrElse(firstSweep)
+      .copy(builds = firstSweep.builds)
+    val finalResults = chosen.finalResults
+    val errors = chosen.errors
+    val suspects = chosen.suspects
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""
@@ -312,19 +365,25 @@ object Bench {
     val suspectJson = suspects.map(s => s"\"${esc(s)}\"").mkString("[", ",", "]")
     val total = finalResults.map(_._2).sum
     val calJson = numMap(Seq(
-      "probe_before" -> probeBefore,
-      "probe_after" -> probeAfter,
-      "probe_mid_max" -> (if (probeMids.isEmpty) 0.0 else probeMids.max),
+      "probe_before" -> chosen.probeBefore,
+      "probe_after" -> chosen.probeAfter,
+      "probe_mid_max" -> chosen.probeMidMax,
       "ref" -> probeRef.getOrElse(0.0),
-      "factor" -> calFactor))
+      "factor" -> chosen.calFactor,
+      // the whole-sweep retry's provenance: 1 iff a second full sweep
+      // ran because the first's factor crossed 1.25, plus the factor
+      // the published sweep replaced — so a clean artifact also proves
+      // whether it needed the retry to get clean
+      "sweep_retried" -> (if (retried) 1.0 else 0.0),
+      "first_factor" -> firstSweep.calFactor))
     // reruns: sweep-time reading vs post-sweep fresh reading for every
     // query the suspect bar caught — the contention-vs-regression
     // evidence, persisted in the artifact itself
-    val rerunJson = reruns.map { case (k, v) =>
-      s"\"${esc(k)}\":{\"sweep\":${rerunFirsts(k)},\"rerun\":$v}"
+    val rerunJson = chosen.reruns.map { case (k, sweepMin, rerunMin) =>
+      s"\"${esc(k)}\":{\"sweep\":$sweepMin,\"rerun\":$rerunMin}"
     }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${numMap(finalResults)},"builds":${numMap(builds.toSeq)},"suspect":$suspectJson,"reruns":$rerunJson,"calibration":$calJson,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${numMap(finalResults)},"builds":${numMap(chosen.builds)},"suspect":$suspectJson,"reruns":$rerunJson,"calibration":$calJson,"errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // persist the full record too: round 6 and 7 both lost ~half the
     // per-query numbers to driver-side stdout truncation, leaving the
