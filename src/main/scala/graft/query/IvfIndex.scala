@@ -57,6 +57,14 @@ object IvfIndex {
     */
   private val RadiusPad = 1e-6
 
+  /** Per-query overfetch ceiling of the filtered fallback's refill
+    * loop before it escalates to the direct label-equijoin ranking —
+    * see [[filteredViaOverfetch]]. Past ~64k rows per query the top-k
+    * heaps and hit frames grow toward corpus size, while the equijoin
+    * alternative stays one flat labels pass.
+    */
+  private val RefillCap = 65536L
+
   /** Fit centroids, assign every vector, persist model + cells (parquet
     * partitioned by centroid_id) + per-cell radii (the completeness
     * bound's data).
@@ -291,6 +299,16 @@ object IvfIndex {
     * from the index — so a racing writer's rows make the real
     * fingerprints diverge from it and the artifact reads stale
     * (fail-safe), exactly the [[buildLabelMeta]] race discipline.
+    *
+    * Crash windows all degrade to the stale fallback, never to wrong
+    * answers: a crash after the cells append but before the fold
+    * leaves the old snapshot behind the grown row count (stale,
+    * detected); between the radii overwrite and the snapshot write,
+    * the merged radii sit under the old snapshot — still behind the
+    * grown count, still stale; and mid-overwrite of either tiny file
+    * is unreadable-or-old, both of which [[cachedLabelRadii]] treats
+    * as absent/stale. The one state that reads FRESH is the fully
+    * committed fold, whose radii are exact by the max-merge argument.
     */
   private def foldLabelMeta(
       spark: SparkSession,
@@ -1096,7 +1114,8 @@ object IvfIndex {
       k: Int,
       threshold: Double,
       probeWidth: Int = 1,
-      maxLabelFanout: Long = 1000000L): (DataFrame, Boolean) = {
+      maxLabelFanout: Long = 1000000L,
+      refillCap: Long = RefillCap): (DataFrame, Boolean) = {
     // branch on the size of the radii frame this call would otherwise
     // build AND broadcast: the fresh artifact's row count when present
     // (parquet-metadata-only), else approx_count_distinct over the
@@ -1107,8 +1126,8 @@ object IvfIndex {
       labels.agg(approx_count_distinct(col(labelCol))).head.getLong(0))
     if (fanout > maxLabelFanout)
       (filteredViaOverfetch(spark, indexPath, idCol, embCol, queries,
-        queryIdCol, queryVecCol, labels, labelCol, k, threshold, probeWidth),
-        true)
+        queryIdCol, queryVecCol, labels, labelCol, k, threshold, probeWidth,
+        refillCap), true)
     else
       (filteredViaLabelRadii(spark, indexPath, idCol, embCol, queries,
         queryIdCol, queryVecCol, labels, labelCol, k, threshold, probeWidth,
@@ -1217,12 +1236,22 @@ object IvfIndex {
     * label-mate missing from its collected matches.
     *
     * Cost shape: each round is one [[queryTopK]] over only the still-
-    * deficient queries at 4× the previous overfetch — ≤ log₄(corpus/k)
+    * deficient queries at 4× the previous overfetch — ≤ log₄(cap/k)
     * rounds, each answer-sized on the wire; the only driver-side
     * values are per-round COUNTS (no row collects). With a sane
     * overfetch the first round finishes the typical query: on a
     * near-unique label most queries have < k label-mates TOTAL and
-    * finish via the untruncated/exhausted rule.
+    * finish via the untruncated/exhausted rule. The overfetch never
+    * exceeds [[RefillCap]] per query: a query still deficient there
+    * (its label is dense in similarity space yet its mates rank below
+    * tens of thousands of non-mates) ESCALATES to the direct
+    * label-equijoin ranking — all its mates found by one equijoin on
+    * the labels frame and ranked exactly, answer-sized for the sparse
+    * labels this branch serves and bounded by one labels scan + one
+    * pruned-nothing ranking pass in the adversarial dense case, which
+    * is the problem's true lower bound. Without the cap the refill
+    * would grow the per-query top-k heap (and the hit frame) toward
+    * corpus size — the exact blow-up this branch exists to avoid.
     */
   private def filteredViaOverfetch(
       spark: SparkSession,
@@ -1236,21 +1265,27 @@ object IvfIndex {
       labelCol: String,
       k: Int,
       threshold: Double,
-      probeWidth: Int): DataFrame = {
+      probeWidth: Int,
+      refillCap: Long = RefillCap): DataFrame = {
     // parquet-metadata-only row count: the overfetch ceiling
     val corpusN = math.min(
       spark.read.parquet(s"$indexPath/cells").count(),
       Int.MaxValue.toLong)
+    // per-query overfetch ceiling before escalating to the direct
+    // equijoin — past this the top-k heaps and the hit frame grow
+    // toward corpus size, while one labels-scan equijoin is flat
+    val hardCap = math.max(math.min(corpusN, math.max(refillCap, k.toLong)), 1L)
     val corpLab = labels.select(col(idCol), col(labelCol).as("__clabel"))
     var pending = queries
       .select(col(queryIdCol), col(queryVecCol), col(labelCol))
       .localCheckpoint()
     var nPending = pending.count()
     // first overfetch: 4k (floored at k+8 so tiny k still overfetches)
-    var kk = math.min(math.max(4L * k, k + 8L), math.max(corpusN, 1L))
+    var kk = math.min(math.max(4L * k, k + 8L), hardCap)
     val parts = scala.collection.mutable.ArrayBuffer[DataFrame]()
     while (nPending > 0) {
       val exhausted = kk >= corpusN
+      val atCap = kk >= hardCap
       // materialized once: the hit list feeds the label join AND the
       // truncation tally below
       val hits = queryTopK(spark, indexPath, idCol, embCol, pending,
@@ -1262,9 +1297,11 @@ object IvfIndex {
       // still COUNT toward the truncation test below, or a top-kk
       // padded with unlabeled rows would read as un-truncated and
       // finish a query whose label-mates hide below the cut. The hits
-      // side is answer-sized (pending × kk), the corpus labels side
-      // streams — broadcast the hits
-      val labeled = broadcast(hits)
+      // side is answer-sized (pending × kk): hint it broadcast while
+      // provably small, let the planner choose once the refill has
+      // grown it (forcing a broadcast there is the driver-OOM shape)
+      val hitsJ = if (nPending * kk <= 4000000L) broadcast(hits) else hits
+      val labeled = hitsJ
         .join(corpLab, Seq(idCol), "left")
         .join(broadcast(pending.select(col(queryIdCol), col(labelCol))),
           Seq(queryIdCol))
@@ -1288,10 +1325,33 @@ object IvfIndex {
           .select(col(queryIdCol))
           .localCheckpoint()
       parts += matched.join(deficient, Seq(queryIdCol), "left_anti")
-      pending = pending.join(deficient, Seq(queryIdCol), "left_semi")
-        .localCheckpoint()
-      nPending = deficient.count()
-      kk = math.min(kk * 4, math.max(corpusN, 1L))
+      if (atCap && !exhausted) {
+        // escalation: queries still deficient at the refill cap take
+        // the direct label-equijoin ranking — every mate of the
+        // query's label found by the equijoin, exact-ranked; their
+        // overfetch rows above are superseded wholesale (left_anti
+        // already excluded them from parts)
+        val stubborn = pending.join(deficient, Seq(queryIdCol), "left_semi")
+        val mates = corpLab.join(
+            broadcast(stubborn
+              .select(col(queryIdCol), col(queryVecCol), col(labelCol))),
+            col("__clabel") === col(labelCol))
+          .select(col(queryIdCol), col(idCol), col(queryVecCol))
+        // mates vs the payload table: sized by label density — leave
+        // the join strategy to the planner (broadcast when sparse)
+        parts += spark.read.parquet(s"$indexPath/cells")
+          .select(col(idCol), col(embCol))
+          .join(mates, Seq(idCol))
+          .withColumn("sim", cosine_sim(col(embCol), col(queryVecCol)))
+          .filter(col("sim") > threshold)
+          .select(col(queryIdCol), col(idCol), col("sim"))
+        nPending = 0
+      } else {
+        pending = pending.join(deficient, Seq(queryIdCol), "left_semi")
+          .localCheckpoint()
+        nPending = deficient.count()
+        kk = math.min(kk * 4, hardCap)
+      }
     }
     parts.reduceOption(_ unionByName _)
       .map(SimilaritySearch.topKExplode(_, queryIdCol, idCol, "sim", k))

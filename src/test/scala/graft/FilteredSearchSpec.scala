@@ -211,6 +211,54 @@ class FilteredSearchSpec extends AnyFunSuite with SharedSpark {
     assert(topkSet(got2) == topkSet(got))
   }
 
+  test("refill-cap escalation: stubborn queries take the direct equijoin and stay exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(61)
+    // a SPARSE-but-scattered label: ids i % 15 == 0 share label 999 (8
+    // mates spread across clusters), everyone else is unique — so a
+    // 999-query's top-8 global hits are its own cluster's non-mates
+    // (__m = 2 < k with a truncated list) and the tiny refill cap
+    // forces the escalation branch on round 1
+    val e = (0L until 120L).map { i =>
+      val base = Array.fill(8)(0.0f)
+      base((i % 4).toInt * 2) = 1.0f
+      (i, base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.08f),
+        if (i % 15 == 0) 999L else i)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft-filt-esc").toString
+    IvfIndex.build(e.select("vec_id", "embedding"), "vec_id", "embedding", dir,
+      IvfIndex.Params(nCentroids = 4))
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label"))
+    val (got, usedFallback) = IvfIndex.queryTopKFilteredWithPath(
+      spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", e.select("vec_id", "label"), "label",
+      k = 5, threshold = 0.0, probeWidth = 1, maxLabelFanout = 16L,
+      refillCap = 8L)
+    assert(usedFallback)
+    val exact = e.select(col("vec_id"), col("embedding"), col("label").as("__cl"))
+      .join(broadcast(queries), col("__cl") === col("label"))
+      .withColumn("sim", graft.functions.cosine_sim(col("embedding"), col("qvec")))
+      .filter(col("sim") > 0.0)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+      .groupBy("query_id")
+      .agg(graft.functions.topk_by(col("vec_id"), col("sim"), lit(5)).as("t"))
+      .select(col("query_id"), posexplode(col("t")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rn"))
+    assert(topkSet(got) ==
+      exact.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // the escalated query really did need more than the cap could see:
+    // every hit is a 999-mate, and mates OUTSIDE the top-8-visible own
+    // cluster (which held only ids 0 and 60) surfaced too
+    val q0 = got.filter(col("query_id") === 0).collect()
+      .map(_.getAs[Long]("vec_id"))
+    assert(q0.nonEmpty && q0.forall(_ % 15 == 0))
+    assert(q0.exists(id => id != 0L && id != 60L),
+      s"escalation surfaced no foreign-cluster mate: ${q0.toSeq}")
+  }
+
   test("a query whose label is absent from the corpus returns nothing") {
     import spark.implicits._
     val rnd = new scala.util.Random(37)
