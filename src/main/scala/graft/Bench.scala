@@ -51,6 +51,7 @@ object Bench {
     // q108-only subset it absorbs the ivf build too — documented in
     // BASELINE.md).
     "q108_filtered_topk" -> "filtered_label_meta",
+    "q113_filtered_fallback" -> "ivf_index",
     "q39_ivf_topk" -> "ivf_index",
     "q77_knn_graph" -> "ivf_index",
     "q82_contrastive_pairs" -> "ivf_index",
@@ -131,7 +132,8 @@ object Bench {
     * alphabetically.)
     */
   private val sweepKey = Map(
-    "q108_filtered_topk" -> "q39_ivf_topk~filtered")
+    "q108_filtered_topk" -> "q39_ivf_topk~filtered",
+    "q113_filtered_fallback" -> "q39_ivf_topk~fallback")
 
   /** Optional standing per-query baseline (name → seconds), maintained
     * alongside BASELINE.md; absence just disables the 3×-of-baseline

@@ -206,6 +206,37 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** Q113: FILTERED retrieval through the HIGH-CARDINALITY fallback
+    * ([[graft.query.IvfIndex.queryTopKFiltered]] past
+    * `maxLabelFanout`): a derived near-unique label (`vec_id % 97`,
+    * ~97 distinct values vs the fanout cap of 16) reroutes the call
+    * from the per-(cell, label) radii path — whose metadata frame
+    * would grow toward corpus size — to unfiltered overfetch +
+    * post-filter + refill, with the tiny `refillCap` driving the
+    * still-deficient queries through the ESCALATION branch (direct
+    * label-equijoin ranking) at any fixture SF: a label holds ~n/97
+    * mates, and a top-32 global overfetch over an isotropic corpus
+    * surfaces almost none of them. Same exactness contract and the
+    * same label-equijoin oracle shape as q108 — the branch decision
+    * is a cost knob, never a semantics one, and this row proves it
+    * against DuckDB end-to-end.
+    */
+  def q113FilteredFallback(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = indexWorkDir("ivf", dir)
+    buildOnce(work)(IvfIndex.build(e, "vec_id", "embedding", work))
+    IvfIndex.queryTopKFiltered(spark, work, "vec_id", "embedding",
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+            pmod(col("vec_id"), lit(97)).as("hl")),
+        "query_id", "qvec",
+        e.select(col("vec_id"), pmod(col("vec_id"), lit(97)).as("hl")), "hl",
+        k = 5, threshold = 0.0, probeWidth = 1,
+        maxLabelFanout = 16L, refillCap = 32L)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Q109: INCREMENTAL maintenance of the composed IVF+PQ index under
     * the exactness gate — built over 90% of the corpus, the held-out
     * tenth folded in by [[graft.query.IvfPq.upsert]] (cell append +
@@ -817,6 +848,7 @@ object Queries {
     "q110_capped_topk" -> (q110CappedTopK _),
     "q111_ivfpq_split" -> (q111IvfPqSplit _),
     "q112_residual_topk" -> (q112ResidualTopK _),
+    "q113_filtered_fallback" -> (q113FilteredFallback _),
     "q103_retrieval_eval" -> (q103RetrievalEval _),
     "q104_drift_monitor" -> (q104DriftMonitor _))
 
@@ -1034,6 +1066,23 @@ object Queries {
         |  SELECT q.query_id, e.vec_id,
         |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
         |  FROM embeddings e JOIN q ON e.label = q.ql),
+        |r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        |  FROM s WHERE sim > 0.0)
+        |SELECT query_id, vec_id, round(sim, 6) AS sim, rn
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // q113: the q108 shape with a derived near-unique label — the
+    // fallback branch must be oracle-invisible (same equijoin truth)
+    "q113_filtered_fallback" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+        |    vec_id % 97 AS ql
+        |  FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+        |  FROM embeddings e JOIN q ON e.vec_id % 97 = q.ql),
         |r AS (
         |  SELECT query_id, vec_id, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn

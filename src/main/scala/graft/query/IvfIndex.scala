@@ -1076,6 +1076,10 @@ object IvfIndex {
     *                else estimated as `approx_count_distinct(label)`
     *                (a lower bound on the pairs frame). Past it the
     *                overfetch fallback runs instead.
+    * @param refillCap the fallback's per-query overfetch ceiling
+    *                before a still-deficient query escalates to the
+    *                direct label-equijoin ranking (cost knob only —
+    *                every path is exact)
     * @return (queryIdCol, idCol, sim, rn), rn 1..k by sim desc, ties
     *         ascending id — only label-matching rows appear
     */
@@ -1092,10 +1096,11 @@ object IvfIndex {
       k: Int,
       threshold: Double,
       probeWidth: Int = 1,
-      maxLabelFanout: Long = 1000000L): DataFrame =
+      maxLabelFanout: Long = 1000000L,
+      refillCap: Long = RefillCap): DataFrame =
     queryTopKFilteredWithPath(spark, indexPath, idCol, embCol, queries,
       queryIdCol, queryVecCol, labels, labelCol, k, threshold, probeWidth,
-      maxLabelFanout)._1
+      maxLabelFanout, refillCap)._1
 
   /** [[queryTopKFiltered]] plus which path ran (`true` = the
     * high-cardinality overfetch fallback) — the branch decision,
