@@ -49,11 +49,19 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object TrainingFeed {
 
+  /** `splitCap`: optional per-cell occupancy cap for the maintained
+    * index — any cell a batch's fold pushes over it is hot-cell-split
+    * in the same fenced step ([[IndexMaintenance.applyBatch]]'s
+    * splitCap story), so probe cost stays bounded under a feed that
+    * runs for months without ever re-clustering. Result-invisible by
+    * the split's radius-coverage contract.
+    */
   case class Config(
       quotas: Map[String, Long],
       threshold: Double = 0.5,
       embedDim: Int = 16,
-      nCentroids: Int = 8)
+      nCentroids: Int = 8,
+      splitCap: Option[Long] = None)
 
   private def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -163,6 +171,11 @@ object TrainingFeed {
             IvfIndex.Params(nCentroids = math.min(cfg.nCentroids.toLong, n).toInt))
         else
           IvfIndex.upsert(spark, indexPath, "doc_id", "embedding", vecs)
+        // optional occupancy repair inside the fence — a replayed or
+        // crashed split reconciles at the next pass's head-of-call
+        // repair (the IndexMaintenance.applyBatch splitCap story)
+        cfg.splitCap.foreach(cap => IvfIndex.splitToConvergence(
+          spark, indexPath, "doc_id", "embedding", cap))
       }
       IndexMaintenance.writeFence(spark, indexPath, batchId)
     }

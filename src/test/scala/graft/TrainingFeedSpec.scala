@@ -191,8 +191,12 @@ class TrainingFeedSpec extends AnyFunSuite with SharedSpark {
   test("health probe: per-batch retrieval metrics off the maintained index, replay-identical") {
     import spark.implicits._
     val work = tempDir("health")
+    // splitCap exercises the feed's in-fence occupancy repair along
+    // the way: splits are result-invisible, so every health/metric
+    // assertion below must hold unchanged over the split index
     val cfg = TrainingFeed.Config(
-      quotas = feed.map(_._3).distinct.map(_ -> Long.MaxValue / 4).toMap)
+      quotas = feed.map(_._3).distinct.map(_ -> Long.MaxValue / 4).toMap,
+      splitCap = Some(8L))
     val docs = feed.take(60)
     val (b0, b1) = (docs.take(30), docs.drop(30))
     // probe set: 3 docs arriving in batch 0, 2 in batch 1 — each query
@@ -213,6 +217,13 @@ class TrainingFeedSpec extends AnyFunSuite with SharedSpark {
     assert(rep.select("batch").distinct().collect().map(_.getInt(0)).toSet
       == Set(0, 1))
     assert(rep.count() == 10L, "one metrics row per (batch, probe query)")
+
+    // the in-fence occupancy repair held the cap (distinct fixture
+    // texts → no degenerate cells to exempt)
+    val maxOcc = spark.read.parquet(s"$work/index/cells")
+      .groupBy("centroid_id").count()
+      .agg(max(col("count"))).head.getLong(0)
+    assert(maxOcc <= 8L, s"feed split cap not enforced: max occupancy $maxOcc")
 
     // batch-0 metrics: a probe doc ADMITTED in batch 0 self-retrieves
     // at rank 1; a probe doc that had not arrived yet scores zero hits
