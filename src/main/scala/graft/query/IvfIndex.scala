@@ -65,6 +65,12 @@ object IvfIndex {
     */
   private val RefillCap = 65536L
 
+  /** Conservative serialized bytes per refill-loop hit row (query id +
+    * id + sim + rn, all 8-byte, plus row overhead) — the a-priori size
+    * estimate behind [[filteredViaOverfetch]]'s forced-broadcast gate.
+    */
+  private val HitRowBytes = 48L
+
   /** Fit centroids, assign every vector, persist model + cells (parquet
     * partitioned by centroid_id) + per-cell radii (the completeness
     * bound's data).
@@ -262,7 +268,12 @@ object IvfIndex {
     * (labelCol, basePath, snapshot rows, snapshot cell ids). One tiny
     * snapshot read per artifact; artifacts written before the
     * snapshot carried its label column are skipped (they can only be
-    * rebuilt, never folded).
+    * rebuilt, never folded). An UNREADABLE snapshot (a crash
+    * mid-overwrite in [[buildLabelMeta]] or [[foldLabelMeta]] leaves
+    * an empty or partial directory) is skipped the same way — the
+    * fail-safe the freshness contract asserts: a torn artifact must
+    * degrade to non-foldable/stale, never wedge every subsequent
+    * [[upsert]] with a read failure until manual cleanup.
     */
   private def labelMetaArtifacts(
       spark: SparkSession,
@@ -276,7 +287,7 @@ object IvfIndex {
         val base = s.getPath.toString
         val snapP = new org.apache.hadoop.fs.Path(s"$base/snapshot")
         if (!fs.exists(snapP)) None
-        else {
+        else scala.util.Try {
           val snap = spark.read.parquet(snapP.toString)
           if (!snap.columns.contains("label_col")) None
           else {
@@ -287,7 +298,7 @@ object IvfIndex {
               r.getAs[Long]("rows"),
               r.getSeq[Long](r.fieldIndex("cells")).toSeq))
           }
-        }
+        }.toOption.flatten
       }
   }
 
@@ -326,9 +337,16 @@ object IvfIndex {
       val old = spark.read.parquet(s"$base/radii")
       val cidT = old.schema("centroid_id").dataType
       // assignNew's `d` IS the member→centroid distance the radii
-      // bound needs (same normalized-vector kernel as the build)
+      // bound needs (same normalized-vector kernel as the build).
+      // Null labels are dropped BEFORE the aggregation: buildLabelMeta
+      // derives radii through an inner join on the labels frame, so a
+      // built artifact never holds a (cell, null) row — folding one in
+      // would diverge the two artifact shapes (harmless to answers, a
+      // null never equi-matches, but it inflates the fanout count the
+      // branch decision reads).
       val batchRadii = assigned
         .join(newRows.select(col(idCol), col(lc)), Seq(idCol))
+        .filter(col(lc).isNotNull)
         .groupBy(col("centroid_id"), col(lc))
         .agg(max(col("d")).as("__new_rl"))
       val merged = old
@@ -943,6 +961,12 @@ object IvfIndex {
       cellMeta: DataFrame,
       labelCol: String): DataFrame =
     assigned
+      // no (cell, null) rows: a null label can never equi-match a
+      // query's label, so the row would only inflate the artifact and
+      // the fanout count the branch decision reads — and [[foldLabelMeta]]
+      // filters nulls the same way, keeping folded and built artifacts
+      // shape-identical
+      .filter(col(labelCol).isNotNull)
       .join(broadcast(cellMeta.select(col("centroid_id"), col("center"))),
         "centroid_id")
       .withColumn("__d",
@@ -1021,12 +1045,18 @@ object IvfIndex {
     val fs = rp.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(rp) ||
         !fs.exists(new org.apache.hadoop.fs.Path(s"$base/snapshot"))) return None
-    val snap = spark.read.parquet(s"$base/snapshot").head
-    val fresh =
-      snap.getAs[Long]("rows") == spark.read.parquet(s"$indexPath/cells").count() &&
-        snap.getSeq[Long](snap.fieldIndex("cells")).toSeq ==
-          cellDirIds(spark, indexPath).sorted
-    if (fresh) Some(spark.read.parquet(s"$base/radii")) else None
+    // Try-wrapped end to end: an UNREADABLE snapshot or radii table (a
+    // crash mid-overwrite left an empty/partial directory) reads as
+    // absent — the documented fail-safe. Answers then come from the
+    // per-call derivation; only the cost reverts, never correctness.
+    scala.util.Try {
+      val snap = spark.read.parquet(s"$base/snapshot").head
+      val fresh =
+        snap.getAs[Long]("rows") == spark.read.parquet(s"$indexPath/cells").count() &&
+          snap.getSeq[Long](snap.fieldIndex("cells")).toSeq ==
+            cellDirIds(spark, indexPath).sorted
+      if (fresh) Some(spark.read.parquet(s"$base/radii")) else None
+    }.toOption.flatten
   }
 
   /** Delete every persisted [[buildLabelMeta]] artifact — called by
@@ -1302,10 +1332,20 @@ object IvfIndex {
       // still COUNT toward the truncation test below, or a top-kk
       // padded with unlabeled rows would read as un-truncated and
       // finish a query whose label-mates hide below the cut. The hits
-      // side is answer-sized (pending × kk): hint it broadcast while
-      // provably small, let the planner choose once the refill has
-      // grown it (forcing a broadcast there is the driver-OOM shape)
-      val hitsJ = if (nPending * kk <= 4000000L) broadcast(hits) else hits
+      // side is answer-sized (≤ pending × kk rows of a fixed narrow
+      // shape — query id, id, sim, rn ≈ 48 B serialized each): hint it
+      // broadcast while that a-priori byte bound fits the broadcast
+      // budget the DEPLOYMENT configured (spark.sql.
+      // autoBroadcastJoinThreshold — config-derived, not a hardcoded
+      // row count blind to driver memory), and let the planner choose
+      // from the checkpointed frame's real stats once the refill has
+      // grown it past that (forcing a broadcast there is the
+      // driver-OOM shape). Threshold −1 (auto-broadcast disabled)
+      // disables the forced hint the same way.
+      val bcBytes = spark.sessionState.conf.autoBroadcastJoinThreshold
+      val hitsJ =
+        if (bcBytes > 0 && nPending * kk * HitRowBytes <= bcBytes) broadcast(hits)
+        else hits
       val labeled = hitsJ
         .join(corpLab, Seq(idCol), "left")
         .join(broadcast(pending.select(col(queryIdCol), col(labelCol))),

@@ -122,7 +122,14 @@ object TrainingFeed {
 
     val gatedDir = s"$workDir/gated/batch=$batchId"
     val gated =
-      if (exists(spark, gatedDir)) spark.read.parquet(gatedDir)
+      // first-write-wins on the COMMIT marker, not the directory: a
+      // crash mid-write leaves gatedDir with only _temporary, which a
+      // dir-existence gate would try to READ — throwing on every
+      // replay and wedging the feed permanently. The ledger write
+      // below is mode(overwrite), so re-running it over a torn
+      // partition is idempotent (budgets still counted once: the prior
+      // consumption scan reads only committed rows).
+      if (exists(spark, s"$gatedDir/_SUCCESS")) spark.read.parquet(gatedDir)
       else {
         // ---- stage 2: near-dup admission (persisted probe index) ----
         val verdicts = StreamingNearDup.admissionStep(
@@ -194,7 +201,12 @@ object TrainingFeed {
     if (exists(spark, s"$workDir/health/queries") &&
         exists(spark, s"$indexPath/cells_meta")) {
       val mDir = s"$workDir/health/metrics/batch=$batchId"
-      if (!exists(spark, mDir))
+      // first-write-wins gates on the COMMIT marker, not the directory:
+      // a crash mid-write leaves mDir with only _temporary and no
+      // _SUCCESS, and a dir-existence gate would then skip the replay's
+      // recompute forever — healthReport silently missing that batch.
+      // The overwrite below makes the retried write idempotent.
+      if (!exists(spark, s"$mDir/_SUCCESS"))
         try {
           val hq = spark.read.parquet(s"$workDir/health/queries")
           val rels = spark.read.parquet(s"$workDir/health/rels")
