@@ -55,7 +55,7 @@ object IvfIndex {
   /** Absorbs float-vs-double kernel noise when the stored radius is
     * reused at query time; padding only adds probes, never drops them.
     */
-  private val RadiusPad = 1e-6
+  private[query] val RadiusPad = 1e-6
 
   /** Per-query overfetch ceiling of the filtered fallback's refill
     * loop before it escalates to the direct label-equijoin ranking —
@@ -157,6 +157,138 @@ object IvfIndex {
     model
   }
 
+  /** Full RE-CLUSTER with an atomic generation swap — the repair for
+    * the one drift mode the log-structured lifecycle (append → split →
+    * compact) cannot fix: a corpus whose distribution shifted until the
+    * original centroid PLACEMENT is globally poor (every cell still
+    * valid by the radius contract, but radii huge → probe counts
+    * degrade toward a full scan). Fresh centroids/cells/meta are built
+    * from the CURRENT corpus into a generation directory while readers
+    * keep serving the old tables, then swapped in behind a marker
+    * fence (the `split_pending` discipline):
+    *
+    *  - `_regen/` is built completely (cells, cells_meta, then a
+    *    `_COMPLETE` sentinel — written LAST, so its presence proves
+    *    the build finished);
+    *  - the `recluster_pending` marker is written, the two live
+    *    directories are renamed aside (`_retired_*`), the fresh ones
+    *    renamed in, the retired generation and `_regen` are deleted,
+    *    and the marker is removed LAST;
+    *  - a crash ANYWHERE in that window leaves the marker, and
+    *    [[ensureGeneration]] — one driver-side `fs.exists` at the head
+    *    of every read/maintenance entry point when healthy — completes
+    *    the swap deterministically (the sentinel says the build
+    *    finished, so rolling forward is always safe; an artifact whose
+    *    live directory is missing is restored from `_regen` or
+    *    `_retired_*`, whichever still holds it). No reader ever sees a
+    *    cells/cells_meta pair from two generations.
+    *
+    * Persisted label metadata is invalidated FIRST: its freshness
+    * fingerprint (row count + cell id set) cannot distinguish two
+    * same-shaped generations, so a swap could otherwise serve stale
+    * per-label radii as fresh. Plain-IVF only — a composed index's
+    * codes are priced against build-time structures; re-cluster it
+    * with a full [[IvfPq.build]]. Result-invisible by the family
+    * contract: the new generation indexes exactly the old one's rows,
+    * and the query bound is exact for ANY centroid set (spec + q115
+    * oracle-gated).
+    */
+  def recluster(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      params: Params = Params()): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/cell_codes")),
+      "IvfIndex.recluster: this index carries a cell_codes table (a composed " +
+        "IvfPq index) — its codes are priced against build-time structures; " +
+        "re-cluster with IvfPq.build")
+    // complete any crashed prior swap before starting a new one
+    ensureGeneration(spark, indexPath)
+    // stale-by-construction after the swap; delete while the old
+    // generation is still live so a crash at any later point can never
+    // leave an artifact whose fingerprint matches the NEW generation
+    invalidateLabelMeta(spark, indexPath)
+    val regen = s"$indexPath/_regen"
+    fs.delete(new org.apache.hadoop.fs.Path(regen), true)
+    // fresh build from the live corpus: reads the OLD cells/, writes
+    // only under _regen/ — readers are untouched until the swap
+    build(spark.read.parquet(s"$indexPath/cells").select(col(idCol), col(embCol)),
+      idCol, embCol, regen, params)
+    fs.create(new org.apache.hadoop.fs.Path(s"$regen/_COMPLETE"), true).close()
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    fs.create(p(reclusterPendingPath(indexPath)), true).close()
+    Seq("cells", "cells_meta").foreach { a =>
+      require(fs.rename(p(s"$indexPath/$a"), p(s"$indexPath/_retired_$a")),
+        s"recluster: could not retire $indexPath/$a")
+    }
+    Seq("cells", "cells_meta").foreach { a =>
+      require(fs.rename(p(s"$regen/$a"), p(s"$indexPath/$a")),
+        s"recluster: could not install $regen/$a")
+    }
+    Seq(s"$indexPath/_retired_cells", s"$indexPath/_retired_cells_meta", regen)
+      .foreach { d => fs.delete(p(d), true); () }
+    // marker removed LAST: a crash during the cleanup above re-enters
+    // ensureGeneration, which just finishes the deletes
+    fs.delete(p(reclusterPendingPath(indexPath)), true)
+    ()
+  }
+
+  private def reclusterPendingPath(indexPath: String): String =
+    s"$indexPath/recluster_pending"
+
+  /** Complete a crashed [[recluster]] swap — called at the head of
+    * every read/maintenance entry point (one driver-side `fs.exists`
+    * when healthy, the overwhelmingly common case). With the marker
+    * present, the `_regen/_COMPLETE` sentinel proves the fresh
+    * generation finished building (the marker is only ever written
+    * after it), so the swap always rolls FORWARD: each live table
+    * missing its directory is restored from `_regen` (not yet
+    * installed) or is already installed; a live directory that still
+    * coexists with its `_regen` copy is the OLD generation caught
+    * before its retire-rename and is moved aside. Cleanup then deletes
+    * the retired generation and the marker (marker last). Idempotent:
+    * re-entry at any crash point converges to the fully-swapped state.
+    */
+  private[graft] def ensureGeneration(spark: SparkSession, indexPath: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    if (!fs.exists(p(reclusterPendingPath(indexPath)))) return
+    val regen = s"$indexPath/_regen"
+    Seq("cells", "cells_meta").foreach { a =>
+      val live = p(s"$indexPath/$a")
+      val fresh = p(s"$regen/$a")
+      val retired = p(s"$indexPath/_retired_$a")
+      if (fs.exists(fresh)) {
+        // fresh copy not yet installed: retire the old live first (the
+        // crash hit between the marker write and this artifact's
+        // renames), then install
+        if (fs.exists(live)) {
+          if (fs.exists(retired)) fs.delete(live, true) // unreachable; defensive
+          else require(fs.rename(live, retired),
+            s"ensureGeneration: could not retire $live")
+        }
+        require(fs.rename(fresh, live),
+          s"ensureGeneration: could not install $fresh")
+      } else if (!fs.exists(live) && fs.exists(retired)) {
+        // fresh already consumed elsewhere or cleanup-crashed state
+        // where this artifact never swapped: restore the old copy so
+        // the PAIR stays single-generation (only reachable if _regen
+        // was already deleted — i.e. both fresh tables were installed —
+        // so this branch restoring is the unreachable-defensive arm)
+        require(fs.rename(retired, live),
+          s"ensureGeneration: could not restore $retired")
+      }
+    }
+    Seq(s"$indexPath/_retired_cells", s"$indexPath/_retired_cells_meta", regen)
+      .foreach { d => fs.delete(p(d), true); () }
+    fs.delete(p(reclusterPendingPath(indexPath)), true)
+    ()
+  }
+
   /** Incremental index maintenance: fold NEW vectors into a built index
     * without re-clustering. Each new vector is assigned to its nearest
     * existing centroid (one broadcast of the nCentroids-row metadata, no
@@ -214,6 +346,7 @@ object IvfIndex {
       idCol: String,
       embCol: String,
       newRows: DataFrame): Unit = {
+    ensureGeneration(spark, indexPath)
     val cellMeta = spark.read.parquet(s"$indexPath/cells_meta")
     // nCentroids-row frame: count it once here, not per write below
     val nCells = cellMeta.count().toInt.max(1)
@@ -459,6 +592,7 @@ object IvfIndex {
       .agg(count(lit(1)).as("occupancy"))
 
   def stats(spark: SparkSession, indexPath: String): DataFrame = {
+    ensureGeneration(spark, indexPath)
     import spark.implicits._
     val occ = cellOccupancy(spark, indexPath)
     val files = graft.util.PartitionFiles
@@ -739,6 +873,7 @@ object IvfIndex {
       idCol: String,
       embCol: String,
       occupancyCap: Long): SplitReport = {
+    ensureGeneration(spark, indexPath)
     val Micro = 1e6
     // a COMPOSED index ([[IvfPq]]) keeps a cell_codes table keyed by
     // the same cell ids: its code rows move WITH their cells below
@@ -956,7 +1091,7 @@ object IvfIndex {
     * bound `sim(q, x∈c with label L) ≤ 1 − max(0, d(q,c) − r(c,L))²/2`
     * is exactly the cell bound with the tighter per-label radius.
     */
-  private def cellLabelRadii(
+  private[query] def cellLabelRadii(
       assigned: DataFrame,
       cellMeta: DataFrame,
       labelCol: String): DataFrame =
@@ -1012,6 +1147,7 @@ object IvfIndex {
       embCol: String,
       labels: DataFrame,
       labelCol: String): Unit = {
+    ensureGeneration(spark, indexPath)
     import spark.implicits._
     val base = labelMetaPath(indexPath, labelCol)
     // snapshot FIRST (see the staleness note above)
@@ -1151,6 +1287,7 @@ object IvfIndex {
       probeWidth: Int = 1,
       maxLabelFanout: Long = 1000000L,
       refillCap: Long = RefillCap): (DataFrame, Boolean) = {
+    ensureGeneration(spark, indexPath)
     // branch on the size of the radii frame this call would otherwise
     // build AND broadcast: the fresh artifact's row count when present
     // (parquet-metadata-only), else approx_count_distinct over the
@@ -1166,14 +1303,17 @@ object IvfIndex {
     else
       (filteredViaLabelRadii(spark, indexPath, idCol, embCol, queries,
         queryIdCol, queryVecCol, labels, labelCol, k, threshold, probeWidth,
-        cached), false)
+        cached)._1, false)
   }
 
   /** The label-radius path of [[queryTopKFiltered]] — exact by the
     * per-(cell, label) triangle bound; `cached` is the already-probed
-    * [[cachedLabelRadii]] result (None → per-call derivation).
+    * [[cachedLabelRadii]] result (None → per-call derivation). Returns
+    * the result plus a LAZY diagnostic frame of the (query, cell)
+    * pairs actually probed (the label-driven restriction, read by the
+    * scaling-curve report; never evaluated in production).
     */
-  private def filteredViaLabelRadii(
+  private[graft] def filteredViaLabelRadii(
       spark: SparkSession,
       indexPath: String,
       idCol: String,
@@ -1186,7 +1326,7 @@ object IvfIndex {
       k: Int,
       threshold: Double,
       probeWidth: Int,
-      cached: Option[DataFrame]): DataFrame = {
+      cached: Option[DataFrame]): (DataFrame, DataFrame) = {
     val cellMeta = broadcast(spark.read.parquet(s"$indexPath/cells_meta"))
     // per-(cell, label) radii: the persisted [[buildLabelMeta]]
     // artifact when present and provably fresh (a parquet-metadata
@@ -1244,14 +1384,18 @@ object IvfIndex {
     val pass1 = probe(qCells.filter(col("crank") <= probeWidth)).localCheckpoint()
     val floor = SimilaritySearch.kthBestScore(
       pass1, queryIdCol, idCol, "sim", k, "floor_sim")
-    val pass2 = probe(
-      qCells.filter(col("crank") > probeWidth)
-        .join(floor, Seq(queryIdCol), "left")
-        .filter(col("ub_sim") > threshold &&
-          col("ub_sim") >= coalesce(col("floor_sim"), lit(threshold))))
+    val sel2 = qCells.filter(col("crank") > probeWidth)
+      .join(floor, Seq(queryIdCol), "left")
+      .filter(col("ub_sim") > threshold &&
+        col("ub_sim") >= coalesce(col("floor_sim"), lit(threshold)))
+    val pass2 = probe(sel2)
 
-    pass1.unionByName(pass2)
-      .transform(SimilaritySearch.topKExplode(_, queryIdCol, idCol, "sim", k))
+    (pass1.unionByName(pass2)
+      .transform(SimilaritySearch.topKExplode(_, queryIdCol, idCol, "sim", k)),
+      qCells.filter(col("crank") <= probeWidth)
+        .select(col(queryIdCol), col("centroid_id"))
+        .unionByName(sel2.select(col(queryIdCol), col("centroid_id")))
+        .distinct())
   }
 
   /** The HIGH-CARDINALITY path of [[queryTopKFiltered]]: when the
@@ -1288,7 +1432,7 @@ object IvfIndex {
     * would grow the per-query top-k heap (and the hit frame) toward
     * corpus size — the exact blow-up this branch exists to avoid.
     */
-  private def filteredViaOverfetch(
+  private[query] def filteredViaOverfetch(
       spark: SparkSession,
       indexPath: String,
       idCol: String,
@@ -1301,7 +1445,19 @@ object IvfIndex {
       k: Int,
       threshold: Double,
       probeWidth: Int,
-      refillCap: Long = RefillCap): DataFrame = {
+      refillCap: Long = RefillCap,
+      // the unfiltered top-k engine each refill round runs —
+      // (still-deficient queries, kk) => hits. Defaults to this
+      // index's [[queryTopK]]; [[IvfPq]] passes its composed engine so
+      // the high-cardinality branch rides the memory-bound layout (the
+      // escalation equijoin below reads the shared `cells/` payloads
+      // either way). Any EXACT engine preserves the branch's
+      // exactness argument verbatim — the proof only uses "the global
+      // top-kk is the true top-kk".
+      topKFn: Option[(DataFrame, Int) => DataFrame] = None): DataFrame = {
+    val runTopK = topKFn.getOrElse((pending: DataFrame, kk: Int) =>
+      queryTopK(spark, indexPath, idCol, embCol, pending,
+        queryIdCol, queryVecCol, kk, threshold, probeWidth))
     // parquet-metadata-only row count: the overfetch ceiling
     val corpusN = math.min(
       spark.read.parquet(s"$indexPath/cells").count(),
@@ -1323,9 +1479,7 @@ object IvfIndex {
       val atCap = kk >= hardCap
       // materialized once: the hit list feeds the label join AND the
       // truncation tally below
-      val hits = queryTopK(spark, indexPath, idCol, embCol, pending,
-        queryIdCol, queryVecCol, kk.toInt, threshold, probeWidth)
-        .localCheckpoint()
+      val hits = runTopK(pending, kk.toInt).localCheckpoint()
       // label every hit and compare against the query's wanted label;
       // LEFT join — an id the labels frame does not cover can never
       // match (same as the radii path's inner label join) but must
@@ -1431,7 +1585,30 @@ object IvfIndex {
       queryVecCol: String,
       k: Int,
       threshold: Double,
-      probeWidth: Int = 1): DataFrame = {
+      probeWidth: Int = 1): DataFrame =
+    queryTopKWithProbes(spark, indexPath, idCol, embCol, queries,
+      queryIdCol, queryVecCol, k, threshold, probeWidth)._1
+
+  /** [[queryTopK]] plus two LAZY diagnostic frames: the (query, cell)
+    * pairs actually probed across both passes, and the exact-ranked
+    * candidate rows — the pruning evidence the scaling-curve report
+    * and the plan-shape specs read. The production path never
+    * evaluates them.
+    */
+  private[graft] def queryTopKWithProbes(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      k: Int,
+      threshold: Double,
+      probeWidth: Int = 1): (DataFrame, DataFrame, DataFrame) = {
+    // one fs.exists when healthy: completes a crashed recluster swap
+    // so no reader ever sees a torn generation pair
+    ensureGeneration(spark, indexPath)
     // (centroid_id, center, radius) — only populated cells have a row,
     // and only populated cells can produce candidates
     val cellMeta = broadcast(spark.read.parquet(s"$indexPath/cells_meta"))
@@ -1487,14 +1664,19 @@ object IvfIndex {
     // second pass: exactly the cells whose bound can still matter. >= on
     // the floor (not >): a bound-equal cell can hold a tie that wins the
     // ascending-id tie-break.
-    val pass2 = probe(
-      qCells.filter(col("crank") > probeWidth)
-        .join(floor, Seq(queryIdCol), "left")
-        .filter(col("ub_sim") > threshold &&
-          col("ub_sim") >= coalesce(col("floor_sim"), lit(threshold))))
+    val sel2 = qCells.filter(col("crank") > probeWidth)
+      .join(floor, Seq(queryIdCol), "left")
+      .filter(col("ub_sim") > threshold &&
+        col("ub_sim") >= coalesce(col("floor_sim"), lit(threshold)))
+    val pass2 = probe(sel2)
 
-    pass1.unionByName(pass2)
-      .transform(SimilaritySearch.topKExplode(_, queryIdCol, idCol, "sim", k))
+    val cand = pass1.unionByName(pass2)
+    (cand.transform(SimilaritySearch.topKExplode(_, queryIdCol, idCol, "sim", k)),
+      qCells.filter(col("crank") <= probeWidth)
+        .select(col(queryIdCol), col("centroid_id"))
+        .unionByName(sel2.select(col(queryIdCol), col("centroid_id")))
+        .distinct(),
+      cand)
   }
 
   /** Exact k-NN GRAPH over the indexed corpus: every vector's k nearest
@@ -1534,6 +1716,7 @@ object IvfIndex {
       idCol: String,
       embCol: String,
       k: Int): DataFrame = {
+    ensureGeneration(spark, indexPath)
     val cellMeta = broadcast(spark.read.parquet(s"$indexPath/cells_meta"))
     val assigned = normalizedAssigned(spark, indexPath, idCol, embCol)
     val queries = assigned.select(
@@ -1645,6 +1828,7 @@ object IvfIndex {
       embCol: String,
       labels: DataFrame,
       labelCol: String): (DataFrame, DataFrame, DataFrame) = {
+    ensureGeneration(spark, indexPath)
     val cellMeta = broadcast(spark.read.parquet(s"$indexPath/cells_meta"))
     val assigned = normalizedAssigned(spark, indexPath, idCol, embCol)
       .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))

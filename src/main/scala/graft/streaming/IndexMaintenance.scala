@@ -73,7 +73,8 @@ object IndexMaintenance {
       embCol: String,
       batch: DataFrame,
       batchId: Long,
-      splitCap: Option[Long] = None): Boolean = {
+      splitCap: Option[Long] = None,
+      reclusterEvery: Option[Long] = None): Boolean = {
     val spark = batch.sparkSession
     if (batchId <= lastApplied(spark, indexPath) || batch.isEmpty) false
     else {
@@ -89,6 +90,19 @@ object IndexMaintenance {
       // overwrite the orphan
       splitCap.foreach(cap =>
         IvfIndex.splitToConvergence(spark, indexPath, idCol, embCol, cap))
+      // optional full re-cluster at a batch cadence — the centroid-
+      // PLACEMENT repair splits cannot provide ([[IvfIndex.recluster]]:
+      // generation built off the query path, marker-fenced atomic
+      // swap). Result-invisible, so replay semantics stay the fence's:
+      // a crash mid-swap is completed by the next reader's
+      // ensureGeneration, and a replayed batch is fenced before any of
+      // this re-runs. Cadence (every Nth applied batch), not drift-
+      // triggered: the trigger input a drift rule would want (probe
+      // counts) lives in query sessions, not here.
+      reclusterEvery.foreach { n =>
+        if (n > 0 && batchId % n == 0)
+          IvfIndex.recluster(spark, indexPath, idCol, embCol)
+      }
       writeFence(spark, indexPath, batchId)
       true
     }
@@ -106,13 +120,15 @@ object IndexMaintenance {
       idCol: String,
       embCol: String,
       checkpointDir: String,
-      splitCap: Option[Long] = None): StreamingQuery =
+      splitCap: Option[Long] = None,
+      reclusterEvery: Option[Long] = None): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(indexPath, idCol, embCol, batch, batchId, splitCap); ()
+        applyBatch(indexPath, idCol, embCol, batch, batchId, splitCap,
+          reclusterEvery); ()
       }
       .start()
 

@@ -1,0 +1,187 @@
+package graft
+
+import graft.query.IvfIndex
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Full re-cluster with atomic generation swap (q115's operator,
+  * [[IvfIndex.recluster]]): result-invisibility, actual layout repair,
+  * label-meta invalidation, the mid-swap crash matrix (readers roll a
+  * crashed swap forward and never see a torn generation pair), and the
+  * maintenance cadence knob.
+  */
+class ReclusterSpec extends AnyFunSuite with SharedSpark {
+  import spark.implicits._
+
+  private def clustered(n: Long, seed: Int): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    (0L until n).map { i =>
+      val base = Array.fill(8)(0.0f)
+      base((i % 4).toInt * 2) = 1.0f
+      (i, base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def topkSet(df: DataFrame): Set[(Long, Long, Long)] =
+    df.select(col("query_id").cast("long"), col("vec_id").cast("long"),
+        col("rn").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  private def query(dir: String, e: DataFrame, k: Int = 3): Set[(Long, Long, Long)] =
+    topkSet(IvfIndex.queryTopK(spark, dir, "vec_id", "embedding",
+      e.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+      "query_id", "qvec", k, threshold = 0.0))
+
+  private def brute(e: DataFrame, k: Int = 3): Set[(Long, Long, Long)] = {
+    val q = e.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    topkSet(e.crossJoin(broadcast(q))
+      .withColumn("sim", graft.functions.cosine_sim(col("embedding"), col("qvec")))
+      .filter(col("sim") > 0.0)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+      .groupBy("query_id")
+      .agg(graft.functions.topk_by(col("vec_id"), col("sim"), lit(k)).as("t"))
+      .select(col("query_id"), posexplode(col("t")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rn")))
+  }
+
+  test("recluster is result-invisible and actually replaces the generation") {
+    val e = clustered(200, 11)
+    val dir = java.nio.file.Files.createTempDirectory("graft-reclu").toString
+    // poor starting layout: 2 cells, then an append that drifts it
+    IvfIndex.build(e.filter(col("vec_id") < 160), "vec_id", "embedding", dir,
+      IvfIndex.Params(nCentroids = 2))
+    IvfIndex.upsert(spark, dir, "vec_id", "embedding",
+      e.filter(col("vec_id") >= 160))
+    assert(query(dir, e) == brute(e))
+    val oldMeta = spark.read.parquet(s"$dir/cells_meta").count()
+    IvfIndex.recluster(spark, dir, "vec_id", "embedding",
+      IvfIndex.Params(nCentroids = 8))
+    // same answers, new layout, same corpus, no swap residue
+    assert(query(dir, e) == brute(e))
+    val newMeta = spark.read.parquet(s"$dir/cells_meta").count()
+    assert(oldMeta == 2L && newMeta == 8L,
+      s"generation did not change shape: $oldMeta -> $newMeta")
+    assert(spark.read.parquet(s"$dir/cells").count() == 200L)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("_regen", "_retired_cells", "_retired_cells_meta", "recluster_pending")
+      .foreach { d =>
+        assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$d")),
+          s"swap residue left behind: $d")
+      }
+  }
+
+  test("recluster invalidates persisted label metadata (same-shaped fingerprints)") {
+    val e = clustered(160, 13).withColumn("label", pmod(col("vec_id"), lit(3)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-reclu-meta").toString
+    IvfIndex.build(e.select("vec_id", "embedding"), "vec_id", "embedding", dir,
+      IvfIndex.Params(nCentroids = 4))
+    IvfIndex.buildLabelMeta(spark, dir, "vec_id", "embedding",
+      e.select("vec_id", "label"), "label")
+    assert(IvfIndex.cachedLabelRadii(spark, dir, "label").isDefined)
+    IvfIndex.recluster(spark, dir, "vec_id", "embedding",
+      IvfIndex.Params(nCentroids = 4))
+    // same nCentroids and row count: the fingerprint could collide, so
+    // the artifact must be GONE, not merely stale-detected
+    assert(IvfIndex.cachedLabelRadii(spark, dir, "label").isEmpty,
+      "recluster left label metadata behind")
+    // ... and the filtered path still answers exactly via the fallback
+    val queries = e.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label"))
+    val got = IvfIndex.queryTopKFiltered(spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", e.select("vec_id", "label"), "label",
+      k = 3, threshold = 0.0)
+    assert(got.count() > 0)
+  }
+
+  test("mid-swap crash matrix: a reader rolls the swap forward, never sees a torn pair") {
+    val e = clustered(160, 17)
+    // crash points: after the marker write, after retiring one table,
+    // after retiring both, after installing one — every prefix of the
+    // rename sequence
+    for (crashAfter <- 0 to 3) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-reclu-crash$crashAfter").toString
+      IvfIndex.build(e, "vec_id", "embedding", dir, IvfIndex.Params(nCentroids = 2))
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def p(s: String) = new org.apache.hadoop.fs.Path(s)
+      // stage the fresh generation exactly as recluster does
+      IvfIndex.build(spark.read.parquet(s"$dir/cells").select("vec_id", "embedding"),
+        "vec_id", "embedding", s"$dir/_regen", IvfIndex.Params(nCentroids = 8))
+      fs.create(p(s"$dir/_regen/_COMPLETE"), true).close()
+      fs.create(p(s"$dir/recluster_pending"), true).close()
+      // replay the rename sequence up to the crash point
+      val renames = Seq(
+        (s"$dir/cells", s"$dir/_retired_cells"),
+        (s"$dir/cells_meta", s"$dir/_retired_cells_meta"),
+        (s"$dir/_regen/cells", s"$dir/cells"),
+        (s"$dir/_regen/cells_meta", s"$dir/cells_meta"))
+      renames.take(crashAfter).foreach { case (a, b) =>
+        assert(fs.rename(p(a), p(b)), s"test setup rename failed: $a")
+      }
+      // ... crash. The next reader must complete the swap and answer
+      // exactly over the full corpus with the NEW generation
+      assert(query(dir, e) == brute(e), s"crash point $crashAfter answered wrong")
+      assert(spark.read.parquet(s"$dir/cells_meta").count() == 8L,
+        s"crash point $crashAfter did not roll forward to the new generation")
+      assert(!fs.exists(p(s"$dir/recluster_pending")),
+        s"crash point $crashAfter left the marker")
+      Seq("_regen", "_retired_cells", "_retired_cells_meta").foreach { d =>
+        assert(!fs.exists(p(s"$dir/$d")),
+          s"crash point $crashAfter left residue: $d")
+      }
+    }
+  }
+
+  test("a crash during post-swap cleanup converges too (marker + installed generation)") {
+    val e = clustered(120, 19)
+    val dir = java.nio.file.Files.createTempDirectory("graft-reclu-clean").toString
+    IvfIndex.build(e, "vec_id", "embedding", dir, IvfIndex.Params(nCentroids = 2))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    IvfIndex.build(spark.read.parquet(s"$dir/cells").select("vec_id", "embedding"),
+      "vec_id", "embedding", s"$dir/_regen", IvfIndex.Params(nCentroids = 4))
+    fs.create(p(s"$dir/_regen/_COMPLETE"), true).close()
+    fs.create(p(s"$dir/recluster_pending"), true).close()
+    Seq((s"$dir/cells", s"$dir/_retired_cells"),
+      (s"$dir/cells_meta", s"$dir/_retired_cells_meta"),
+      (s"$dir/_regen/cells", s"$dir/cells"),
+      (s"$dir/_regen/cells_meta", s"$dir/cells_meta"))
+      .foreach { case (a, b) => assert(fs.rename(p(a), p(b))) }
+    // crash after all renames, before any cleanup: retired + _regen
+    // shell + marker all still present
+    assert(query(dir, e) == brute(e))
+    assert(spark.read.parquet(s"$dir/cells_meta").count() == 4L)
+    assert(!fs.exists(p(s"$dir/recluster_pending")))
+  }
+
+  test("maintenance cadence knob: reclusterEvery re-clusters on schedule, fenced") {
+    val e = clustered(180, 23)
+    val dir = java.nio.file.Files.createTempDirectory("graft-reclu-maint").toString
+    IvfIndex.build(e.filter(col("vec_id") < 60), "vec_id", "embedding", dir,
+      IvfIndex.Params(nCentroids = 2))
+    // batch 1: no recluster (1 % 2 != 0); batch 2: recluster fires
+    assert(graft.streaming.IndexMaintenance.applyBatch(dir, "vec_id", "embedding",
+      e.filter(col("vec_id") >= 60 && col("vec_id") < 120), batchId = 1L,
+      splitCap = None, reclusterEvery = Some(2L)))
+    assert(spark.read.parquet(s"$dir/cells_meta").count() == 2L)
+    assert(graft.streaming.IndexMaintenance.applyBatch(dir, "vec_id", "embedding",
+      e.filter(col("vec_id") >= 120), batchId = 2L,
+      splitCap = None, reclusterEvery = Some(2L)))
+    // recluster re-fits at the live corpus size (default params 16,
+    // clamped by n) — the layout visibly changed generations
+    assert(spark.read.parquet(s"$dir/cells_meta").count() > 2L)
+    assert(query(dir, e) == brute(e))
+    // a replayed batch id is fenced: nothing re-runs, answers unchanged
+    assert(!graft.streaming.IndexMaintenance.applyBatch(dir, "vec_id", "embedding",
+      e.limit(10), batchId = 2L, splitCap = None, reclusterEvery = Some(2L)))
+    assert(query(dir, e) == brute(e))
+  }
+}
