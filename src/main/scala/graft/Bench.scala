@@ -56,10 +56,15 @@ object Bench {
     "q77_knn_graph" -> "ivf_index",
     "q82_contrastive_pairs" -> "ivf_index",
     "q88_pagerank" -> "ivf_index",
+    // q114 shares q107's composed index (q107 sorts first and prices
+    // the ivfpq build); q114's cold run prices the label-meta artifact
+    // it additionally builds over that index
+    "q114_filtered_pq_topk" -> "filtered_pq_label_meta",
     "q51_bucketed_join" -> "bucketed_tables",
     "q73_lexical_index_topk" -> "lexical_index",
     "q105_pq_topk" -> "pq_index",
     "q106_ivf_split" -> "ivf_split",
+    "q115_recluster" -> "ivf_recluster",
     "q107_ivfpq_topk" -> "ivfpq_index",
     "q111_ivfpq_split" -> "ivfpq_split",
     "q112_residual_topk" -> "ivfpq_residual",
@@ -352,7 +357,6 @@ object Bench {
       .copy(builds = firstSweep.builds)
     val finalResults = chosen.finalResults
     val errors = chosen.errors
-    val suspects = chosen.suspects
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""
@@ -362,31 +366,51 @@ object Bench {
       }
     def numMap(m: Seq[(String, Double)]): String =
       m.map { case (k, v) => s"\"${esc(k)}\":$v" }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
-      .mkString("{", ",", "}")
-    val suspectJson = suspects.map(s => s"\"${esc(s)}\"").mkString("[", ",", "]")
-    val total = finalResults.map(_._2).sum
-    val calJson = numMap(Seq(
-      "probe_before" -> chosen.probeBefore,
-      "probe_after" -> chosen.probeAfter,
-      "probe_mid_max" -> chosen.probeMidMax,
-      "ref" -> probeRef.getOrElse(0.0),
-      "factor" -> chosen.calFactor,
-      // the whole-sweep retry's provenance: 1 iff a second full sweep
-      // ran because the first's factor crossed 1.25, plus the factor
-      // the published sweep replaced — so a clean artifact also proves
-      // whether it needed the retry to get clean
-      "sweep_retried" -> (if (retried) 1.0 else 0.0),
-      "first_factor" -> firstSweep.calFactor))
-    // reruns: sweep-time reading vs post-sweep fresh reading for every
-    // query the suspect bar caught — the contention-vs-regression
-    // evidence, persisted in the artifact itself
-    val rerunJson = chosen.reruns.map { case (k, sweepMin, rerunMin) =>
-      s"\"${esc(k)}\":{\"sweep\":$sweepMin,\"rerun\":$rerunMin}"
-    }.mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${numMap(finalResults)},"builds":${numMap(chosen.builds)},"suspect":$suspectJson,"reruns":$rerunJson,"calibration":$calJson,"errors":$errJson,"sf":"$sfDir"}"""
+    // the full artifact JSON of one sweep — extracted so a retried
+    // run can persist BOTH sweeps (the rejected one's per-query rows
+    // are the contention forensics the retry would otherwise discard)
+    def sweepJson(s: Sweep): String = {
+      val errJson = s.errors.map { case (k, v) => s"\"${esc(k)}\":\"${esc(v)}\"" }
+        .mkString("{", ",", "}")
+      val suspectJson = s.suspects.map(x => s"\"${esc(x)}\"").mkString("[", ",", "]")
+      val calJson = numMap(Seq(
+        "probe_before" -> s.probeBefore,
+        "probe_after" -> s.probeAfter,
+        "probe_mid_max" -> s.probeMidMax,
+        "ref" -> probeRef.getOrElse(0.0),
+        "factor" -> s.calFactor,
+        // the whole-sweep retry's provenance: 1 iff a second full sweep
+        // ran because the first's factor crossed 1.25, plus the factor
+        // the published sweep replaced — so a clean artifact also proves
+        // whether it needed the retry to get clean
+        "sweep_retried" -> (if (retried) 1.0 else 0.0),
+        "first_factor" -> firstSweep.calFactor))
+      // reruns: sweep-time reading vs post-sweep fresh reading for every
+      // query the suspect bar caught — the contention-vs-regression
+      // evidence, persisted in the artifact itself
+      val rerunJson = s.reruns.map { case (k, sweepMin, rerunMin) =>
+        s"\"${esc(k)}\":{\"sweep\":$sweepMin,\"rerun\":$rerunMin}"
+      }.mkString("{", ",", "}")
+      val total = s.finalResults.map(_._2).sum
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${numMap(s.finalResults)},"builds":${numMap(s.builds)},"suspect":$suspectJson,"reruns":$rerunJson,"calibration":$calJson,"errors":$errJson,"sf":"$sfDir"}"""
+    }
+    val json = sweepJson(chosen)
     println(json)
+    // a retried run persists the REJECTED sweep's full per-query JSON
+    // too (builds included — cold numbers belong to sweep 1 either
+    // way), so contention forensics never depend on the published run
+    if (retried) try {
+      val rejected = secondSweep.filter(_ => chosen.calFactor == firstSweep.calFactor)
+        .getOrElse(firstSweep)
+        .copy(builds = firstSweep.builds)
+      val out = java.nio.file.Paths.get("tools/bench_rejected_sweep.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, sweepJson(rejected).getBytes("UTF-8"))
+    } catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[bench] could not write tools/bench_rejected_sweep.json: ${e.getMessage}")
+    }
     // persist the full record too: round 6 and 7 both lost ~half the
     // per-query numbers to driver-side stdout truncation, leaving the
     // round without gradeable bench evidence

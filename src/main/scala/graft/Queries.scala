@@ -237,6 +237,38 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** Q114: FILTERED vector search over the COMPOSED IVF+PQ index
+    * ([[graft.query.IvfPq.queryTopKFiltered]]) — the q108 semantics
+    * served from the memory-bound layout a 100 TB corpus actually
+    * runs: the per-(cell, label) radius bound restricts probes to
+    * label-holding cells (the SAME persisted
+    * [[graft.query.IvfIndex.buildLabelMeta]] artifact as q108 — the
+    * composed layout shares `cells/`+`cells_meta`, so freshness
+    * proofs and upsert folds apply unchanged), and within the probed
+    * cells the PQ code scan prices ONLY label-mates, fetching full
+    * payloads for just the double-bound survivors. Exact by the
+    * stacked bounds; same label-equijoin oracle as q108, so the two
+    * layouts are graded against one truth.
+    */
+  def q114FilteredPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = indexWorkDir("ivfpq", dir)
+    buildOnce(work)(IvfPq.build(e, "vec_id", "embedding", work,
+      IvfPq.Params(pq = PqIndex.Params(fitSampleMod = 4))))
+    // label metadata is its own build-once artifact over the shared
+    // "ivfpq" index (q107/q114 share the build, priced once in bench)
+    buildOnce(s"$work/__label_meta")(IvfIndex.buildLabelMeta(
+      spark, work, "vec_id", "embedding", e.select("vec_id", "label"), "label"))
+    IvfPq.queryTopKFiltered(spark, work, "vec_id", "embedding",
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+            col("label")),
+        "query_id", "qvec", e.select("vec_id", "label"), "label",
+        k = 5, threshold = 0.0)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Q109: INCREMENTAL maintenance of the composed IVF+PQ index under
     * the exactness gate — built over 90% of the corpus, the held-out
     * tenth folded in by [[graft.query.IvfPq.upsert]] (cell append +
@@ -348,6 +380,37 @@ object Queries {
     }
     IvfPq.queryTopK(spark, work, "vec_id", "embedding",
         queryBatch(e), "query_id", "qvec", k = 5, threshold = 0.0, params = params)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** Q115: FULL RE-CLUSTER with atomic generation swap
+    * ([[graft.query.IvfIndex.recluster]]) under the exactness gate —
+    * the lifecycle repair the append→split→compact loop cannot
+    * provide: a deliberately poor starting generation (2 coarse cells
+    * over 90% of the corpus, drifted further by a 10% append) is
+    * re-clustered to 16 fresh cells built from the CURRENT corpus and
+    * swapped in behind the marker fence, and the standard batch then
+    * queries the new generation against the same full-corpus exact
+    * oracle as q39/q85/q106 — green only if the swap is
+    * result-invisible (same rows in, exact bound out) and leaves no
+    * torn cells/cells_meta pair. The mid-swap crash matrix is
+    * spec-pinned (ReclusterSpec); this row prices the full
+    * build+swap+query lifecycle.
+    */
+  def q115Recluster(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = indexWorkDir("ivf_recluster", dir)
+    buildOnce(work) {
+      IvfIndex.build(e.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+        "vec_id", "embedding", work, IvfIndex.Params(nCentroids = 2))
+      IvfIndex.upsert(spark, work, "vec_id", "embedding",
+        e.filter(pmod(col("vec_id"), lit(10)) === 0))
+      IvfIndex.recluster(spark, work, "vec_id", "embedding",
+        IvfIndex.Params(nCentroids = 16))
+    }
+    IvfIndex.queryTopK(spark, work, "vec_id", "embedding",
+        queryBatch(e), "query_id", "qvec", k = 5, threshold = 0.0)
       .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
       .orderBy("query_id", "rn")
   }
@@ -849,6 +912,8 @@ object Queries {
     "q111_ivfpq_split" -> (q111IvfPqSplit _),
     "q112_residual_topk" -> (q112ResidualTopK _),
     "q113_filtered_fallback" -> (q113FilteredFallback _),
+    "q114_filtered_pq_topk" -> (q114FilteredPqTopK _),
+    "q115_recluster" -> (q115Recluster _),
     "q103_retrieval_eval" -> (q103RetrievalEval _),
     "q104_drift_monitor" -> (q104DriftMonitor _))
 
@@ -1024,6 +1089,9 @@ object Queries {
     // q106 queries the split-maintained index — same exact oracle; the
     // hot-cell split must be invisible to results
     "q106_ivf_split" -> cosineTopKOracle,
+    // q115 queries the re-clustered (generation-swapped) index; same
+    // exact oracle — the swap must be result-invisible
+    "q115_recluster" -> cosineTopKOracle,
     "q107_ivfpq_topk" -> cosineTopKOracle,
     // q109 queries the upsert-maintained composed index — same exact
     // oracle; maintenance must be invisible to results
@@ -1083,6 +1151,22 @@ object Queries {
         |  SELECT q.query_id, e.vec_id,
         |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
         |  FROM embeddings e JOIN q ON e.vec_id % 97 = q.ql),
+        |r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        |  FROM s WHERE sim > 0.0)
+        |SELECT query_id, vec_id, round(sim, 6) AS sim, rn
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // q114: the q108 truth served from the composed IVF+PQ layout —
+    // the index family must be oracle-invisible (same equijoin truth)
+    "q114_filtered_pq_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+        |  FROM embeddings e JOIN q ON e.label = q.ql),
         |r AS (
         |  SELECT query_id, vec_id, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
