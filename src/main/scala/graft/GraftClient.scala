@@ -261,6 +261,108 @@ final class GraftClient(
         col("sim"), col("rn"))
   }
 
+  /** Build the LEXICAL channel of the hybrid serve face over a written
+    * document index: a persisted BM25 postings index
+    * ([[graft.query.LexicalSearch.buildIndex]] — term-hash-partitioned
+    * postings, pruned probes, incremental appends) over the chunk
+    * content, keyed by the SAME deterministic row ids as
+    * [[buildQueryIndex]] (the distributed prefix-sum over the
+    * (doc_id, chunk_id, piece_id) export order) — the two channels
+    * share one id space, the precondition of
+    * [[graft.query.LexicalSearch.rrfFuse]]. Build once next to the
+    * vector artifacts; [[queryHybrid]]/[[queryHybridBatch]] then serve
+    * fused retrieval without scanning either corpus.
+    */
+  def buildLexicalIndex(indexPath: String, annPath: String): Unit = {
+    val idx = spark.read.parquet(indexPath)
+    val withId = graft.pipeline.ScalableWindow.globalRunningSum(
+        idx.withColumn("__one", lit(1L)), "__one", "row_id",
+        col("doc_id").asc, col("chunk_id").asc, col("piece_id").asc)
+      .select(col("row_id"), col("content"))
+    graft.query.LexicalSearch.buildIndex(withId, "row_id", "content",
+      s"$annPath/lex")
+  }
+
+  /** HYBRID batch retrieval — Reciprocal Rank Fusion (the engine's q72
+    * shape, [[graft.query.LexicalSearch.rrfFuse]], exact BIGINT
+    * micro-units) of the two persisted channels:
+    *
+    *  - vector: the [[buildQueryIndex]] artifacts through the
+    *    layout-routed probe ([[queryIndexedBatch]]'s engine — plain
+    *    IVF or composed IVF+PQ, read from the index);
+    *  - lexical: the [[buildLexicalIndex]] BM25 postings, probe pruned
+    *    to the query terms' hash buckets.
+    *
+    * Both channels retrieve their own top-`channelK`, fuse full-outer
+    * (a hit needs only one channel — vector recall backstops lexical
+    * vocabulary gaps and vice versa), and only the fused top-`count`
+    * rows fetch payloads (bucket-pruned, the [[queryIndexedBatch]]
+    * discipline).
+    *
+    * @param queries one row per query: (queryIdCol, vecCol, textCol) —
+    *                the embedded question and its raw text
+    * @return (queryIdCol, rank, content, metadata, rrf_micro,
+    *         vec_rank, lex_rank) — rank 1..count by fused score desc,
+    *         ties ascending row id; a channel that missed a hit leaves
+    *         its rank null
+    */
+  def queryHybridBatch(
+      annPath: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      textCol: String,
+      count: Int,
+      channelK: Int = 20,
+      threshold: Double = 0.0): DataFrame = {
+    val vec = topKHits(annPath, queries.select(col(queryIdCol), col(vecCol)),
+        queryIdCol, vecCol, threshold, channelK)
+      .select(col(queryIdCol), col("row_id"), col("rn").as("rank"))
+    val qTerms = queries.select(col(queryIdCol),
+      explode(graft.query.LexicalSearch.tokens(col(textCol))).as("__term"))
+    val lex = graft.query.LexicalSearch.queryIndex(spark, s"$annPath/lex",
+        "row_id", qTerms, queryIdCol, "__term", k = channelK)
+      .select(col(queryIdCol), col("row_id"), col("rank"))
+    // fused top-count is answer-sized: checkpoint once — it feeds the
+    // bucket collection AND the payload join
+    val fused = graft.query.LexicalSearch.rrfFuse(vec, lex, queryIdCol,
+        "row_id", "rank", k = count)
+      .localCheckpoint()
+    val buckets = fused
+      .select(pmod(hash(col("row_id")), lit(GraftClient.PayloadBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val payload = spark.read.parquet(s"$annPath/payload")
+      .filter(col("__rbucket").isin(buckets: _*))
+      .select(col("row_id"), col("content"), col("metadata"))
+    fused.join(payload, "row_id")
+      .select(col(queryIdCol), col("rank"), col("content"), col("metadata"),
+        col("rrf_micro"),
+        col("a_rank").as("vec_rank"), col("b_rank").as("lex_rank"))
+  }
+
+  /** Point-lookup hybrid retrieval — the RAG user's one-call face: the
+    * question string is embedded through the client's [[Embedder]]
+    * (vector channel) and whitespace-tokenized (lexical channel,
+    * matching the index's [[graft.query.LexicalSearch.tokens]]
+    * analyzer), fused and payload-fetched as [[queryHybridBatch]].
+    * Ordered by fused rank.
+    */
+  def queryHybrid(
+      annPath: String,
+      question: String,
+      count: Int,
+      channelK: Int = 20,
+      threshold: Double = 0.0): DataFrame = {
+    import spark.implicits._
+    val q = Seq((0L, embedText(question), question))
+      .toDF("query_id", "qvec", "qtext")
+    queryHybridBatch(annPath, q, "query_id", "qvec", "qtext",
+        count, channelK, threshold)
+      .orderBy(col("rank").asc)
+      .select(col("rank"), col("content"), col("metadata"),
+        col("rrf_micro"), col("vec_rank"), col("lex_rank"))
+  }
+
   /** [[query]] projected to the reference's columnar result shape
     * (parallel index-aligned arrays, vector-client.ts:411-414).
     */

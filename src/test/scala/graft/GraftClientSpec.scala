@@ -135,6 +135,74 @@ class GraftClientSpec extends AnyFunSuite with SharedSpark {
     assert(pointRows(s"$dir/annpq") == pointRows(s"$dir/ann"))
   }
 
+  test("hybrid serve face equals the engine-level RRF fusion (q72 shape) over the same inputs") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-client-hyb").toString
+    val client = new GraftClient(spark,
+      GraftClient.Config(chunkSize = 200, chunkOverlap = 40, embedDim = 64))
+    client.ingest(mdxDocs.toDF("doc_id", "mdx"), "doc_id", "mdx", s"$dir/index")
+    // composed vector layout + lexical postings under one ann root: the
+    // hybrid face must ride the layout-routing discipline of
+    // buildQueryIndex(composed = true) unchanged
+    client.buildQueryIndex(s"$dir/index", s"$dir/ann", composed = true)
+    client.buildLexicalIndex(s"$dir/index", s"$dir/ann")
+
+    val probes = Seq(
+      "Call ingest then query with an embedded question string.",
+      "Broadcast small tables and let AQE handle skewed joins.")
+    val queries = probes.zipWithIndex
+      .map { case (p, i) => (i.toLong, client.embedText(p), p) }
+      .toDF("query_id", "qvec", "qtext")
+    val got = client.queryHybridBatch(s"$dir/ann", queries,
+        "query_id", "qvec", "qtext", count = 3, channelK = 3)
+      .select(col("query_id"), col("rank"), col("content"), col("rrf_micro"),
+        col("vec_rank"), col("lex_rank"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+
+    // expected: the q72 fusion computed from ENGINE-level channels over
+    // the same inputs — exact brute-force cosine (the index families'
+    // exactness contract) and the direct bm25TopK kernel (bit-identical
+    // to the pruned queryIndex probe by the q73 contract)
+    val withId = graft.pipeline.ScalableWindow.globalRunningSum(
+        spark.read.parquet(s"$dir/index").withColumn("__one", lit(1L)),
+        "__one", "row_id",
+        col("doc_id").asc, col("chunk_id").asc, col("piece_id").asc)
+    val vec = graft.query.SimilaritySearch.topKBatch(
+        withId.select("row_id", "embedding"), "embedding", "row_id",
+        queries.select("query_id", "qvec"), "query_id", "qvec",
+        k = 3, threshold = 0.0)
+      .select(col("query_id"), col("row_id"), col("rn").as("rank"))
+    val qTerms = queries.select(col("query_id"),
+      explode(graft.query.LexicalSearch.tokens(col("qtext"))).as("__term"))
+    val lex = graft.query.LexicalSearch.bm25TopK(
+        withId.select("row_id", "content"), "row_id", "content",
+        qTerms, "query_id", "__term", k = 3)
+      .select(col("query_id"), col("row_id"), col("rank"))
+    val expected = graft.query.LexicalSearch.rrfFuse(
+        vec, lex, "query_id", "row_id", "rank", k = 3)
+      .join(withId.select("row_id", "content"), "row_id")
+      .select(col("query_id"), col("rank"), col("content"), col("rrf_micro"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == expected, "client hybrid fusion diverged from the engine-level q72 shape")
+    // both channels really contributed somewhere (the full-outer point)
+    val chans = client.queryHybridBatch(s"$dir/ann", queries,
+        "query_id", "qvec", "qtext", count = 3, channelK = 3)
+      .agg(count(col("vec_rank")).as("v"), count(col("lex_rank")).as("l"))
+      .head
+    assert(chans.getLong(0) > 0 && chans.getLong(1) > 0)
+
+    // the point face is the batch face at one row
+    val point = client.queryHybrid(s"$dir/ann", probes.head, count = 3, channelK = 3)
+      .select(col("rank"), col("content"), col("rrf_micro")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batchQ0 = got.filter(_._1 == 0L).map(t => (t._2, t._3, t._4))
+    assert(point == batchQ0, "point hybrid face diverged from the batch face")
+  }
+
   test("answer fills a caller-supplied template") {
     val dir = java.nio.file.Files.createTempDirectory("graft-client-tpl").toString
     val client = new GraftClient(spark,
