@@ -223,6 +223,33 @@ object TrainingFeed {
             org.slf4j.LoggerFactory.getLogger("graft.TrainingFeed").warn(
               s"health probe failed on batch $batchId (admission unaffected): $e")
         }
+      // LABELED face: filtered retrieval health — the q108 shape the
+      // serve faces users actually hit (metadata WHERE + ANN in one
+      // operator). Runs IFF [[enableHealthProbe]] was given a label
+      // frame; same first-write-wins + log-and-skip discipline, its
+      // own metrics partition so the two faces' trajectories read
+      // independently.
+      if (exists(spark, s"$workDir/health/labels")) {
+        val fDir = s"$workDir/health/metrics_filtered/batch=$batchId"
+        if (!exists(spark, s"$fDir/_SUCCESS"))
+          try {
+            val hq = spark.read.parquet(s"$workDir/health/queries")
+            val rels = spark.read.parquet(s"$workDir/health/rels")
+            val kH = spark.read.parquet(s"$workDir/health/k").head.getInt(0)
+            val labs = spark.read.parquet(s"$workDir/health/labels")
+            val hits = IvfIndex.queryTopKFiltered(spark, indexPath,
+              "doc_id", "embedding", hq, "query_id", "qvec",
+              labs, "label", kH, threshold = -2.0)
+            graft.query.RetrievalEval
+              .metrics(hits, "query_id", "doc_id", "rn", rels, kH)
+              .write.mode("overwrite").parquet(fDir)
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              org.slf4j.LoggerFactory.getLogger("graft.TrainingFeed").warn(
+                s"filtered health probe failed on batch $batchId " +
+                  s"(admission unaffected): $e")
+          }
+      }
     }
 
     // ---- seen-payload shas (LAST state write before the fence) ----
@@ -281,20 +308,41 @@ object TrainingFeed {
     * independent of corpus growth except through the probes the index
     * geometry demands.
     */
+  /** `labels`: optional (doc_id, label) corpus frame — when given,
+    * `probeQueries` must also carry a `label` column (the label each
+    * probe filters to), and every [[step]] additionally runs the
+    * FILTERED retrieval probe ([[IvfIndex.queryTopKFiltered]], the
+    * q108 serve shape) against the maintained index, scoring it into
+    * its own `health/metrics_filtered` partitions
+    * ([[filteredHealthReport]]). Docs the frame does not cover can
+    * never equi-match a probe's label (the filtered path's inner-join
+    * contract) — pass the mapping for every doc id the feed may admit,
+    * or derive it from feed metadata (e.g. `source`) at enable time.
+    */
   def enableHealthProbe(
       probeQueries: DataFrame,
       rels: DataFrame,
       workDir: String,
-      k: Int = 10): Unit = {
+      k: Int = 10,
+      labels: Option[DataFrame] = None): Unit = {
     require(k >= 1, "k must be >= 1")
     val spark = probeQueries.sparkSession
     import spark.implicits._
-    probeQueries.select(col("query_id"), col("qvec"))
+    labels.foreach { _ =>
+      require(probeQueries.columns.contains("label"),
+        "enableHealthProbe: a labels frame needs probeQueries to carry " +
+          "the probe's wanted label in a 'label' column")
+    }
+    val qCols = Seq(col("query_id"), col("qvec")) ++
+      (if (labels.isDefined) Seq(col("label")) else Nil)
+    probeQueries.select(qCols: _*)
       .write.mode("overwrite").parquet(s"$workDir/health/queries")
     rels.select(col("query_id"), col("doc_id"))
       .write.mode("overwrite").parquet(s"$workDir/health/rels")
     Seq(k).toDF("k")
       .repartition(1).write.mode("overwrite").parquet(s"$workDir/health/k")
+    labels.foreach(_.select(col("doc_id"), col("label"))
+      .write.mode("overwrite").parquet(s"$workDir/health/labels"))
   }
 
   /** Per-(batch, query) retrieval health of the maintained index —
@@ -305,4 +353,10 @@ object TrainingFeed {
     */
   def healthReport(spark: SparkSession, workDir: String): DataFrame =
     spark.read.parquet(s"$workDir/health/metrics")
+
+  /** [[healthReport]] for the LABELED (filtered-retrieval) probe face —
+    * present iff [[enableHealthProbe]] was given a labels frame.
+    */
+  def filteredHealthReport(spark: SparkSession, workDir: String): DataFrame =
+    spark.read.parquet(s"$workDir/health/metrics_filtered")
 }

@@ -268,6 +268,82 @@ class TrainingFeedSpec extends AnyFunSuite with SharedSpark {
       .filter(col("batch") === 1)) == rep1)
   }
 
+  test("labeled health probe: filtered retrieval metrics (q108 shape), replay-identical") {
+    import spark.implicits._
+    val work = tempDir("health-lab")
+    val cfg = TrainingFeed.Config(
+      quotas = feed.map(_._3).distinct.map(_ -> Long.MaxValue / 4).toMap)
+    val docs = feed.take(60)
+    val (b0, b1) = (docs.take(30), docs.drop(30))
+    // probes carry their own doc's source as the wanted label — the
+    // q108 shape: retrieve among label-mates only
+    val probeIds = Seq(2L, 7L, 11L, 31L, 44L)
+    val probeQ = docs.filter(d => probeIds.contains(d._1))
+      .toDF("doc_id", "text", "source")
+      .select(col("doc_id").as("query_id"),
+        graft.functions.hash_embed(col("text"), lit(cfg.embedDim)).as("qvec"),
+        col("source").as("label"))
+    val rels = probeIds.map(i => (i, i)).toDF("query_id", "doc_id")
+    val labels = feed.toDF("doc_id", "text", "source")
+      .select(col("doc_id"), col("source").as("label"))
+    TrainingFeed.enableHealthProbe(probeQ, rels, work, k = 3,
+      labels = Some(labels))
+
+    TrainingFeed.step(b0.toDF("doc_id", "text", "source"), 0L, work, cfg)
+    TrainingFeed.step(b1.toDF("doc_id", "text", "source"), 1L, work, cfg)
+
+    // BOTH faces written every batch — the labeled probe is additive
+    assert(TrainingFeed.healthReport(spark, work)
+      .select("batch").distinct().collect().map(_.getInt(0)).toSet == Set(0, 1))
+    val frep = TrainingFeed.filteredHealthReport(spark, work)
+    assert(frep.select("batch").distinct().collect().map(_.getInt(0)).toSet
+      == Set(0, 1))
+    assert(frep.count() == 10L, "one filtered-metrics row per (batch, probe)")
+
+    // batch-0: an admitted probe doc self-retrieves at rank 1 through
+    // the FILTERED face too (it is its own label-mate); an unarrived
+    // probe scores zero hits
+    val admitted0 = spark.read.parquet(s"$work/gated/batch=0")
+      .filter(col("admitted")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val m0 = frep.filter(col("batch") === 0)
+      .select(col("query_id").cast("long"), col("first_rel_rank"), col("hits_at_k"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    probeIds.foreach { q =>
+      if (admitted0(q))
+        assert(m0(q) == ((1L, 1L)), s"probe $q not rank-1 in filtered batch 0")
+      else assert(m0(q)._2 == 0L, s"unarrived probe $q hit in filtered batch 0")
+    }
+
+    // batch-1 filtered metrics equal a DIRECT filtered RetrievalEval
+    // over the maintained index as it stands after batch 1
+    def metricSet(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.select("query_id", "n_rel", "hits_at_k", "recall_micro", "success_at_k",
+          "first_rel_rank", "mrr_micro", "dcg_nanos", "idcg_nanos", "ndcg_micro")
+        .collect().map(_.toSeq).toSet
+    val direct = graft.query.RetrievalEval.metrics(
+      graft.query.IvfIndex.queryTopKFiltered(spark, s"$work/index",
+        "doc_id", "embedding", probeQ, "query_id", "qvec",
+        labels, "label", k = 3, threshold = -2.0),
+      "query_id", "doc_id", "rn", rels, k = 3)
+    val rep1 = metricSet(frep.filter(col("batch") === 1))
+    assert(rep1 == metricSet(direct))
+
+    // crash replay of the final batch: identical filtered metrics (the
+    // index fence pins the index; the partition is first-write-wins)
+    fs(work).delete(new org.apache.hadoop.fs.Path(s"$work/applied_batch"), true)
+    TrainingFeed.step(b1.toDF("doc_id", "text", "source"), 1L, work, cfg)
+    assert(metricSet(TrainingFeed.filteredHealthReport(spark, work)
+      .filter(col("batch") === 1)) == rep1)
+    // ... and a lost filtered partition is recomputed identically
+    fs(work).delete(new org.apache.hadoop.fs.Path(s"$work/applied_batch"), true)
+    fs(work).delete(
+      new org.apache.hadoop.fs.Path(s"$work/health/metrics_filtered/batch=1"), true)
+    TrainingFeed.step(b1.toDF("doc_id", "text", "source"), 1L, work, cfg)
+    assert(metricSet(TrainingFeed.filteredHealthReport(spark, work)
+      .filter(col("batch") === 1)) == rep1)
+  }
+
   private def fs(dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
