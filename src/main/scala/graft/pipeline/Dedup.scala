@@ -622,7 +622,12 @@ object Dedup {
           s"occupancy cap $maxDocsPerWindow from candidate generation; run " +
           "exact dedup upstream to collapse boilerplate clusters first")
     val multiDoc = hashStats.filter(col("__occ") <= maxDocsPerWindow).select("h")
-    val cand = perDoc.join(multiDoc, "h")
+    // candidates = only repeated-in-≥2-docs windows — proportional to
+    // actually-repeated text, NOT the corpus. Checkpointed: the self-
+    // join below consumes it twice, and without this each side re-runs
+    // the full corpus windowing pass (tokenize + k-gram explode + two
+    // aggregations), doubling the query's dominant cost
+    val cand = perDoc.join(multiDoc, "h").localCheckpoint()
     cand.as("a")
       .join(cand.as("b"),
         col("a.h") === col("b.h") && col("a.win") === col("b.win") &&

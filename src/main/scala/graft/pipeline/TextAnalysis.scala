@@ -576,10 +576,21 @@ object TextAnalysis {
     val toks = lmToks(Tables.parallelize(Tables(spark, dir, "documents")))
     val vocab = toks.select(explode(col("t")).as("w"))
       .agg(count_distinct(col("w")).as("vsz"))
-    val trans = lmTrans(toks)
-    val c1 = trans.groupBy("w1").agg(count(lit(1)).as("c1"))
-    val c12 = trans.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val perDoc = trans.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+    // ONE windowing pass: the per-(doc, bigram) counts are the roll-up
+    // root — c12 is their doc-sum and c1 is c12's w2-sum, so the model
+    // tables derive from vocabulary-sized aggregations instead of each
+    // re-tokenizing the corpus (the pre-fix plan ran the tokenize +
+    // bigram explode four times: vocab, c1, c12, perDoc). perDoc is
+    // persisted for its two consumers (the c12 derivation and the
+    // scoring join): distinct-(doc, bigram)-sized — bounded by the
+    // corpus token count, spilling to disk under pressure, and still
+    // strictly cheaper than one extra tokenize+explode+shuffle pass of
+    // the same volume.
+    val perDoc = lmTrans(toks)
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("m"))
+      .persist()
+    val c12 = perDoc.groupBy("w1", "w2").agg(sum("m").as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     perDoc
       .join(c12, Seq("w1", "w2"))
       .join(c1, Seq("w1"))

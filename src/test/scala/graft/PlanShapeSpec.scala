@@ -86,18 +86,25 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "EXISTS/NOT EXISTS did not plan as semi/anti joins:\n" + plan.take(2000))
   }
 
-  test("q92's multi-doc pre-filter aggregates BELOW the window self-join") {
+  test("q92's self-join consumes the pre-filtered candidates ONCE, materialized") {
     val plan = graft.pipeline.Dedup
       .q92RepeatedPassages(spark, Sf0001)
       .queryExecution.optimizedPlan.toString
-    // the min!=max doc pruning must run as aggregates under the join
-    // inputs (once per self-join side), not as a post-join residual —
-    // this is what keeps the join input proportional to repeated text
+    // the min!=max doc pruning runs BEFORE the window self-join and the
+    // pruned candidate frame is checkpointed, so both join sides read
+    // the SAME materialized RDD (LogicalRDD) — one corpus windowing
+    // pass total, join input proportional to repeated text. (Before the
+    // checkpoint, each side re-ran the full tokenize + k-gram explode +
+    // two aggregations — the pre-filter showed as two Aggregates under
+    // the join instead.)
     val joinIdx = plan.indexOf("Join Inner")
     assert(joinIdx >= 0, "window self-join missing:\n" + plan.take(2000))
-    val aggBelow = plan.substring(joinIdx).split("Aggregate").length - 1
-    assert(aggBelow >= 2,
-      s"expected the pre-filter aggregate under both join sides:\n${plan.take(2500)}")
+    val below = plan.substring(joinIdx)
+    val rddBelow = below.split("LogicalRDD").length - 1
+    assert(rddBelow >= 2,
+      s"expected both join sides to read the checkpointed candidate frame:\n${plan.take(2500)}")
+    assert(!below.contains("Relation") && !below.contains("FileScan"),
+      s"a join side re-scans the corpus instead of the checkpoint:\n${plan.take(2500)}")
   }
 
   test("q95's Bloom pre-filter runs scan-side, below the exact verify join") {
