@@ -250,6 +250,30 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "ranking tail not the answer-sized aggregate:\n" + plan.take(2000))
   }
 
+  test("filtered IVF+PQ (q114) keeps the pruned fetch and aggregate tail") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-fpq-plan").toString
+    val e = Tables(spark, Sf0001, "embeddings")
+    graft.query.IvfPq.build(e.select("vec_id", "embedding"), "vec_id", "embedding",
+      dir, graft.query.IvfPq.Params(ivf = graft.query.IvfIndex.Params(nCentroids = 8)))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label"))
+    val plan = graft.query.IvfPq.queryTopKFiltered(spark, dir,
+        "vec_id", "embedding", queries, "query_id", "qvec",
+        e.select("vec_id", "label"), "label", k = 5, threshold = 0.0)
+      .queryExecution.executedPlan.toString
+    // the label filter composes WITHOUT changing the scan disciplines:
+    // exact-fetch payload scan statically pruned to candidate cells
+    // (code scans are pruned by construction inside scan()), ranking
+    // tail the answer-sized aggregate
+    assert("PartitionFilters: \\[centroid_id[^\\]]{0,200}? IN".r
+        .findFirstIn(plan).isDefined,
+      "filtered exact-fetch payload scan not statically pruned:\n" + plan.take(2000))
+    assert(plan.contains("partial_topk_by") && !plan.contains("Window"),
+      "filtered ranking tail not the answer-sized aggregate:\n" + plan.take(2000))
+  }
+
   test("residual-mode IVF+PQ keeps the pruned fetch and aggregate tail") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqres-plan").toString
