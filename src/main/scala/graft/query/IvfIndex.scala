@@ -217,27 +217,73 @@ object IvfIndex {
     // only under _regen/ — readers are untouched until the swap
     build(spark.read.parquet(s"$indexPath/cells").select(col(idCol), col(embCol)),
       idCol, embCol, regen, params)
-    fs.create(new org.apache.hadoop.fs.Path(s"$regen/_COMPLETE"), true).close()
+    commitGeneration(spark, indexPath, Seq("cells", "cells_meta"))
+  }
+
+  private def reclusterPendingPath(indexPath: String): String =
+    s"$indexPath/recluster_pending"
+
+  /** Every artifact name a generation swap may install or purge —
+    * the superset [[commitGeneration]] deletes stale non-installed
+    * members of (a residual→global composed re-cluster must remove
+    * the old enc tables, or [[IvfPq.isResidual]] would misread the
+    * fresh global codes as residual — wrong LUT pricing, silently
+    * wrong answers). `split_pending` rides along: a fresh generation
+    * has no in-flight split.
+    */
+  private val GenerationArtifacts = Seq(
+    "cells", "cells_meta", "cell_codes", "codebooks",
+    "enc_centers", "enc_current", "split_pending")
+
+  /** Commit a fully-built `_regen/` generation: sentinel, marker
+    * (carrying the artifact list, so a crashed swap replays the SAME
+    * plan), retire-then-install renames per artifact, purge of stale
+    * non-installed generation artifacts, cleanup, marker removed
+    * LAST. Shared by [[recluster]] and [[IvfPq.recluster]].
+    */
+  private[query] def commitGeneration(
+      spark: SparkSession,
+      indexPath: String,
+      artifacts: Seq[String]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    fs.create(p(reclusterPendingPath(indexPath)), true).close()
-    Seq("cells", "cells_meta").foreach { a =>
-      require(fs.rename(p(s"$indexPath/$a"), p(s"$indexPath/_retired_$a")),
-        s"recluster: could not retire $indexPath/$a")
+    val regen = s"$indexPath/_regen"
+    fs.create(p(s"$regen/_COMPLETE"), true).close()
+    // marker written ATOMICALLY (temp + rename): a torn marker read
+    // back as empty would replay the default cells/cells_meta plan
+    // over a composed swap — fresh cells installed, stale codes kept,
+    // silently wrong bounds. A crash before the rename leaves no
+    // marker at all: the old generation stays live, _regen is an
+    // orphan the next re-cluster deletes.
+    val tmp = p(s"${reclusterPendingPath(indexPath)}._tmp")
+    val m = fs.create(tmp, true)
+    m.write(artifacts.mkString("\n").getBytes("UTF-8"))
+    m.close()
+    require(fs.rename(tmp, p(reclusterPendingPath(indexPath))),
+      "recluster: could not publish the swap marker")
+    artifacts.foreach { a =>
+      // a mode-switching composed re-cluster can install an artifact
+      // the old generation never had (global→residual mints enc
+      // tables) — nothing to retire then
+      if (fs.exists(p(s"$indexPath/$a")))
+        require(fs.rename(p(s"$indexPath/$a"), p(s"$indexPath/_retired_$a")),
+          s"recluster: could not retire $indexPath/$a")
     }
-    Seq("cells", "cells_meta").foreach { a =>
+    artifacts.foreach { a =>
       require(fs.rename(p(s"$regen/$a"), p(s"$indexPath/$a")),
         s"recluster: could not install $regen/$a")
     }
-    Seq(s"$indexPath/_retired_cells", s"$indexPath/_retired_cells_meta", regen)
+    GenerationArtifacts.filterNot(artifacts.contains).foreach { a =>
+      fs.delete(p(s"$indexPath/$a"), true); ()
+    }
+    (artifacts.map(a => s"$indexPath/_retired_$a") :+ regen)
       .foreach { d => fs.delete(p(d), true); () }
     // marker removed LAST: a crash during the cleanup above re-enters
     // ensureGeneration, which just finishes the deletes
     fs.delete(p(reclusterPendingPath(indexPath)), true)
     ()
   }
-
-  private def reclusterPendingPath(indexPath: String): String =
-    s"$indexPath/recluster_pending"
 
   /** Complete a crashed [[recluster]] swap — called at the head of
     * every read/maintenance entry point (one driver-side `fs.exists`
@@ -256,9 +302,19 @@ object IvfIndex {
     val fs = new org.apache.hadoop.fs.Path(indexPath)
       .getFileSystem(spark.sessionState.newHadoopConf())
     def p(s: String) = new org.apache.hadoop.fs.Path(s)
-    if (!fs.exists(p(reclusterPendingPath(indexPath)))) return
+    val marker = p(reclusterPendingPath(indexPath))
+    if (!fs.exists(marker)) return
+    // the marker carries the swap's artifact list (written atomically
+    // with the marker itself), so a crashed swap replays the same plan
+    val artifacts = {
+      val in = fs.open(marker)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val names = txt.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      if (names.nonEmpty) names else Seq("cells", "cells_meta")
+    }
     val regen = s"$indexPath/_regen"
-    Seq("cells", "cells_meta").foreach { a =>
+    artifacts.foreach { a =>
       val live = p(s"$indexPath/$a")
       val fresh = p(s"$regen/$a")
       val retired = p(s"$indexPath/_retired_$a")
@@ -276,16 +332,21 @@ object IvfIndex {
       } else if (!fs.exists(live) && fs.exists(retired)) {
         // fresh already consumed elsewhere or cleanup-crashed state
         // where this artifact never swapped: restore the old copy so
-        // the PAIR stays single-generation (only reachable if _regen
-        // was already deleted — i.e. both fresh tables were installed —
+        // the SET stays single-generation (only reachable if _regen
+        // was already deleted — i.e. every fresh table was installed —
         // so this branch restoring is the unreachable-defensive arm)
         require(fs.rename(retired, live),
           s"ensureGeneration: could not restore $retired")
       }
     }
-    Seq(s"$indexPath/_retired_cells", s"$indexPath/_retired_cells_meta", regen)
+    // purge stale non-installed generation artifacts (the mode-switch
+    // story on [[commitGeneration]]), then retire/regen/marker cleanup
+    GenerationArtifacts.filterNot(artifacts.contains).foreach { a =>
+      fs.delete(p(s"$indexPath/$a"), true); ()
+    }
+    (artifacts.map(a => s"$indexPath/_retired_$a") :+ regen)
       .foreach { d => fs.delete(p(d), true); () }
-    fs.delete(p(reclusterPendingPath(indexPath)), true)
+    fs.delete(marker, true)
     ()
   }
 
@@ -1200,7 +1261,7 @@ object IvfIndex {
     * snapshot fingerprints with different cell contents, so it must
     * invalidate explicitly.
     */
-  private def invalidateLabelMeta(spark: SparkSession, indexPath: String): Unit = {
+  private[query] def invalidateLabelMeta(spark: SparkSession, indexPath: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(indexPath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(root))

@@ -292,6 +292,48 @@ object IvfPq {
       occupancyCap: Long): Unit =
     IvfIndex.splitToConvergence(spark, indexPath, idCol, embCol, occupancyCap)
 
+  /** Full RE-CLUSTER of the COMPOSED index with an atomic generation
+    * swap — [[IvfIndex.recluster]]'s centroid-placement repair
+    * extended to the whole composed artifact set: a fresh
+    * [[build]] (cells, metadata, codebooks, codes, and in residual
+    * mode the encoding-generation tables) runs from the live corpus
+    * into `_regen/` while readers keep serving the old generation,
+    * then every artifact swaps behind the shared
+    * `recluster_pending` marker fence. The marker carries the
+    * artifact LIST (written atomically), so a crashed swap replays
+    * the same plan through [[IvfIndex.ensureGeneration]] — and the
+    * commit purges generation artifacts the NEW layout does not use,
+    * which is what makes re-clustering across encodings safe: a
+    * residual→global re-cluster removes the old enc tables (else
+    * [[isResidual]] would misread the fresh global codes — wrong LUT
+    * pricing), and global→residual mints them fresh. Label metadata
+    * invalidates first, as in the plain face. Result-invisible by
+    * the stacked bounds' contracts (exact for any centroid set and
+    * any codebook).
+    */
+  def recluster(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      params: Params = Params()): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/cell_codes")),
+      "IvfPq.recluster: no cell_codes table — a plain IVF index " +
+        "re-clusters through IvfIndex.recluster")
+    IvfIndex.ensureGeneration(spark, indexPath)
+    IvfIndex.invalidateLabelMeta(spark, indexPath)
+    val regen = s"$indexPath/_regen"
+    fs.delete(new org.apache.hadoop.fs.Path(regen), true)
+    build(spark.read.parquet(s"$indexPath/cells").select(col(idCol), col(embCol)),
+      idCol, embCol, regen, params)
+    val artifacts = Seq("cells", "cells_meta", "cell_codes", "codebooks",
+        "enc_centers", "enc_current")
+      .filter(a => fs.exists(new org.apache.hadoop.fs.Path(s"$regen/$a")))
+    IvfIndex.commitGeneration(spark, indexPath, artifacts)
+  }
+
   /** Compact cells and cell_codes off the query path (partition
     * layouts preserved, pruning unaffected).
     */
@@ -311,6 +353,7 @@ object IvfPq {
     * off the query path.
     */
   def stats(spark: SparkSession, indexPath: String): DataFrame = {
+    IvfIndex.ensureGeneration(spark, indexPath)
     import spark.implicits._
     val codeOcc = spark.read.parquet(s"$indexPath/cell_codes")
       .groupBy(col("centroid_id").cast("long").as("centroid_id"))
@@ -384,6 +427,7 @@ object IvfPq {
       params: Params = Params(),
       cells: Option[Seq[Long]] = None): Unit = {
     import spark.implicits._
+    IvfIndex.ensureGeneration(spark, indexPath)
     require(isResidual(spark, indexPath),
       "IvfPq.reencodeCells: a global-codebook index has no generations to " +
         "re-encode — rebuild to refit its codebooks")
@@ -473,6 +517,7 @@ object IvfPq {
       embCol: String,
       params: Params = Params(),
       cap: Double = 0.0): Seq[Long] = {
+    IvfIndex.ensureGeneration(spark, indexPath)
     if (!isResidual(spark, indexPath)) return Nil
     val meta = spark.read.parquet(s"$indexPath/cells_meta")
       .select(col("centroid_id").cast("long").as("centroid_id"),
@@ -530,6 +575,8 @@ object IvfPq {
       threshold: Double,
       probeWidth: Int = 1,
       params: Params = Params()): (DataFrame, DataFrame, DataFrame) = {
+    // one fs.exists when healthy: completes a crashed recluster swap
+    IvfIndex.ensureGeneration(spark, indexPath)
     val pad = lit(1e-6)
     val cellMeta = broadcast(spark.read.parquet(s"$indexPath/cells_meta"))
     val residualMode = isResidual(spark, indexPath)
@@ -723,6 +770,7 @@ object IvfPq {
       maxLabelFanout: Long = 1000000L,
       refillCap: Long = 65536L,
       params: Params = Params()): (DataFrame, Boolean) = {
+    IvfIndex.ensureGeneration(spark, indexPath)
     val cached = IvfIndex.cachedLabelRadii(spark, indexPath, labelCol)
     val fanout = cached.map(_.count()).getOrElse(
       labels.agg(approx_count_distinct(col(labelCol))).head.getLong(0))

@@ -162,6 +162,95 @@ class ReclusterSpec extends AnyFunSuite with SharedSpark {
     assert(!fs.exists(p(s"$dir/recluster_pending")))
   }
 
+  test("composed recluster swaps the whole artifact set and stays exact, across encodings") {
+    import graft.query.{IvfPq, PqIndex}
+    val e = clustered(200, 29)
+    val dir = java.nio.file.Files.createTempDirectory("graft-reclu-pq").toString
+    val pq = PqIndex.Params(dim = 8, numSub = 4, codebookSize = 8)
+    // poor RESIDUAL build + upsert, then re-cluster to a GLOBAL layout:
+    // the swap must replace cells/meta/codebooks/codes AND purge the
+    // enc tables, or isResidual would misprice the fresh global codes
+    IvfPq.build(e.filter(col("vec_id") < 160), "vec_id", "embedding", dir,
+      IvfPq.Params(ivf = IvfIndex.Params(nCentroids = 2), pq = pq, residual = true))
+    IvfPq.upsert(spark, dir, "vec_id", "embedding",
+      e.filter(col("vec_id") >= 160),
+      IvfPq.Params(ivf = IvfIndex.Params(nCentroids = 2), pq = pq, residual = true))
+    assert(IvfPq.isResidual(spark, dir))
+    def q(params: IvfPq.Params): Set[(Long, Long, Long)] =
+      topkSet(IvfPq.queryTopK(spark, dir, "vec_id", "embedding",
+        e.filter(col("vec_id") < 6)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+        "query_id", "qvec", k = 3, threshold = 0.0, params = params))
+    val globalP = IvfPq.Params(ivf = IvfIndex.Params(nCentroids = 8), pq = pq)
+    IvfPq.recluster(spark, dir, "vec_id", "embedding", globalP)
+    assert(!IvfPq.isResidual(spark, dir),
+      "residual->global recluster left stale enc tables behind")
+    assert(spark.read.parquet(s"$dir/cells_meta").count() == 8L)
+    assert(spark.read.parquet(s"$dir/cells").count() == 200L)
+    assert(q(globalP) == brute(e))
+    // ... and back to residual: enc tables minted fresh, still exact
+    val resP = IvfPq.Params(ivf = IvfIndex.Params(nCentroids = 4), pq = pq,
+      residual = true)
+    IvfPq.recluster(spark, dir, "vec_id", "embedding", resP)
+    assert(IvfPq.isResidual(spark, dir),
+      "global->residual recluster did not mint enc tables")
+    assert(q(resP) == brute(e))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("_regen", "recluster_pending").foreach { d =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$d")),
+        s"composed swap residue left behind: $d")
+    }
+  }
+
+  test("composed mid-swap crash: the artifact-list marker replays the full plan") {
+    import graft.query.{IvfPq, PqIndex}
+    val e = clustered(160, 31)
+    val pq = PqIndex.Params(dim = 8, numSub = 4, codebookSize = 8)
+    val oldP = IvfPq.Params(ivf = IvfIndex.Params(nCentroids = 2), pq = pq)
+    val newP = IvfPq.Params(ivf = IvfIndex.Params(nCentroids = 8), pq = pq)
+    // crash points: marker written (0), one artifact retired (1), all
+    // retired (4), half installed (6)
+    for (crashAfter <- Seq(0, 1, 4, 6)) {
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft-reclu-pqcrash$crashAfter").toString
+      IvfPq.build(e, "vec_id", "embedding", dir, oldP)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      def p(s: String) = new org.apache.hadoop.fs.Path(s)
+      IvfPq.build(spark.read.parquet(s"$dir/cells").select("vec_id", "embedding"),
+        "vec_id", "embedding", s"$dir/_regen", newP)
+      // the staged generation's own shape (KMeans may leave a cell
+      // empty — cells_meta carries only populated cells)
+      val regenMeta = spark.read.parquet(s"$dir/_regen/cells_meta").count()
+      assert(regenMeta > 2L)
+      val arts = Seq("cells", "cells_meta", "cell_codes", "codebooks")
+      fs.create(p(s"$dir/_regen/_COMPLETE"), true).close()
+      val m = fs.create(p(s"$dir/recluster_pending"), true)
+      m.write(arts.mkString("\n").getBytes("UTF-8")); m.close()
+      val renames =
+        arts.map(a => (s"$dir/$a", s"$dir/_retired_$a")) ++
+          arts.map(a => (s"$dir/_regen/$a", s"$dir/$a"))
+      renames.take(crashAfter).foreach { case (a, b) =>
+        assert(fs.rename(p(a), p(b)), s"test setup rename failed: $a")
+      }
+      // the next reader completes the swap: exact answers on the new
+      // generation, no residue
+      val got = topkSet(IvfPq.queryTopK(spark, dir, "vec_id", "embedding",
+        e.filter(col("vec_id") < 6)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+        "query_id", "qvec", k = 3, threshold = 0.0, params = newP))
+      assert(got == brute(e), s"composed crash point $crashAfter answered wrong")
+      assert(spark.read.parquet(s"$dir/cells_meta").count() == regenMeta,
+        s"composed crash point $crashAfter did not roll forward")
+      (Seq("_regen", "recluster_pending") ++ arts.map(a => s"_retired_$a"))
+        .foreach { d =>
+          assert(!fs.exists(p(s"$dir/$d")),
+            s"composed crash point $crashAfter left residue: $d")
+        }
+    }
+  }
+
   test("maintenance cadence knob: reclusterEvery re-clusters on schedule, fenced") {
     val e = clustered(180, 23)
     val dir = java.nio.file.Files.createTempDirectory("graft-reclu-maint").toString
