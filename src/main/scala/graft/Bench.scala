@@ -65,6 +65,7 @@ object Bench {
     "q105_pq_topk" -> "pq_index",
     "q106_ivf_split" -> "ivf_split",
     "q115_recluster" -> "ivf_recluster",
+    "q116_ivfpq_recluster" -> "ivfpq_recluster",
     "q107_ivfpq_topk" -> "ivfpq_index",
     "q111_ivfpq_split" -> "ivfpq_split",
     "q112_residual_topk" -> "ivfpq_residual",

@@ -415,6 +415,39 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** Q116: FULL RE-CLUSTER of the COMPOSED IVF+PQ index
+    * ([[graft.query.IvfPq.recluster]]) under the exactness gate — the
+    * q115 contract extended to the whole composed artifact set: a
+    * deliberately poor 2-cell composed build over 90% of the corpus
+    * plus a 10% upsert is re-clustered to 16 fresh cells (new
+    * centroids, new codebooks, re-encoded codes) and swapped in
+    * behind the artifact-list-carrying marker fence; the standard
+    * batch then queries the new generation against the same
+    * full-corpus exact oracle as q107/q109/q111/q112. Green only if
+    * the swap leaves cells, metadata, codebooks and codes agreeing —
+    * which closes the composed family's full lifecycle: append →
+    * split → compact → re-cluster.
+    */
+  def q116IvfPqRecluster(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = indexWorkDir("ivfpq_recluster", dir)
+    val poor = IvfPq.Params(
+      ivf = IvfIndex.Params(nCentroids = 2),
+      pq = PqIndex.Params(fitSampleMod = 4))
+    val fresh = IvfPq.Params(pq = PqIndex.Params(fitSampleMod = 4))
+    buildOnce(work) {
+      IvfPq.build(e.filter(pmod(col("vec_id"), lit(10)) =!= 0),
+        "vec_id", "embedding", work, poor)
+      IvfPq.upsert(spark, work, "vec_id", "embedding",
+        e.filter(pmod(col("vec_id"), lit(10)) === 0), poor)
+      IvfPq.recluster(spark, work, "vec_id", "embedding", fresh)
+    }
+    IvfPq.queryTopK(spark, work, "vec_id", "embedding",
+        queryBatch(e), "query_id", "qvec", k = 5, threshold = 0.0, params = fresh)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Q97/Q100 via the maintained curation-signal store (cluster labels
     * + frozen-LM scores persisted once, read per query — see
     * [[graft.pipeline.CurationStore]]): same outputs and oracles as
@@ -914,6 +947,7 @@ object Queries {
     "q113_filtered_fallback" -> (q113FilteredFallback _),
     "q114_filtered_pq_topk" -> (q114FilteredPqTopK _),
     "q115_recluster" -> (q115Recluster _),
+    "q116_ivfpq_recluster" -> (q116IvfPqRecluster _),
     "q103_retrieval_eval" -> (q103RetrievalEval _),
     "q104_drift_monitor" -> (q104DriftMonitor _))
 
@@ -1089,9 +1123,10 @@ object Queries {
     // q106 queries the split-maintained index — same exact oracle; the
     // hot-cell split must be invisible to results
     "q106_ivf_split" -> cosineTopKOracle,
-    // q115 queries the re-clustered (generation-swapped) index; same
-    // exact oracle — the swap must be result-invisible
+    // q115/q116 query re-clustered (generation-swapped) indexes; same
+    // exact oracle — the swap must be result-invisible in both layouts
     "q115_recluster" -> cosineTopKOracle,
+    "q116_ivfpq_recluster" -> cosineTopKOracle,
     "q107_ivfpq_topk" -> cosineTopKOracle,
     // q109 queries the upsert-maintained composed index — same exact
     // oracle; maintenance must be invisible to results
