@@ -261,6 +261,78 @@ final class GraftClient(
         col("sim"), col("rn"))
   }
 
+  /** Row-level label frame derived from the [[buildQueryIndex]] payload
+    * table — the filter-attribute source for
+    * [[queryIndexedFilteredBatch]]: any Column over (row_id, content,
+    * metadata) becomes the label (tenant, source, section context, a
+    * content-derived class). One narrow payload projection; persist it
+    * through [[buildFilterMeta]] for the build-once serving shape.
+    */
+  def payloadLabels(
+      annPath: String,
+      label: org.apache.spark.sql.Column): DataFrame =
+    spark.read.parquet(s"$annPath/payload")
+      .select(col("row_id"), label.as("label"))
+
+  /** Persist the per-(cell, label) radius artifact over the query
+    * index ([[graft.query.IvfIndex.buildLabelMeta]] — shared by both
+    * layouts), so [[queryIndexedFilteredBatch]] serves from the tiny
+    * frame after a metadata-only freshness proof instead of deriving
+    * it per call. Rebuild when the LABEL side changes; index-side
+    * staleness is detected automatically (the artifact's contract).
+    */
+  def buildFilterMeta(annPath: String, labels: DataFrame): Unit =
+    graft.query.IvfIndex.buildLabelMeta(spark, s"$annPath/ivf",
+      "row_id", "embedding", labels.select(col("row_id"), col("label")), "label")
+
+  /** FILTERED batch retrieval — the attribute-constrained serve shape
+    * (metadata WHERE + ANN in one call, the q108/q114 semantics)
+    * through the client: each query retrieves top-`count` among only
+    * the chunks whose label equals ITS label, exact by the
+    * per-(cell, label) radius bound (stacked with the code bound on a
+    * composed index — the engine is routed by the index's own layout,
+    * like every other serve face). High-cardinality label frames
+    * reroute to the exact overfetch fallback automatically. Payloads
+    * fetch bucket-pruned for just the hit rows.
+    *
+    * @param queries one row per query: (queryIdCol, vecCol, "label")
+    * @param labels  (row_id, label) frame — [[payloadLabels]] or any
+    *                caller-provided mapping over the index's row ids
+    * @return (queryIdCol, content, metadata, sim, rn) — only
+    *         label-matching chunks appear
+    */
+  def queryIndexedFilteredBatch(
+      annPath: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      labels: DataFrame,
+      threshold: Double,
+      count: Int): DataFrame = {
+    val codes = new org.apache.hadoop.fs.Path(s"$annPath/ivf/cell_codes")
+    val composed = codes.getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(codes)
+    val q = queries.select(col(queryIdCol), col(vecCol), col("label"))
+    val labs = labels.select(col("row_id"), col("label"))
+    val hits = (if (composed)
+      graft.query.IvfPq.queryTopKFiltered(spark, s"$annPath/ivf",
+        "row_id", "embedding", q, queryIdCol, vecCol, labs, "label",
+        count, threshold, params = pqParams)
+    else
+      graft.query.IvfIndex.queryTopKFiltered(spark, s"$annPath/ivf",
+        "row_id", "embedding", q, queryIdCol, vecCol, labs, "label",
+        count, threshold)).localCheckpoint()
+    val buckets = hits
+      .select(pmod(hash(col("row_id")), lit(GraftClient.PayloadBuckets)).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val payload = spark.read.parquet(s"$annPath/payload")
+      .filter(col("__rbucket").isin(buckets: _*))
+      .select(col("row_id"), col("content"), col("metadata"))
+    hits.join(payload, "row_id")
+      .select(col(queryIdCol), col("content"), col("metadata"),
+        col("sim"), col("rn"))
+  }
+
   /** Build the LEXICAL channel of the hybrid serve face over a written
     * document index: a persisted BM25 postings index
     * ([[graft.query.LexicalSearch.buildIndex]] — term-hash-partitioned
