@@ -171,7 +171,8 @@ object IndexMaintenance {
       batchId: Long,
       params: graft.query.IvfPq.Params = graft.query.IvfPq.Params(),
       splitCap: Option[Long] = None,
-      reencodeDriftCap: Option[Double] = None): Boolean = {
+      reencodeDriftCap: Option[Double] = None,
+      reclusterEvery: Option[Long] = None): Boolean = {
     val spark = batch.sparkSession
     if (batchId <= lastApplied(spark, indexPath) || batch.isEmpty) false
     else {
@@ -192,6 +193,15 @@ object IndexMaintenance {
       // drift-free batches; result-invisible always.
       reencodeDriftCap.foreach(cap => graft.query.IvfPq.reencodeDrifted(
         spark, indexPath, idCol, embCol, params, cap))
+      // optional full composed re-cluster at a batch cadence — the
+      // centroid-placement repair ([[graft.query.IvfPq.recluster]]:
+      // whole artifact set rebuilt off the query path, marker-fenced
+      // atomic swap that any reader completes after a crash). Inside
+      // the replay fence like everything above.
+      reclusterEvery.foreach { n =>
+        if (n > 0 && batchId % n == 0)
+          graft.query.IvfPq.recluster(spark, indexPath, idCol, embCol, params)
+      }
       writeFence(spark, indexPath, batchId)
       true
     }
@@ -216,14 +226,15 @@ object IndexMaintenance {
       checkpointDir: String,
       params: graft.query.IvfPq.Params = graft.query.IvfPq.Params(),
       splitCap: Option[Long] = None,
-      reencodeDriftCap: Option[Double] = None): StreamingQuery =
+      reencodeDriftCap: Option[Double] = None,
+      reclusterEvery: Option[Long] = None): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyIvfPqBatch(indexPath, idCol, embCol, batch, batchId, params,
-          splitCap, reencodeDriftCap); ()
+          splitCap, reencodeDriftCap, reclusterEvery); ()
       }
       .start()
 

@@ -251,6 +251,38 @@ class ReclusterSpec extends AnyFunSuite with SharedSpark {
     }
   }
 
+  test("composed maintenance cadence: reclusterEvery re-clusters the composed index, fenced") {
+    import graft.query.{IvfPq, PqIndex}
+    val e = clustered(180, 37)
+    val dir = java.nio.file.Files.createTempDirectory("graft-reclu-pqmaint").toString
+    val pq = PqIndex.Params(dim = 8, numSub = 4, codebookSize = 8)
+    // the maintained params carry the TARGET shape (6 cells): upserts
+    // read only the pq half, the cadence re-cluster reads the ivf half
+    val params = IvfPq.Params(ivf = IvfIndex.Params(nCentroids = 6), pq = pq)
+    IvfPq.build(e.filter(col("vec_id") < 60), "vec_id", "embedding", dir,
+      IvfPq.Params(ivf = IvfIndex.Params(nCentroids = 2), pq = pq))
+    def qAll(): Set[(Long, Long, Long)] =
+      topkSet(IvfPq.queryTopK(spark, dir, "vec_id", "embedding",
+        e.filter(col("vec_id") < 6)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+        "query_id", "qvec", k = 3, threshold = 0.0, params = params))
+    assert(graft.streaming.IndexMaintenance.applyIvfPqBatch(dir, "vec_id",
+      "embedding", e.filter(col("vec_id") >= 60 && col("vec_id") < 120),
+      batchId = 1L, params = params, reclusterEvery = Some(2L)))
+    assert(spark.read.parquet(s"$dir/cells_meta").count() == 2L)
+    assert(graft.streaming.IndexMaintenance.applyIvfPqBatch(dir, "vec_id",
+      "embedding", e.filter(col("vec_id") >= 120),
+      batchId = 2L, params = params, reclusterEvery = Some(2L)))
+    assert(spark.read.parquet(s"$dir/cells_meta").count() > 2L,
+      "composed cadence re-cluster did not fire")
+    assert(qAll() == brute(e))
+    // a replayed batch id is fenced
+    assert(!graft.streaming.IndexMaintenance.applyIvfPqBatch(dir, "vec_id",
+      "embedding", e.limit(10), batchId = 2L, params = params,
+      reclusterEvery = Some(2L)))
+    assert(qAll() == brute(e))
+  }
+
   test("maintenance cadence knob: reclusterEvery re-clusters on schedule, fenced") {
     val e = clustered(180, 23)
     val dir = java.nio.file.Files.createTempDirectory("graft-reclu-maint").toString
