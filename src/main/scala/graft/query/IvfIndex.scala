@@ -1367,6 +1367,79 @@ object IvfIndex {
         cached)._1, false)
   }
 
+  /** MULTI-LABEL (disjunctive) filtered batch top-k: per-query top-k
+    * restricted to corpus rows whose label is IN the query's label
+    * SET — the `WHERE label IN (...)` retrieval production stores
+    * serve next to the equality filter. Exact by containment: a
+    * corpus row carries ONE label, so the true top-k over a label
+    * set's mates is contained in the union of the per-label top-ks,
+    * and each per-label retrieval is the exact [[queryTopKFiltered]]
+    * machinery verbatim (label-radius path or high-cardinality
+    * fallback, branch per call) — one synthetic (query, label)
+    * retrieval unit per set member, deduplicated, then one final
+    * answer-sized global re-rank. No row can double-surface (one
+    * label per corpus row ⇒ at most one unit yields it).
+    *
+    * @param queries (queryIdCol, queryVecCol, labelSetCol) — the
+    *                wanted labels ride each query row as an ARRAY
+    * @return (queryIdCol, idCol, sim, rn), rn 1..k by sim desc, ties
+    *         ascending id — only rows whose label is in the query's
+    *         set appear; an empty or all-absent set yields no rows
+    */
+  def queryTopKFilteredAny(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      labelSetCol: String,
+      labels: DataFrame,
+      labelCol: String,
+      k: Int,
+      threshold: Double,
+      probeWidth: Int = 1,
+      maxLabelFanout: Long = 1000000L,
+      refillCap: Long = RefillCap): DataFrame =
+    filteredAnyVia(queries, queryIdCol, queryVecCol, labelSetCol, labelCol,
+      idCol, k,
+      ex => queryTopKFiltered(spark, indexPath, idCol, embCol, ex,
+        "__fq", queryVecCol, labels, labelCol, k, threshold, probeWidth,
+        maxLabelFanout, refillCap))
+
+  /** The shared multi-label reduction ([[queryTopKFilteredAny]] /
+    * [[IvfPq.queryTopKFilteredAny]]): explode each query's label set
+    * into deduplicated (query, label) retrieval units keyed by a
+    * composite struct id, run the single-label engine once over the
+    * whole unit batch, strip the composite, and take the global
+    * per-query top-k over the union — answer-sized (≤ |set| × k rows
+    * per query reach the final `topk_by`).
+    */
+  private[query] def filteredAnyVia(
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      labelSetCol: String,
+      labelCol: String,
+      idCol: String,
+      k: Int,
+      engine: DataFrame => DataFrame): DataFrame = {
+    val ex = queries
+      .select(col(queryIdCol), col(queryVecCol),
+        explode(col(labelSetCol)).as(labelCol))
+      // duplicate labels in one set must not double the unit (and with
+      // it the row's presence in the union); the distinct is
+      // query-batch-sized
+      .distinct()
+      .select(
+        struct(col(queryIdCol).as("q"), col(labelCol).as("l")).as("__fq"),
+        col(queryVecCol), col(labelCol))
+    engine(ex)
+      .select(col("__fq").getField("q").as(queryIdCol), col(idCol), col("sim"))
+      .transform(SimilaritySearch.topKExplode(_, queryIdCol, idCol, "sim", k))
+  }
+
   /** The label-radius path of [[queryTopKFiltered]] — exact by the
     * per-(cell, label) triangle bound; `cached` is the already-probed
     * [[cachedLabelRadii]] result (None → per-call derivation). Returns

@@ -748,6 +748,36 @@ object IvfPq {
       queryIdCol, queryVecCol, labels, labelCol, k, threshold, probeWidth,
       maxLabelFanout, refillCap, params)._1
 
+  /** MULTI-LABEL (disjunctive) filtered top-k over the COMPOSED index
+    * — [[IvfIndex.queryTopKFilteredAny]]'s `label IN (...)` semantics
+    * served from the memory-bound layout: the same containment
+    * reduction (per-label exact retrievals unioned, one global
+    * re-rank) over THIS index's [[queryTopKFiltered]] engine, so the
+    * code-bound pruning and the fallback branch apply per unit.
+    */
+  def queryTopKFilteredAny(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      labelSetCol: String,
+      labels: DataFrame,
+      labelCol: String,
+      k: Int,
+      threshold: Double,
+      probeWidth: Int = 1,
+      maxLabelFanout: Long = 1000000L,
+      refillCap: Long = 65536L,
+      params: Params = Params()): DataFrame =
+    IvfIndex.filteredAnyVia(queries, queryIdCol, queryVecCol, labelSetCol,
+      labelCol, idCol, k,
+      ex => queryTopKFiltered(spark, indexPath, idCol, embCol, ex,
+        "__fq", queryVecCol, labels, labelCol, k, threshold, probeWidth,
+        maxLabelFanout, refillCap, params))
+
   /** [[queryTopKFiltered]] plus which path ran (`true` = the
     * high-cardinality overfetch fallback) — the branch decision,
     * spec-checkable. Branch rule identical to the plain index's: the

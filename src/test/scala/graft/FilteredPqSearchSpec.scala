@@ -184,6 +184,33 @@ class FilteredPqSearchSpec extends AnyFunSuite with SharedSpark {
     assert(topkSet(got2) == topkSet(got))
   }
 
+  test("multi-label (IN-set) filtered top-k over the composed index stays exact") {
+    val e = Tables(spark, Sf0001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-fpq-any").toString
+    val params = IvfPq.Params(
+      ivf = IvfIndex.Params(nCentroids = 8),
+      pq = PqIndex.Params(fitSampleMod = 4))
+    IvfPq.build(e.select("vec_id", "embedding"), "vec_id", "embedding", dir, params)
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        array(col("label"), col("label") + lit(1)).as("lbls"))
+    val got = IvfPq.queryTopKFilteredAny(spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", "lbls", e.select("vec_id", "label"), "label",
+      k = 5, threshold = 0.0, params = params)
+    val exact = e.select(col("vec_id"), col("embedding"), col("label").as("__cl"))
+      .join(broadcast(queries), expr("array_contains(lbls, __cl)"))
+      .withColumn("sim", graft.functions.cosine_sim(col("embedding"), col("qvec")))
+      .filter(col("sim") > 0.0)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+      .groupBy("query_id")
+      .agg(graft.functions.topk_by(col("vec_id"), col("sim"), lit(5)).as("t"))
+      .select(col("query_id"), posexplode(col("t")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rn"))
+    assert(topkSet(got) ==
+      exact.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("a query whose label is absent from the corpus returns nothing") {
     import spark.implicits._
     val rnd = new scala.util.Random(37)

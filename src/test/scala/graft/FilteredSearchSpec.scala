@@ -259,6 +259,86 @@ class FilteredSearchSpec extends AnyFunSuite with SharedSpark {
       s"escalation surfaced no foreign-cluster mate: ${q0.toSeq}")
   }
 
+  test("multi-label (IN-set) filtered top-k equals the set-restricted brute force") {
+    val e = Tables(spark, Sf0001, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-filt-any").toString
+    IvfIndex.build(e.select("vec_id", "embedding"), "vec_id", "embedding", dir,
+      IvfIndex.Params(nCentroids = 8))
+    // 2-label sets, with one query carrying a DUPLICATED label (the
+    // reduction must not double its unit) and one an absent label
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        when(col("vec_id") === 0,
+            array(col("label"), col("label")))       // duplicate
+          .when(col("vec_id") === 1,
+            array(col("label"), lit(999999)))        // half-absent
+          .otherwise(array(col("label"), col("label") + lit(1)))
+          .as("lbls"))
+    val got = IvfIndex.queryTopKFilteredAny(spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", "lbls", e.select("vec_id", "label"), "label",
+      k = 5, threshold = 0.0)
+    val exact = e.select(col("vec_id"), col("embedding"), col("label").as("__cl"))
+      .join(broadcast(queries), expr("array_contains(lbls, __cl)"))
+      .withColumn("sim", graft.functions.cosine_sim(col("embedding"), col("qvec")))
+      .filter(col("sim") > 0.0)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+      .groupBy("query_id")
+      .agg(graft.functions.topk_by(col("vec_id"), col("sim"), lit(5)).as("t"))
+      .select(col("query_id"), posexplode(col("t")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rn"))
+    assert(topkSet(got) ==
+      exact.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+    // no hit outside the query's set
+    val bad = got.join(e.select(col("vec_id"), col("label").as("__cl")), "vec_id")
+      .join(queries.select(col("query_id"), col("lbls")), "query_id")
+      .filter(!expr("array_contains(lbls, __cl)"))
+    assert(bad.isEmpty, "a row outside the label set leaked into multi-label results")
+    // an all-absent set yields nothing
+    val none = IvfIndex.queryTopKFilteredAny(spark, dir, "vec_id", "embedding",
+      queries.limit(1).select(col("query_id"), col("qvec"),
+        array(lit(888888), lit(999999)).as("lbls")),
+      "query_id", "qvec", "lbls", e.select("vec_id", "label"), "label",
+      k = 5, threshold = 0.0)
+    assert(none.isEmpty, "an all-absent label set produced hits")
+  }
+
+  test("multi-label sets ride the high-cardinality fallback per unit and stay exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    // near-unique labels (pairs), 60 distinct > maxLabelFanout = 16:
+    // every per-(query, label) unit reroutes to the overfetch fallback
+    // — the composite struct ids must survive that machinery's
+    // checkpoints, broadcasts, groupBys and the escalation equijoin
+    val e = (0L until 120L).map { i =>
+      val base = Array.fill(8)(0.0f)
+      base((i % 4).toInt * 2) = 1.0f
+      (i, base.map(x => x + (rnd.nextFloat() - 0.5f) * 0.08f), i / 2)
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft-filt-anyfall").toString
+    IvfIndex.build(e.select("vec_id", "embedding"), "vec_id", "embedding", dir,
+      IvfIndex.Params(nCentroids = 4))
+    val queries = e.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        array(col("label"), col("label") + lit(7)).as("lbls"))
+    val got = IvfIndex.queryTopKFilteredAny(spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", "lbls", e.select("vec_id", "label"), "label",
+      k = 3, threshold = 0.0, probeWidth = 1, maxLabelFanout = 16L,
+      refillCap = 8L)
+    val exact = e.select(col("vec_id"), col("embedding"), col("label").as("__cl"))
+      .join(broadcast(queries), expr("array_contains(lbls, __cl)"))
+      .withColumn("sim", graft.functions.cosine_sim(col("embedding"), col("qvec")))
+      .filter(col("sim") > 0.0)
+      .select(col("query_id"), col("vec_id"), col("sim"))
+      .groupBy("query_id")
+      .agg(graft.functions.topk_by(col("vec_id"), col("sim"), lit(3)).as("t"))
+      .select(col("query_id"), posexplode(col("t")))
+      .select(col("query_id"), col("col.id").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rn"))
+    assert(topkSet(got) ==
+      exact.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet)
+  }
+
   test("a query whose label is absent from the corpus returns nothing") {
     import spark.implicits._
     val rnd = new scala.util.Random(37)
