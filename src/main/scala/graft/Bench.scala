@@ -139,7 +139,10 @@ object Bench {
     */
   private val sweepKey = Map(
     "q108_filtered_topk" -> "q39_ivf_topk~filtered",
-    "q113_filtered_fallback" -> "q39_ivf_topk~fallback")
+    "q113_filtered_fallback" -> "q39_ivf_topk~fallback",
+    // after q108: the shared ivf build AND the label-meta artifact are
+    // both warm, so this row prices only the multi-label reduction
+    "q117_filtered_any" -> "q39_ivf_topk~filtered~any")
 
   /** Optional standing per-query baseline (name → seconds), maintained
     * alongside BASELINE.md; absence just disables the 3×-of-baseline

@@ -415,6 +415,32 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** Q117: MULTI-LABEL (disjunctive) filtered search
+    * ([[graft.query.IvfIndex.queryTopKFilteredAny]]) — each query
+    * retrieves top-k among corpus rows whose label is IN its 2-label
+    * set (`label IN (...)`, the filter shape production stores serve
+    * next to equality): per-label exact retrieval units over the
+    * SAME persisted label-meta artifact as q108, unioned and globally
+    * re-ranked — exact by containment (one label per corpus row, so
+    * the true set-filtered top-k lives inside the union of per-label
+    * top-ks). Oracle = the list_contains-joined brute-force ranking.
+    */
+  def q117FilteredAny(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = indexWorkDir("ivf", dir)
+    buildOnce(work)(IvfIndex.build(e, "vec_id", "embedding", work))
+    buildOnce(s"$work/__label_meta")(IvfIndex.buildLabelMeta(
+      spark, work, "vec_id", "embedding", e.select("vec_id", "label"), "label"))
+    IvfIndex.queryTopKFilteredAny(spark, work, "vec_id", "embedding",
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+            array(col("label"), col("label") + lit(1)).as("lbls")),
+        "query_id", "qvec", "lbls", e.select("vec_id", "label"), "label",
+        k = 5, threshold = 0.0)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Q116: FULL RE-CLUSTER of the COMPOSED IVF+PQ index
     * ([[graft.query.IvfPq.recluster]]) under the exactness gate — the
     * q115 contract extended to the whole composed artifact set: a
@@ -948,6 +974,7 @@ object Queries {
     "q114_filtered_pq_topk" -> (q114FilteredPqTopK _),
     "q115_recluster" -> (q115Recluster _),
     "q116_ivfpq_recluster" -> (q116IvfPqRecluster _),
+    "q117_filtered_any" -> (q117FilteredAny _),
     "q103_retrieval_eval" -> (q103RetrievalEval _),
     "q104_drift_monitor" -> (q104DriftMonitor _))
 
@@ -1202,6 +1229,23 @@ object Queries {
         |  SELECT q.query_id, e.vec_id,
         |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
         |  FROM embeddings e JOIN q ON e.label = q.ql),
+        |r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        |  FROM s WHERE sim > 0.0)
+        |SELECT query_id, vec_id, round(sim, 6) AS sim, rn
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // q117: the q108 shape with a 2-label SET per query — the
+    // disjunctive filter is a list-containment join in both engines
+    "q117_filtered_any" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+        |    [label, label + 1] AS lbls
+        |  FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+        |  FROM embeddings e JOIN q ON list_contains(q.lbls, e.label)),
         |r AS (
         |  SELECT query_id, vec_id, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
