@@ -56,12 +56,20 @@ object TrainingFeed {
     * runs for months without ever re-clustering. Result-invisible by
     * the split's radius-coverage contract.
     */
+  /** `reclusterEvery`: optional full re-cluster cadence for the
+    * maintained index (every Nth applied batch, inside the fence —
+    * [[IndexMaintenance.applyBatch]]'s knob): the centroid-PLACEMENT
+    * repair a feed that drifts for months eventually needs, which
+    * splits cannot provide. Result-invisible; a crash mid-swap is
+    * completed by the next reader ([[IvfIndex.recluster]]).
+    */
   case class Config(
       quotas: Map[String, Long],
       threshold: Double = 0.5,
       embedDim: Int = 16,
       nCentroids: Int = 8,
-      splitCap: Option[Long] = None)
+      splitCap: Option[Long] = None,
+      reclusterEvery: Option[Long] = None)
 
   private def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -183,6 +191,15 @@ object TrainingFeed {
         // repair (the IndexMaintenance.applyBatch splitCap story)
         cfg.splitCap.foreach(cap => IvfIndex.splitToConvergence(
           spark, indexPath, "doc_id", "embedding", cap))
+        // optional centroid-placement repair at a batch cadence (the
+        // applyBatch reclusterEvery story): fresh generation built off
+        // the query path, marker-fenced atomic swap any reader
+        // completes, fenced against replays like everything here
+        cfg.reclusterEvery.foreach { rn =>
+          if (rn > 0 && batchId % rn == 0)
+            IvfIndex.recluster(spark, indexPath, "doc_id", "embedding",
+              IvfIndex.Params(nCentroids = cfg.nCentroids))
+        }
       }
       IndexMaintenance.writeFence(spark, indexPath, batchId)
     }

@@ -344,6 +344,55 @@ class TrainingFeedSpec extends AnyFunSuite with SharedSpark {
       .filter(col("batch") === 1)) == rep1)
   }
 
+  test("feed recluster cadence: the maintained index is rebuilt on schedule, answers unchanged") {
+    import spark.implicits._
+    val work = tempDir("reclu")
+    val cfg = TrainingFeed.Config(
+      quotas = feed.map(_._3).distinct.map(_ -> Long.MaxValue / 4).toMap,
+      nCentroids = 4, reclusterEvery = Some(2L))
+    val docs = feed.take(90)
+    val (b0, b1, b2) = (docs.take(30), docs.slice(30, 60), docs.slice(60, 90))
+    TrainingFeed.step(b0.toDF("doc_id", "text", "source"), 0L, work, cfg)
+    TrainingFeed.step(b1.toDF("doc_id", "text", "source"), 1L, work, cfg)
+    // batch 1 (1 % 2 != 0) only appended: some cell carries the build
+    // file AND the upsert file
+    def maxFiles(path: String): Long = graft.query.IvfIndex.stats(spark, path)
+      .agg(max(col("n_files"))).head.getLong(0)
+    val afterAppend = maxFiles(s"$work/index")
+    assert(afterAppend >= 2L, "append did not leave a multi-file cell (test premise)")
+    // batch 2 fires the cadence: the layout is a fresh build's again —
+    // compared against an actual fresh build over the same admitted
+    // corpus below (spread may write >1 file/cell even fresh, so "1"
+    // is not the right constant; "same as fresh" is)
+    TrainingFeed.step(b2.toDF("doc_id", "text", "source"), 2L, work, cfg)
+    // retrieval off the re-clustered index equals a fresh build over
+    // everything admitted (the restart test's equality pattern)
+    val admitted = TrainingFeed.admittedFeed(spark, work).select("doc_id")
+    val vecs = admitted
+      .join(docs.toDF("doc_id", "text", "source"), "doc_id")
+      .select(col("doc_id"),
+        graft.functions.hash_embed(col("text"), lit(cfg.embedDim)).as("embedding"))
+    val queries = vecs.limit(5)
+      .select(col("doc_id").as("query_id"), col("embedding").as("qvec"))
+    val fresh = tempDir("reclu-freshidx")
+    graft.query.IvfIndex.build(vecs, "doc_id", "embedding", fresh,
+      graft.query.IvfIndex.Params(nCentroids = cfg.nCentroids))
+    def topk(path: String) = graft.query.IvfIndex
+      .queryTopK(spark, path, "doc_id", "embedding", queries, "query_id", "qvec",
+        k = 5, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(topk(s"$work/index") == topk(fresh))
+    // the cadence really rewrote the layout: the maintained index's
+    // file profile matches the fresh build's (deterministic spread
+    // over an identical corpus), not the append-accumulated one
+    assert(maxFiles(s"$work/index") == maxFiles(fresh),
+      "cadence re-cluster did not rewrite the index layout")
+    // a replayed batch id is a complete no-op (fence absorbs the cadence)
+    val cellsBefore = spark.read.parquet(s"$work/index/cells").count()
+    TrainingFeed.step(b2.toDF("doc_id", "text", "source"), 2L, work, cfg)
+    assert(spark.read.parquet(s"$work/index/cells").count() == cellsBefore)
+  }
+
   private def fs(dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
