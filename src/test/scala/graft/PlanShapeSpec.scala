@@ -274,6 +274,27 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
       "filtered ranking tail not the answer-sized aggregate:\n" + plan.take(2000))
   }
 
+  test("multi-label filtered search (q117) keeps the answer-sized ranking tail") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-any-plan").toString
+    val e = Tables(spark, Sf0001, "embeddings")
+    graft.query.IvfIndex.build(e.select("vec_id", "embedding"),
+      "vec_id", "embedding", dir, graft.query.IvfIndex.Params(nCentroids = 8))
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        array(col("label"), col("label") + lit(1)).as("lbls"))
+    val plan = graft.query.IvfIndex.queryTopKFilteredAny(spark, dir,
+        "vec_id", "embedding", queries, "query_id", "qvec", "lbls",
+        e.select("vec_id", "label"), "label", k = 5, threshold = 0.0)
+      .queryExecution.executedPlan.toString
+    // the multi-label reduction must not re-introduce a window: both
+    // the per-unit rankings and the final global re-rank ride the
+    // bounded-heap aggregate (map-side partials cap every exchange at
+    // k entries per key)
+    assert(plan.contains("partial_topk_by") && !plan.contains("Window"),
+      "multi-label ranking tail not the answer-sized aggregate:\n" + plan.take(2000))
+  }
+
   test("residual-mode IVF+PQ keeps the pruned fetch and aggregate tail") {
     import org.apache.spark.sql.functions.col
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfpqres-plan").toString
