@@ -66,6 +66,11 @@ object ScalingCurve {
     // SPARK_GRAFT_SCALING_SIZES overrides (comma-separated)
     val sizes = sys.env.getOrElse("SPARK_GRAFT_SCALING_SIZES", "20000,200000,2000000")
       .split(",").map(_.trim.toLong).toSeq
+    // variant filter for incremental extensions of the committed report
+    // (e.g. a clustered-only 5M point appended to the standard sweep)
+    val variants = sys.env.getOrElse("SPARK_GRAFT_SCALING_VARIANTS",
+        "clustered,isotropic")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     val dim = 16
     val spark = Tables.configure(SparkSession.builder())
       .master(s"local[$cpus]")
@@ -81,7 +86,9 @@ object ScalingCurve {
     }
     val out = new StringBuilder("[\n")
     var first = true
-    for (clustered <- Seq(true, false); n <- sizes) {
+    for (clustered <- Seq(true, false)
+           if variants(if (clustered) "clustered" else "isotropic");
+         n <- sizes) {
       val variant = if (clustered) "clustered" else "isotropic"
       val e = corpus(spark, n, dim, clustered).localCheckpoint()
       val q = queriesOf(e).localCheckpoint()
