@@ -66,6 +66,12 @@ object Bench {
     "q106_ivf_split" -> "ivf_split",
     "q115_recluster" -> "ivf_recluster",
     "q116_ivfpq_recluster" -> "ivfpq_recluster",
+    // the deletion-lifecycle rows build their OWN indexes (deletion
+    // mutates the artifact, so they cannot share q39/q107's), then run
+    // two delete batches + one tombstone compaction in the cold run
+    "q118_ivf_delete" -> "ivf_delete",
+    "q119_ivfpq_delete" -> "ivfpq_delete",
+    "q120_lex_delete" -> "lex_delete",
     "q107_ivfpq_topk" -> "ivfpq_index",
     "q111_ivfpq_split" -> "ivfpq_split",
     "q112_residual_topk" -> "ivfpq_residual",

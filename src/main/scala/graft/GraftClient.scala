@@ -333,6 +333,100 @@ final class GraftClient(
         col("sim"), col("rn"))
   }
 
+  /** DELETE chunks from the serving artifacts by row id — the client
+    * face of the engine's deletion lifecycle ([[graft.query
+    * .Tombstones]]; the reference deletes rows with plain SQL against
+    * its pgvector table, reference src/clients/vector-client.ts:
+    * 396-415). One O(batch) call masks the rows out of EVERY channel
+    * built at `annPath`:
+    *
+    *  - the vector index (plain IVF or composed IVF+PQ — one shared
+    *    tombstone table serves both layouts);
+    *  - the lexical BM25 channel when [[buildLexicalIndex]] built one
+    *    (postings masked AND the global stats corrected, so fused
+    *    hybrid ranks stay exactly the live-corpus ranks);
+    *  - the payload table needs no mask: payload rows are only ever
+    *    reached through an equi-join with already-masked hits, so a
+    *    deleted row's payload is unreachable until
+    *    [[compactDeletes]] physically removes it.
+    *
+    * Serving stays exact from this call on; fold the removals in
+    * physically with [[compactDeletes]] at maintenance cadence.
+    */
+  def deleteRows(annPath: String, rowIds: DataFrame): Unit = {
+    graft.query.IvfIndex.delete(spark, s"$annPath/ivf", "row_id",
+      rowIds.select(col("row_id")))
+    val lex = new org.apache.hadoop.fs.Path(s"$annPath/lex")
+    if (lex.getFileSystem(spark.sessionState.newHadoopConf()).exists(lex))
+      graft.query.LexicalSearch.deleteFromIndex(spark, s"$annPath/lex",
+        "row_id", rowIds.select(col("row_id")))
+  }
+
+  /** `DELETE ... WHERE` over the payload attributes — the predicate
+    * form a takedown actually arrives in (a source to drop, a tenant
+    * to forget, a content pattern to purge): any Column over
+    * (row_id, content, metadata) selects the victims, then
+    * [[deleteRows]] masks them everywhere. One payload scan to
+    * resolve the predicate; the delete itself stays O(matches).
+    */
+  def deleteWhere(annPath: String, predicate: org.apache.spark.sql.Column): Unit =
+    deleteRows(annPath,
+      spark.read.parquet(s"$annPath/payload").filter(predicate)
+        .select(col("row_id")))
+
+  /** Fold pending deletes into every physical artifact at `annPath`,
+    * off the query path: the payload partitions holding deleted rows
+    * are rewritten FIRST (pruned to their ≤ [[GraftClient
+    * .PayloadBuckets]] hash buckets, while the tombstone table still
+    * masks everything — a crash leaves only unreachable payload
+    * garbage, never a wrong answer), then the vector index compacts
+    * ([[graft.query.IvfIndex.compactTombstones]] — cell-pruned
+    * rewrite, code rows move with their cells on a composed layout,
+    * spent tombstones retired last), then the lexical channel
+    * rebuilds behind its atomic generation swap. Idempotent at every
+    * crash point by the tombstones-are-the-marker discipline.
+    */
+  def compactDeletes(annPath: String): Unit = {
+    val ivfPath = s"$annPath/ivf"
+    graft.query.Tombstones.df(spark, ivfPath).foreach { t =>
+      val tombIds = t.select(
+        col(graft.query.Tombstones.IdColumn).as("row_id"))
+      val buckets = tombIds
+        .select(pmod(hash(col("row_id")), lit(GraftClient.PayloadBuckets)).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSeq
+      if (buckets.nonEmpty) {
+        val survivors = spark.read.parquet(s"$annPath/payload")
+          .filter(col("__rbucket").isin(buckets: _*))
+          .join(tombIds, Seq("row_id"), "left_anti")
+          .localCheckpoint()
+        survivors
+          .transform(graft.util.PartitionedWrite.spread(
+            _, buckets.size, col("__rbucket"), col("row_id")))
+          .write.mode("overwrite").partitionBy("__rbucket")
+          .option("partitionOverwriteMode", "dynamic")
+          .parquet(s"$annPath/payload")
+        // dynamic overwrite cannot empty a partition — drop buckets
+        // whose every payload row was deleted
+        val kept = survivors.select(col("__rbucket").cast("long"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        val fs = new org.apache.hadoop.fs.Path(s"$annPath/payload")
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        buckets.filterNot(b => kept(b.toLong)).foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$annPath/payload/__rbucket=$b"), true)
+          ()
+        }
+      }
+      graft.query.IvfIndex.compactTombstones(
+        spark, ivfPath, "row_id", "embedding")
+      ()
+    }
+    val lex = new org.apache.hadoop.fs.Path(s"$annPath/lex")
+    if (lex.getFileSystem(spark.sessionState.newHadoopConf()).exists(lex))
+      graft.query.LexicalSearch.compactTombstones(spark, s"$annPath/lex",
+        "row_id")
+  }
+
   /** Build the LEXICAL channel of the hybrid serve face over a written
     * document index: a persisted BM25 postings index
     * ([[graft.query.LexicalSearch.buildIndex]] — term-hash-partitioned

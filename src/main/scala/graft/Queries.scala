@@ -441,6 +441,101 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** Q118: ROW DELETION on the IVF index
+    * ([[graft.query.IvfIndex.delete]] /
+    * [[graft.query.IvfIndex.compactTombstones]] — the [[graft.query
+    * .Tombstones]] design) under the exactness gate, pricing BOTH
+    * serving modes in one lifecycle: a first delete batch
+    * (`vec_id % 7 == 3`) is physically folded in by the
+    * partition-pruned compaction (only the cells holding deleted rows
+    * rewritten, radii re-tightened, spent tombstones retired), a
+    * second batch (`vec_id % 11 == 5`) stays PENDING, served through
+    * the tombstone anti-join mask at the candidate scan — before any
+    * floor, so a deleted row can never certify a cutoff that prunes a
+    * live answer. Oracle = brute-force cosine top-k over exactly the
+    * surviving corpus; green only if masked and compacted rows alike
+    * are invisible AND nothing live went missing. The reference gets
+    * this operation from Postgres (`DELETE` against its pgvector
+    * table, reference src/clients/vector-client.ts:396-415); a 100 TB
+    * training corpus needs it as an index-lifecycle primitive
+    * (takedowns, right-to-be-forgotten).
+    */
+  def q118IvfDelete(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = indexWorkDir("ivf_delete", dir)
+    buildOnce(work) {
+      IvfIndex.build(e, "vec_id", "embedding", work)
+      IvfIndex.delete(spark, work, "vec_id",
+        e.filter(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"))
+      IvfIndex.compactTombstones(spark, work, "vec_id", "embedding")
+      IvfIndex.delete(spark, work, "vec_id",
+        e.filter(pmod(col("vec_id"), lit(11)) === 5).select("vec_id"))
+    }
+    IvfIndex.queryTopK(spark, work, "vec_id", "embedding",
+        queryBatch(e), "query_id", "qvec", k = 5, threshold = 0.0)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** Q119: the q118 deletion lifecycle on the COMPOSED IVF+PQ index —
+    * same two-batch shape (compacted + pending), same survivors-only
+    * oracle. The composed path raises the stakes twice over: the
+    * pending batch must mask at the CODE scan (an ADC lower bound from
+    * a deleted row would inflate the certified floor and could prune a
+    * cell holding live answers), and the compaction must move the
+    * surviving code rows with their cells (a crash between the two
+    * rewrites is reconciled by checking BOTH tables for dirt —
+    * DeleteSpec pins that matrix).
+    */
+  def q119IvfPqDelete(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = indexWorkDir("ivfpq_delete", dir)
+    val params = IvfPq.Params(pq = PqIndex.Params(fitSampleMod = 4))
+    buildOnce(work) {
+      IvfPq.build(e, "vec_id", "embedding", work, params)
+      IvfPq.delete(spark, work, "vec_id",
+        e.filter(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"))
+      IvfPq.compactTombstones(spark, work, "vec_id", "embedding")
+      IvfPq.delete(spark, work, "vec_id",
+        e.filter(pmod(col("vec_id"), lit(11)) === 5).select("vec_id"))
+    }
+    IvfPq.queryTopK(spark, work, "vec_id", "embedding",
+        queryBatch(e), "query_id", "qvec", k = 5, threshold = 0.0,
+        params = params)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** Q120: DOCUMENT DELETION on the persisted lexical index
+    * ([[graft.query.LexicalSearch.deleteFromIndex]]) — the hardest
+    * deletion surface, because BM25 couples every document's score to
+    * the global (N, Σlen, df): a third of the corpus
+    * (`doc_id % 3 == 2`) is deleted and the index must serve scores
+    * BIT-IDENTICAL to a from-scratch rebuild over the survivors. The
+    * correction data — each deleted doc's length — is recovered from
+    * its own posting rows at delete time and written WITH the
+    * tombstone in one atomic append; query-time stats subtract the
+    * deduplicated tombstone aggregate, the bucket-pruned posting probe
+    * anti-joins the mask BEFORE the df window, and df falls out right
+    * because it is derived (not stored) from the masked candidate
+    * frame. Oracle = the full quantized-rational BM25 arithmetic over
+    * the live documents only; deleted query docs (2, 5, 8) still
+    * QUERY — their term sets come from the documents table, not the
+    * index — they just can never be RETURNED.
+    */
+  def q120LexDelete(spark: SparkSession, dir: String): DataFrame = {
+    val work = indexWorkDir("lex_delete", dir)
+    buildOnce(work) {
+      val docs = Tables.parallelize(Tables(spark, dir, "documents"))
+      LexicalSearch.buildIndex(docs, "doc_id", "text", work)
+      LexicalSearch.deleteFromIndex(spark, work, "doc_id",
+        docs.filter(pmod(col("doc_id"), lit(3)) === 2).select("doc_id"))
+    }
+    LexicalSearch.queryIndex(spark, work, "doc_id",
+        lexicalQueryBatch(spark, dir), "query_id", "term", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** Q116: FULL RE-CLUSTER of the COMPOSED IVF+PQ index
     * ([[graft.query.IvfPq.recluster]]) under the exactness gate — the
     * q115 contract extended to the whole composed artifact set: a
@@ -975,6 +1070,9 @@ object Queries {
     "q115_recluster" -> (q115Recluster _),
     "q116_ivfpq_recluster" -> (q116IvfPqRecluster _),
     "q117_filtered_any" -> (q117FilteredAny _),
+    "q118_ivf_delete" -> (q118IvfDelete _),
+    "q119_ivfpq_delete" -> (q119IvfPqDelete _),
+    "q120_lex_delete" -> (q120LexDelete _),
     "q103_retrieval_eval" -> (q103RetrievalEval _),
     "q104_drift_monitor" -> (q104DriftMonitor _))
 
@@ -1252,6 +1350,19 @@ object Queries {
         |  FROM s WHERE sim > 0.0)
         |SELECT query_id, vec_id, round(sim, 6) AS sim, rn
         |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // q118/q119: the deletion lifecycle (compacted batch + pending
+    // batch) on both vector layouts — one survivors-only brute-force
+    // ranking gates them; deleted ids may still QUERY (q comes from the
+    // full table), they just never appear as results
+    "q118_ivf_delete" -> cosineTopKLiveOracle,
+    "q119_ivfpq_delete" -> cosineTopKLiveOracle,
+    // q120: lexical deletion — the full quantized BM25 arithmetic over
+    // live documents only (stats, tf, df), query terms from the full
+    // corpus (bm25CteLive's contract)
+    "q120_lex_delete" -> bm25Oracle(k = 10,
+      select = "query_id, CAST(\"rank\" AS BIGINT) AS \"rank\", doc_id, score",
+      suffix = "ORDER BY query_id, \"rank\"",
+      livePred = "doc_id % 3 <> 2"),
     // q85 queries the upsert-maintained index (90% build + 10% append);
     // same exact oracle — append-maintenance must be invisible to results
     "q85_ivf_upsert" -> cosineTopKOracle,
@@ -2428,16 +2539,24 @@ object Queries {
     * LexicalSearch's integer idf/saturation arithmetic verbatim —
     * DuckDB `//` and Spark `div` agree on positive BIGINTs.
     */
-  private lazy val bm25Cte: String =
-    """tok AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+  /** The shared BM25 CTE chain, parameterized by a LIVE-corpus
+    * predicate (q120's deletion oracle): the scored corpus — lens,
+    * stats, tf — reads only live documents, while the query-term
+    * derivation reads the FULL corpus (a deleted document may still
+    * issue queries; it just cannot be returned). `TRUE` reproduces
+    * the undeleted chain exactly.
+    */
+  private def bm25CteLive(livePred: String): String =
+    s"""tok AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
       |  FROM documents),
-      |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dlen FROM tok),
+      |ltok AS (SELECT * FROM tok WHERE $livePred),
+      |lens AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dlen FROM ltok),
       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
       |              CAST(sum(dlen) AS BIGINT) AS total_len FROM lens),
       |tfc AS (
       |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
-      |    SELECT doc_id, unnest(toks) AS term FROM tok)
+      |    SELECT doc_id, unnest(toks) AS term FROM ltok)
       |  GROUP BY doc_id, term),
       |qt AS (
       |  SELECT DISTINCT query_id, term FROM (
@@ -2461,8 +2580,12 @@ object Queries {
       |  JOIN lens ON tfc.doc_id = lens.doc_id CROSS JOIN st
       |  GROUP BY qt.query_id, tfc.doc_id),""".stripMargin
 
-  private def bm25Oracle(k: Int, select: String, suffix: String): String =
-    s"""WITH $bm25Cte
+  private lazy val bm25Cte: String = bm25CteLive("TRUE")
+
+  private def bm25Oracle(
+      k: Int, select: String, suffix: String,
+      livePred: String = "TRUE"): String =
+    s"""WITH ${bm25CteLive(livePred)}
        |r AS (
        |  SELECT query_id, doc_id, score,
        |    row_number() OVER (PARTITION BY query_id
@@ -2593,6 +2716,27 @@ object Queries {
        |        ELSE 0 END)::BIGINT AS ndcg_micro
        |FROM t JOIN n USING (query_id) ORDER BY query_id""".stripMargin
   }
+
+  /** q118/q119's oracle: [[cosineTopKOracle]] restricted to the rows
+    * surviving both delete batches (the compacted `% 7 == 3` set and
+    * the pending `% 11 == 5` set). The query batch stays the FULL
+    * first-ten — issuing a query from a deleted vector is legal.
+    */
+  private lazy val cosineTopKLiveOracle: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      |  FROM embeddings WHERE vec_id < 10),
+      |s AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+      |  FROM embeddings e CROSS JOIN q
+      |  WHERE e.vec_id % 7 <> 3 AND e.vec_id % 11 <> 5),
+      |r AS (
+      |  SELECT query_id, vec_id, sim,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+      |  FROM s WHERE sim > 0.0)
+      |SELECT query_id, vec_id, round(sim, 6) AS sim, rn
+      |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin
 
   private lazy val cosineTopKOracle: String =
     """WITH q AS (

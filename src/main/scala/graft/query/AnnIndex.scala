@@ -101,6 +101,9 @@ object AnnIndex {
       embCol: String,
       outPath: String,
       params: Params = Params()): BucketedRandomProjectionLSHModel = {
+    // a fresh build indexes exactly `df`: a stale delete log from a
+    // previous index at this path must not mask the new corpus
+    Tombstones.clear(df.sparkSession, outPath)
     val prep = prepared(df, idCol, embCol)
     val model = fit(prep, params)
     model.write.overwrite().save(s"$outPath/model")
@@ -222,8 +225,14 @@ object AnnIndex {
       StructType(Seq(candSchema(candSchema.fieldIndex(queryIdCol)),
         candSchema(candSchema.fieldIndex(idCol)))))
     // job 3: exact verification against the pruned vector partitions
-    spark.read.parquet(s"$indexPath/vectors")
-      .filter(col("__vbucket").isin(vBuckets: _*))
+    // tombstones mask at the exact-verify fetch — sufficient for LSH:
+    // there is no floor here, the bucket candidates are a superset and
+    // every survivor is verified exactly (see [[Tombstones]]; physical
+    // removal for this layout is a rebuild — tombstone-serve until then)
+    Tombstones.liveOnly(
+        spark.read.parquet(s"$indexPath/vectors")
+          .filter(col("__vbucket").isin(vBuckets: _*)),
+        spark, indexPath, idCol)
       .join(broadcast(candDf), idCol)
       .join(broadcast(qVecsDf), queryIdCol)
       .withColumn("sim", cosine_sim(col(embCol), col("qvec")))

@@ -94,8 +94,11 @@ object IvfIndex {
     locally {
       val fs = new org.apache.hadoop.fs.Path(outPath)
         .getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      // tombstones too: a fresh build indexes exactly `df`, and a stale
+      // delete log from a previous index at this path would silently
+      // mask rows of the NEW corpus that happen to share ids
       Seq("cell_codes", "enc_centers", "enc_current", "codebooks",
-          "split_pending", "_tmp_residuals")
+          "split_pending", "_tmp_residuals", Tombstones.TableName)
         .foreach { t =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$outPath/$t"), true); ()
         }
@@ -213,10 +216,18 @@ object IvfIndex {
     invalidateLabelMeta(spark, indexPath)
     val regen = s"$indexPath/_regen"
     fs.delete(new org.apache.hadoop.fs.Path(regen), true)
-    // fresh build from the live corpus: reads the OLD cells/, writes
+    // fresh build from the LIVE corpus: reads the OLD cells/ minus any
+    // pending tombstones (a re-cluster is a full rebuild from current
+    // rows, so it doubles as the complete physical compaction), writes
     // only under _regen/ — readers are untouched until the swap
-    build(spark.read.parquet(s"$indexPath/cells").select(col(idCol), col(embCol)),
+    build(Tombstones.liveOnly(
+        spark.read.parquet(s"$indexPath/cells"), spark, indexPath, idCol)
+        .select(col(idCol), col(embCol)),
       idCol, embCol, regen, params)
+    // the swap itself retires the (now spent) tombstone table: it is
+    // in the non-installed-artifact purge list, so the marker-fenced
+    // commit — and any crash replay of it — drops it atomically with
+    // the generation change
     commitGeneration(spark, indexPath, Seq("cells", "cells_meta"))
   }
 
@@ -233,7 +244,15 @@ object IvfIndex {
     */
   private val GenerationArtifacts = Seq(
     "cells", "cells_meta", "cell_codes", "codebooks",
-    "enc_centers", "enc_current", "split_pending")
+    "enc_centers", "enc_current", "split_pending",
+    // the delete log rides along like split_pending: a fresh
+    // generation is built from LIVE rows only, so its tombstones are
+    // spent — purging them INSIDE the marker-fenced swap (and its
+    // crash replay) makes "new tables, no stale masks" atomic for
+    // readers, with no separate clear step to crash between. The
+    // lexical index's swap reuses this purge for its stats atomicity
+    // (see LexicalSearch.compactTombstones).
+    Tombstones.TableName)
 
   /** Commit a fully-built `_regen/` generation: sentinel, marker
     * (carrying the artifact list, so a crashed swap replays the SAME
@@ -408,6 +427,10 @@ object IvfIndex {
       embCol: String,
       newRows: DataFrame): Unit = {
     ensureGeneration(spark, indexPath)
+    // a tombstoned id must be physically purged (compactTombstones)
+    // before it can be re-inserted — see [[Tombstones.requireNoOverlap]]
+    Tombstones.requireNoOverlap(spark, indexPath, idCol, newRows,
+      "IvfIndex.upsert")
     val cellMeta = spark.read.parquet(s"$indexPath/cells_meta")
     // nCentroids-row frame: count it once here, not per write below
     val nCells = cellMeta.count().toInt.max(1)
@@ -615,6 +638,190 @@ object IvfIndex {
     */
   def compactIndex(spark: SparkSession, indexPath: String): graft.util.Compaction.Report =
     graft.util.Compaction.compact(spark, s"$indexPath/cells", Seq("centroid_id"))
+
+  /** Mark `ids` DELETED — the O(batch) half of row removal (see
+    * [[Tombstones]] for the design and the exactness argument). Every
+    * query path masks tombstoned rows from its earliest candidate scan
+    * from this call on; physical removal is [[compactTombstones]]'s
+    * job, off the query path. Works unchanged on a composed ([[IvfPq]])
+    * index — the tombstone masks the code row and the payload row
+    * alike, and the composed compaction rewrites both.
+    *
+    * Persisted label metadata stays SERVED, deliberately: per-(cell,
+    * label) radii are maxima over member sets and deletion only
+    * shrinks the set, so the artifact's bounds remain valid (merely
+    * less tight) — the exact mirror of the upsert fold's
+    * radii-only-grow argument. The per-label fanout counts it carries
+    * over-count by the tombstoned rows until compaction, which is a
+    * routing-cost skew, never a correctness one.
+    */
+  def delete(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      ids: DataFrame): Unit = {
+    ensureGeneration(spark, indexPath)
+    Tombstones.append(spark, indexPath, idCol, ids)
+  }
+
+  /** What a [[compactTombstones]] pass did: which cells were rewritten,
+    * how many rows left, which cells emptied out entirely (directory
+    * and meta row dropped).
+    */
+  case class DeleteCompactionReport(
+      rewrittenCells: Seq[Long],
+      rowsRemoved: Long,
+      emptiedCells: Seq[Long])
+
+  /** Fold pending deletes into the physical layout — the batched,
+    * off-query-path half of row removal. Rewrites ONLY the cell
+    * directories that actually hold tombstoned rows (a composed
+    * index's matching `cell_codes` directories move in the same pass),
+    * re-tightens the rewritten cells' radii from their surviving
+    * members (centers unchanged — survivors were assigned against
+    * them; a radius over fewer members can only shrink, and a tighter
+    * radius only removes probes), drops cells emptied entirely, and
+    * clears the tombstone table LAST.
+    *
+    * Crash story — no marker needed: the tombstone table IS the
+    * marker. Every rewrite strictly removes rows that every read is
+    * already masking, so a crash at ANY point leaves reads exact and
+    * the rerun idempotent (cells already rewritten simply match no
+    * tombstone the second time). Only after all physical work commits
+    * is the table dropped. The mid-write kill window of the dynamic
+    * partition overwrite is the same accepted residual as
+    * [[splitHotCells]]'s, with a strictly better failure mode: the
+    * masking table outlives it.
+    *
+    * Scale shape: one partition-pruned semi-join finds the affected
+    * cells (≤ nCentroids ids reach the driver — the probe-pruning
+    * collect pattern), and every subsequent scan is pruned to those
+    * directories; untouched cells are never read.
+    */
+  def compactTombstones(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String): DeleteCompactionReport = {
+    ensureGeneration(spark, indexPath)
+    // a crashed composed split may have left code directories
+    // inconsistent with cells — reconcile before rewriting either
+    repairPendingCodes(spark, indexPath, idCol)
+    val tombs = Tombstones.df(spark, indexPath) match {
+      case None => return DeleteCompactionReport(Nil, 0L, Nil)
+      case Some(t) => t.distinct().localCheckpoint()
+    }
+    val hasCodes = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexPath/cell_codes")
+      p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+    }
+    val tombIds = tombs.select(col(Tombstones.IdColumn).as(idCol))
+    val cells = spark.read.parquet(s"$indexPath/cells")
+    // which cells hold a tombstoned row: one semi-join per table, ≤
+    // nCentroids ids to the driver. The CODES side is checked too —
+    // a rerun after a crash between the cells rewrite and the codes
+    // rewrite sees clean cells but still-dirty codes, and deciding
+    // from cells alone would clear the table with deleted code rows
+    // left to poison composed floors
+    def dirtyCells(t: DataFrame): Seq[Long] =
+      t.join(tombIds, Seq(idCol), "left_semi")
+        .select(col("centroid_id").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+    val affected = (dirtyCells(cells) ++ (if (!hasCodes) Nil
+      else dirtyCells(spark.read.parquet(s"$indexPath/cell_codes"))))
+      .distinct.sorted
+    if (affected.isEmpty) {
+      // every tombstoned id is absent from the index (double-delete
+      // after a compaction, or a delete of unknown ids): nothing to
+      // rewrite, just retire the table
+      Tombstones.clear(spark, indexPath)
+      return DeleteCompactionReport(Nil, 0L, Nil)
+    }
+    // survivors of the affected cells — checkpointed once: this frame
+    // feeds the rewrite, the radius recompute AND the removed-row
+    // tally, and the rewrite overwrites the directories it was read
+    // from (the splitHotCells discipline)
+    val survivors = cells
+      .filter(col("centroid_id").isin(affected: _*))
+      .join(tombIds, Seq(idCol), "left_anti")
+      .select(col(idCol), col(embCol), col("centroid_id"))
+      .localCheckpoint()
+    val before = cells.filter(col("centroid_id").isin(affected: _*)).count()
+    val after = survivors.count()
+
+    // composed index: the affected cells' surviving CODE rows,
+    // checkpointed before their source directories are overwritten
+    val codeSurvivors = if (!hasCodes) None else Some {
+      spark.read.parquet(s"$indexPath/cell_codes")
+        .filter(col("centroid_id").isin(affected: _*))
+        .join(tombIds, Seq(idCol), "left_anti")
+        .localCheckpoint()
+    }
+
+    // rewrite the affected cell directories to their survivors
+    survivors
+      .transform(graft.util.PartitionedWrite.spread(
+        _, affected.size, col("centroid_id"), col(idCol)))
+      .write.partitionBy("centroid_id").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .parquet(s"$indexPath/cells")
+    codeSurvivors.foreach { cs =>
+      val dataCols = cs.columns.filterNot(_ == "centroid_id").map(col).toSeq
+      cs.select(dataCols :+ col("centroid_id"): _*)
+        .transform(graft.util.PartitionedWrite.spread(
+          _, affected.size, col("centroid_id"), col(idCol)))
+        .write.partitionBy("centroid_id").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$indexPath/cell_codes")
+    }
+    // dynamic overwrite cannot EMPTY a partition — cells whose every
+    // member was deleted keep their stale directory unless dropped
+    // explicitly (≤ affected ids at the driver). Their meta rows (and
+    // a composed index's code directories) go with them.
+    val keptIds = survivors.select(col("centroid_id").cast("long"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val emptied = affected.filterNot(keptIds)
+    val fs = new org.apache.hadoop.fs.Path(indexPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    emptied.foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$indexPath/cells/centroid_id=$c"), true)
+      if (hasCodes)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$indexPath/cell_codes/centroid_id=$c"), true)
+      ()
+    }
+    // re-tighten the rewritten cells' radii from their survivors:
+    // centers unchanged, max distance over a subset only shrinks —
+    // deletes are the one lifecycle event where bounds IMPROVE
+    val cellMeta = spark.read.parquet(s"$indexPath/cells_meta")
+    val normalized = new org.apache.spark.ml.feature.Normalizer()
+      .setInputCol("__raw").setOutputCol("__f").setP(2.0)
+      .transform(survivors.withColumn("__raw",
+        org.apache.spark.ml.functions.array_to_vector(
+          col(embCol).cast("array<double>"))))
+      .select(col("centroid_id"),
+        org.apache.spark.ml.functions.vector_to_array(col("__f"))
+          .cast("array<float>").as("__norm"))
+    val tightened = normalized
+      .join(broadcast(cellMeta.select(col("centroid_id"), col("center"))),
+        "centroid_id")
+      .withColumn("d", sqrt(graft.functions.l2_dist_sq(col("__norm"), col("center"))))
+      .groupBy("centroid_id")
+      .agg(max(col("d")).as("__r"))
+    val updatedMeta = cellMeta
+      .filter(!col("centroid_id").isin(emptied: _*))
+      .join(tightened, Seq("centroid_id"), "left")
+      .select(col("centroid_id"), col("center"),
+        coalesce(col("__r"), col("radius")).as("radius"))
+      .localCheckpoint()
+    updatedMeta.write.mode("overwrite").parquet(s"$indexPath/cells_meta")
+    // the table is the crash marker — dropped LAST, when every rewrite
+    // above is committed. (Persisted label metadata self-stales via
+    // its row-count fingerprint now that the counts changed.)
+    Tombstones.clear(spark, indexPath)
+    DeleteCompactionReport(affected, before - after, emptied)
+  }
 
   /** [[splitHotCells]] looped to convergence: a mean-threshold split
     * is not guaranteed balanced, so one pass can leave a side
@@ -1215,7 +1422,12 @@ object IvfIndex {
     val snap = (spark.read.parquet(s"$indexPath/cells").count(),
       cellDirIds(spark, indexPath).sorted)
     val cellMeta = broadcast(spark.read.parquet(s"$indexPath/cells_meta"))
-    val assigned = normalizedAssigned(spark, indexPath, idCol, embCol)
+    // live rows only — the artifact bounds what queries can serve; the
+    // freshness fingerprint above still counts RAW rows, so a later
+    // compaction (which changes that count) stales it automatically
+    val assigned = Tombstones.liveOnly(
+        normalizedAssigned(spark, indexPath, idCol, embCol),
+        spark, indexPath, idCol)
       .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
     cellLabelRadii(assigned, cellMeta, labelCol)
       .write.mode("overwrite").parquet(s"$base/radii")
@@ -1468,7 +1680,12 @@ object IvfIndex {
     // from the assigned rows — a cost fallback, never a correctness
     // one (a stale artifact is detected, not served)
     val cellLabel = cached.getOrElse {
-      val assigned = normalizedAssigned(spark, indexPath, idCol, embCol)
+      // live rows only: radii need to bound only what can be SERVED
+      // (a persisted artifact built pre-delete stays valid the other
+      // way around — over a superset — see [[Tombstones]])
+      val assigned = Tombstones.liveOnly(
+          normalizedAssigned(spark, indexPath, idCol, embCol),
+          spark, indexPath, idCol)
         .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
       cellLabelRadii(assigned, cellMeta, labelCol).localCheckpoint()
     }
@@ -1503,9 +1720,11 @@ object IvfIndex {
         .collect().map(_.get(0)).toSeq
       // fresh pruned read (the selfKnnGraph pass-2 idiom): the static
       // isin filter reaches the parquet scan directly, labels attached
-      // to just the probed rows
-      spark.read.parquet(s"$indexPath/cells")
-        .filter(col("centroid_id").isin(probed: _*))
+      // to just the probed rows; tombstones mask before the floor
+      Tombstones.liveOnly(
+          spark.read.parquet(s"$indexPath/cells")
+            .filter(col("centroid_id").isin(probed: _*)),
+          spark, indexPath, idCol)
         .select(col(idCol), col(embCol), col("centroid_id"))
         .join(labels.select(col(idCol), col(labelCol).as("__clabel")), Seq(idCol))
         .join(broadcast(selM), "centroid_id")
@@ -1671,8 +1890,12 @@ object IvfIndex {
             col("__clabel") === col(labelCol))
           .select(col(queryIdCol), col(idCol), col(queryVecCol))
         // mates vs the payload table: sized by label density — leave
-        // the join strategy to the planner (broadcast when sparse)
-        parts += spark.read.parquet(s"$indexPath/cells")
+        // the join strategy to the planner (broadcast when sparse).
+        // Tombstones mask here too — the equijoin bypasses the
+        // (already-masked) probe machinery entirely
+        parts += Tombstones.liveOnly(
+            spark.read.parquet(s"$indexPath/cells"),
+            spark, indexPath, idCol)
           .select(col(idCol), col(embCol))
           .join(mates, Seq(idCol))
           .withColumn("sim", cosine_sim(col(embCol), col(queryVecCol)))
@@ -1778,7 +2001,12 @@ object IvfIndex {
         .localCheckpoint()
       val probed = selM.select("centroid_id").distinct()
         .collect().map(_.get(0)).toSeq
-      cells.filter(col("centroid_id").isin(probed: _*))
+      // deleted rows mask out HERE — before the floor this pass seeds:
+      // a tombstoned candidate allowed into the k-th-best floor could
+      // certify a cutoff above a live row's true rank (Tombstones doc)
+      Tombstones.liveOnly(
+          cells.filter(col("centroid_id").isin(probed: _*)),
+          spark, indexPath, idCol)
         .join(broadcast(selM), "centroid_id")
         .withColumn("sim", cosine_sim(col(embCol), col(queryVecCol)))
         .filter(col("sim") > threshold)
@@ -1852,7 +2080,10 @@ object IvfIndex {
       k: Int): DataFrame = {
     ensureGeneration(spark, indexPath)
     val cellMeta = broadcast(spark.read.parquet(s"$indexPath/cells_meta"))
-    val assigned = normalizedAssigned(spark, indexPath, idCol, embCol)
+    // deleted rows leave the graph as nodes AND as neighbors
+    val assigned = Tombstones.liveOnly(
+      normalizedAssigned(spark, indexPath, idCol, embCol),
+      spark, indexPath, idCol)
     val queries = assigned.select(
       col(idCol).as("query_id"), col(embCol).as("__qv"),
       col("centroid_id"), col("__norm").as("__qnorm"))
@@ -1897,8 +2128,10 @@ object IvfIndex {
     // frame just to read its cell ids costs more than this recompute
     val probedIds = probeSel.select("centroid_id").distinct()
       .collect().map(_.get(0)).toSeq
-    val prunedCorpus = spark.read.parquet(s"$indexPath/cells")
-      .filter(col("centroid_id").isin(probedIds: _*))
+    val prunedCorpus = Tombstones.liveOnly(
+        spark.read.parquet(s"$indexPath/cells")
+          .filter(col("centroid_id").isin(probedIds: _*)),
+        spark, indexPath, idCol)
       .select(col(idCol), col(embCol), col("centroid_id"))
     val pass2 = rank(prunedCorpus.join(probeSel, "centroid_id"))
 
@@ -1964,7 +2197,10 @@ object IvfIndex {
       labelCol: String): (DataFrame, DataFrame, DataFrame) = {
     ensureGeneration(spark, indexPath)
     val cellMeta = broadcast(spark.read.parquet(s"$indexPath/cells_meta"))
-    val assigned = normalizedAssigned(spark, indexPath, idCol, embCol)
+    // deleted rows mine no pair and serve as no positive/negative
+    val assigned = Tombstones.liveOnly(
+        normalizedAssigned(spark, indexPath, idCol, embCol),
+        spark, indexPath, idCol)
       .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
     val queries = assigned.select(
       col(idCol).as("query_id"), col(embCol).as("__qv"),
@@ -2047,8 +2283,10 @@ object IvfIndex {
     // a materialization of the vector-carrying probe frame
     val probedIds = probeSel.select("centroid_id").distinct()
       .collect().map(_.get(0)).toSeq
-    val prunedCorpus = spark.read.parquet(s"$indexPath/cells")
-      .filter(col("centroid_id").isin(probedIds: _*))
+    val prunedCorpus = Tombstones.liveOnly(
+        spark.read.parquet(s"$indexPath/cells")
+          .filter(col("centroid_id").isin(probedIds: _*)),
+        spark, indexPath, idCol)
       .select(col(idCol), col(embCol), col("centroid_id"))
       .join(labels.select(col(idCol), col(labelCol).as("__clabel")), Seq(idCol))
     val pass2 = rank(prunedCorpus.join(probeSel, "centroid_id"))

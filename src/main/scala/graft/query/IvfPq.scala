@@ -326,11 +326,18 @@ object IvfPq {
     IvfIndex.invalidateLabelMeta(spark, indexPath)
     val regen = s"$indexPath/_regen"
     fs.delete(new org.apache.hadoop.fs.Path(regen), true)
-    build(spark.read.parquet(s"$indexPath/cells").select(col(idCol), col(embCol)),
+    // LIVE corpus only — the composed re-cluster is a full rebuild, so
+    // it doubles as the complete physical compaction of pending
+    // deletes (the IvfIndex.recluster discipline)
+    build(Tombstones.liveOnly(
+        spark.read.parquet(s"$indexPath/cells"), spark, indexPath, idCol)
+        .select(col(idCol), col(embCol)),
       idCol, embCol, regen, params)
     val artifacts = Seq("cells", "cells_meta", "cell_codes", "codebooks",
         "enc_centers", "enc_current")
       .filter(a => fs.exists(new org.apache.hadoop.fs.Path(s"$regen/$a")))
+    // the marker-fenced swap also purges the (now spent) tombstone
+    // table — see IvfIndex.recluster
     IvfIndex.commitGeneration(spark, indexPath, artifacts)
   }
 
@@ -341,6 +348,29 @@ object IvfPq {
     Seq(
       graft.util.Compaction.compact(spark, s"$indexPath/cells", Seq("centroid_id")),
       graft.util.Compaction.compact(spark, s"$indexPath/cell_codes", Seq("centroid_id")))
+
+  /** Row deletion on the composed index — [[IvfIndex.delete]]
+    * verbatim: one shared tombstone table masks the code row and the
+    * payload row alike (every composed scan anti-joins it), and
+    * [[compactTombstones]] rewrites both tables' affected directories.
+    */
+  def delete(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      ids: DataFrame): Unit =
+    IvfIndex.delete(spark, indexPath, idCol, ids)
+
+  /** Physical fold-in of pending deletes — [[IvfIndex
+    * .compactTombstones]], which detects the `cell_codes` table and
+    * moves the surviving code rows with their cells in the same pass.
+    */
+  def compactTombstones(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      embCol: String): IvfIndex.DeleteCompactionReport =
+    IvfIndex.compactTombstones(spark, indexPath, idCol, embCol)
 
   /** Maintenance diagnostics for the composed index —
     * [[IvfIndex.stats]] widened with the codes side: one row per cell,
@@ -625,7 +655,13 @@ object IvfPq {
       val selM = sel.select(col(queryIdCol), col("centroid_id")).localCheckpoint()
       val probed = selM.select("centroid_id").distinct()
         .collect().map(_.get(0)).toSeq
-      codes.filter(col("centroid_id").isin(probed: _*))
+      // tombstones mask at the CODE scan — before the lb floors this
+      // pass seeds (a deleted row's lb could certify a cutoff above a
+      // live row's true rank; see [[Tombstones]]), and before any LUT
+      // work is spent on a row that cannot be served
+      Tombstones.liveOnly(
+          codes.filter(col("centroid_id").isin(probed: _*)),
+          spark, indexPath, idCol)
         .join(broadcast(selM), Seq("centroid_id"))
         .join(broadcast(lutq), lutKeys)
         .withColumn("__adc", sqrt(graft.functions.pq_adc(col("codes"), col("__lut"))))
@@ -842,7 +878,10 @@ object IvfPq {
     // per-(cell, label) radii: the persisted artifact when provably
     // fresh, else derived per call (cost fallback, never correctness)
     val cellLabel = cached.getOrElse {
-      val assigned = IvfIndex.normalizedAssigned(spark, indexPath, idCol, embCol)
+      // live rows only — the IvfIndex.filteredViaLabelRadii discipline
+      val assigned = Tombstones.liveOnly(
+          IvfIndex.normalizedAssigned(spark, indexPath, idCol, embCol),
+          spark, indexPath, idCol)
         .join(labels.select(col(idCol), col(labelCol)), Seq(idCol))
       IvfIndex.cellLabelRadii(assigned, cellMeta, labelCol).localCheckpoint()
     }
@@ -900,7 +939,11 @@ object IvfPq {
         .localCheckpoint()
       val probed = selM.select("centroid_id").distinct()
         .collect().map(_.get(0)).toSeq
-      codes.filter(col("centroid_id").isin(probed: _*))
+      // tombstones mask before the mate filter and the lb floors —
+      // the queryTopKWithDiag scan discipline
+      Tombstones.liveOnly(
+          codes.filter(col("centroid_id").isin(probed: _*)),
+          spark, indexPath, idCol)
         .join(corpLab, Seq(idCol))
         .join(broadcast(selM), Seq("centroid_id"))
         .filter(col("__clabel") === col(labelCol))

@@ -176,6 +176,10 @@ object LexicalSearch {
       idCol: String,
       textCol: String,
       workDir: String): Unit = {
+    // a fresh build indexes exactly `docs`: a stale delete log from a
+    // previous index at this path must not mask (or stats-correct
+    // against) the new corpus
+    Tombstones.clear(docs.sparkSession, workDir)
     val toks = docs.select(col(idCol), tokens(col(textCol)).as("__toks"))
     toks.agg(
         count(lit(1)).as("__n_docs"),
@@ -210,6 +214,12 @@ object LexicalSearch {
       idCol: String,
       textCol: String,
       newDocs: DataFrame): Unit = {
+    IvfIndex.ensureGeneration(spark, workDir)
+    // a tombstoned id must be physically purged (compactTombstones)
+    // before re-insert: clearing its mask here would resurface the old
+    // postings alongside the new ones AND double the doc in the stats
+    Tombstones.requireNoOverlap(spark, workDir, idCol, newDocs,
+      "LexicalSearch.upsertIndex")
     postings(newDocs, idCol, textCol, "__term")
       .withColumn("__bucket", pmod(hash(col("__term")), lit(IndexBuckets)))
       // bounded files/dir per append, cluster-scaled parallelism
@@ -243,6 +253,115 @@ object LexicalSearch {
       spark: org.apache.spark.sql.SparkSession,
       workDir: String): graft.util.Compaction.Report =
     graft.util.Compaction.compact(spark, s"$workDir/postings", Seq("__bucket"))
+
+  /** DELETE documents from the persisted index — the lexical twin of
+    * [[graft.query.IvfIndex.delete]], with one extra obligation the
+    * vector side does not have: BM25 is score-coupled to two GLOBAL
+    * corpus statistics (N, Σlen), so masking a doc's postings without
+    * correcting the stats would mis-normalize every OTHER document's
+    * score. The correction data is recovered here, at delete time,
+    * from the doc's own posting rows (`__len` rides every posting),
+    * and written WITH the tombstone — `(__del_id, __del_len)` in one
+    * atomic parquet append:
+    *
+    *  - [[queryIndex]] then serves exactly the rebuild-on-live-corpus
+    *    scores: stats are corrected by the (deduplicated) tombstone
+    *    aggregate — a tombstone-table-sized frame, broadcast-joined —
+    *    postings anti-join the mask after the bucket pruning, and df
+    *    recovers from the masked candidate frame as always;
+    *  - the persisted `stats` table keeps its invariant: it ALWAYS
+    *    aggregates the PHYSICAL postings. Delete touches it never, so
+    *    there is no two-table crash window — a torn delete is just a
+    *    shorter tombstone table, consistent at every prefix;
+    *  - physical removal is [[compactTombstones]]'s job.
+    *
+    * Cost: one narrow scan of the postings table per delete batch (a
+    * doc's rows live in every term bucket it uses — there is no
+    * pruned way to find them, which is also why physical removal is a
+    * rebuild). Batch deletes accordingly. Ids absent from the index
+    * contribute no tombstone row (nothing to mask, nothing to
+    * correct).
+    */
+  def deleteFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      workDir: String,
+      idCol: String,
+      ids: DataFrame): Unit = {
+    IvfIndex.ensureGeneration(spark, workDir)
+    spark.read.parquet(s"$workDir/postings")
+      .join(ids.select(col(idCol)).distinct(), Seq(idCol), "left_semi")
+      // __len is constant within a doc; min() is its order-independent
+      // witness (first() would be partition-order-dependent)
+      .groupBy(col(idCol))
+      .agg(min(col("__len")).as("__del_len"))
+      .select(col(idCol).as(Tombstones.IdColumn), col("__del_len"))
+      .repartition(1)
+      .write.mode("append").parquet(Tombstones.path(workDir))
+  }
+
+  /** The live-corpus (__n_docs, __total_len) one-row frame: the
+    * physical `stats` table, corrected by the tombstone aggregate when
+    * a delete is pending. Deduplicated by id so re-deletes never
+    * double-subtract.
+    */
+  private def liveStats(
+      spark: org.apache.spark.sql.SparkSession,
+      workDir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$workDir/stats")
+    if (!Tombstones.exists(spark, workDir)) raw
+    else {
+      val corr = spark.read.parquet(Tombstones.path(workDir))
+        .groupBy(col(Tombstones.IdColumn))
+        .agg(min(col("__del_len")).as("__l"))
+        .agg(count(lit(1)).as("__dn"),
+          coalesce(sum(col("__l")), lit(0L)).as("__dl"))
+      raw.crossJoin(broadcast(corr))
+        .select(
+          (col("__n_docs") - col("__dn")).as("__n_docs"),
+          (col("__total_len") - col("__dl")).as("__total_len"))
+    }
+  }
+
+  /** Fold pending deletes into the physical layout. A deleted doc's
+    * postings are scattered across every term bucket it used, so —
+    * unlike the vector side's cell-pruned rewrite — the honest
+    * physical removal is a REBUILD of the postings table (bucket
+    * layout preserved) with the stats recomputed from the survivors,
+    * committed with the atomic generation swap
+    * ([[IvfIndex.commitGeneration]]): fresh postings + fresh stats +
+    * no tombstones become visible as ONE transition behind the marker
+    * fence, and a crash at any point either leaves the old generation
+    * fully live (still masked, still corrected) or rolls forward
+    * deterministically at the next entry point. There is no
+    * crash window in which stats and mask disagree — the exact
+    * two-table race the swap exists to close.
+    */
+  def compactTombstones(
+      spark: org.apache.spark.sql.SparkSession,
+      workDir: String,
+      idCol: String): Unit = {
+    IvfIndex.ensureGeneration(spark, workDir)
+    if (!Tombstones.exists(spark, workDir)) return
+    val fs = new org.apache.hadoop.fs.Path(workDir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val regen = s"$workDir/_regen"
+    fs.delete(new org.apache.hadoop.fs.Path(regen), true)
+    val survivors = Tombstones.liveOnly(
+        spark.read.parquet(s"$workDir/postings"), spark, workDir, idCol)
+      .localCheckpoint()
+    survivors
+      .transform(graft.util.PartitionedWrite.spread(
+        _, IndexBuckets, col("__bucket"), col(idCol)))
+      .write.mode("overwrite").partitionBy("__bucket")
+      .parquet(s"$regen/postings")
+    // stats recomputed from the survivors — one min-len witness per
+    // doc, then the two-Long aggregate (the buildIndex shape)
+    survivors.groupBy(col(idCol)).agg(min(col("__len")).as("__l"))
+      .agg(count(lit(1)).as("__n_docs"),
+        coalesce(sum(col("__l")), lit(0L)).as("__total_len"))
+      .write.mode("overwrite").parquet(s"$regen/stats")
+    IvfIndex.commitGeneration(spark, workDir, Seq("postings", "stats"))
+  }
 
   /** Maintenance diagnostics for the postings index — the lexical twin
     * of [[graft.query.IvfIndex.stats]]: one row per term-hash bucket,
@@ -289,13 +408,21 @@ object LexicalSearch {
       queryIdCol: String,
       termCol: String,
       k: Int): DataFrame = {
-    val stats = spark.read.parquet(s"$workDir/stats")
+    // completes a crashed compactTombstones swap (one fs.exists when
+    // healthy)
+    IvfIndex.ensureGeneration(spark, workDir)
+    // stats corrected for pending deletes ([[liveStats]]); postings
+    // masked after the bucket pruning and BEFORE the df window in
+    // [[scoreCandidates]] — df must count live posting-list docs only
+    val stats = liveStats(spark, workDir)
     val qt = queryTerms.select(col(queryIdCol), col(termCol)).distinct()
     val buckets = qt
       .select(pmod(hash(col(termCol)), lit(IndexBuckets)).as("__bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq
-    val cand = spark.read.parquet(s"$workDir/postings")
-      .filter(col("__bucket").isin(buckets: _*))
+    val cand = Tombstones.liveOnly(
+        spark.read.parquet(s"$workDir/postings")
+          .filter(col("__bucket").isin(buckets: _*)),
+        spark, workDir, idCol)
       .withColumnRenamed("__term", termCol)
       .join(broadcast(qt), termCol)
     scoreCandidates(cand, stats, queryIdCol, idCol, termCol, k)

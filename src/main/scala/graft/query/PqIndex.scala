@@ -230,6 +230,9 @@ object PqIndex {
       outPath: String,
       params: Params = Params()): Unit = {
     val spark = df.sparkSession
+    // a fresh build indexes exactly `df`: a stale delete log from a
+    // previous index at this path must not mask the new corpus
+    Tombstones.clear(spark, outPath)
     fitAndWriteCodebooks(df, idCol, embCol, outPath, params)
     encode(df, idCol, embCol, codebooksDf(spark, outPath), params)
       .withColumn("__cbucket", pmod(hash(col(idCol)), lit(IndexBuckets)))
@@ -474,7 +477,12 @@ object PqIndex {
     // code scan: d̂² = Σ_sub lut[sub·K + codes[sub]] via the codegen
     // pq_adc kernel (ascending-subspace summation — bit-identical to
     // the interpreted fold it replaced); the corpus side never shuffles
-    val scored = spark.read.parquet(s"$indexPath/codes")
+    // tombstones mask at the code scan — before the lb floor below
+    // (see [[Tombstones]]; for this flat layout, physical removal is a
+    // rebuild — tombstone-serve until then)
+    val scored = Tombstones.liveOnly(
+        spark.read.parquet(s"$indexPath/codes"),
+        spark, indexPath, idCol)
       .crossJoin(broadcast(lutq))
       .withColumn("__adc",
         sqrt(graft.functions.pq_adc(col("codes"), col("__lut"))))

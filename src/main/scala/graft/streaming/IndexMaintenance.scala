@@ -74,11 +74,31 @@ object IndexMaintenance {
       batch: DataFrame,
       batchId: Long,
       splitCap: Option[Long] = None,
-      reclusterEvery: Option[Long] = None): Boolean = {
+      reclusterEvery: Option[Long] = None,
+      opCol: Option[String] = None,
+      compactDeletesEvery: Option[Long] = None): Boolean = {
+    import org.apache.spark.sql.functions.col
     val spark = batch.sparkSession
     if (batchId <= lastApplied(spark, indexPath) || batch.isEmpty) false
     else {
-      IvfIndex.upsert(spark, indexPath, idCol, embCol, batch)
+      // CDC-shaped feed: with `opCol` set, rows tagged "delete" mask
+      // their ids out of the index ([[graft.query.IvfIndex.delete]] —
+      // O(batch), exact from this batch on) and every other row
+      // upserts. Deletes apply FIRST; an id must not carry both ops in
+      // one batch (the append paths' caller-owns-identity contract —
+      // the upsert's tombstone-overlap guard enforces it loudly).
+      // Replay semantics are BETTER than the upsert's benign-
+      // duplication window: a replayed tombstone append is a duplicate
+      // mask row, deduplicated by every reader and by compaction.
+      val (deletes, upserts) = opCol match {
+        case Some(oc) =>
+          (batch.filter(col(oc) === "delete").select(col(idCol)),
+            batch.filter(col(oc) =!= "delete").drop(oc))
+        case None => (batch.limit(0).select(col(idCol)), batch)
+      }
+      if (!deletes.isEmpty) IvfIndex.delete(spark, indexPath, idCol, deletes)
+      if (!upserts.isEmpty)
+        IvfIndex.upsert(spark, indexPath, idCol, embCol, upserts)
       // optional in-line occupancy repair before the fence is written:
       // result-invisible (the radius-coverage contract). Replay
       // semantics differ from the upsert's benign-duplication window:
@@ -90,6 +110,15 @@ object IndexMaintenance {
       // overwrite the orphan
       splitCap.foreach(cap =>
         IvfIndex.splitToConvergence(spark, indexPath, idCol, embCol, cap))
+      // optional physical fold-in of accumulated tombstones at a batch
+      // cadence (the deletion twin of reclusterEvery): cell-pruned
+      // rewrite, radii re-tightened, spent tombstones retired — the
+      // tombstones-are-the-marker discipline makes a crashed pass a
+      // clean rerun, so it composes with the replay fence for free
+      compactDeletesEvery.foreach { n =>
+        if (n > 0 && batchId % n == 0)
+          IvfIndex.compactTombstones(spark, indexPath, idCol, embCol)
+      }
       // optional full re-cluster at a batch cadence — the centroid-
       // PLACEMENT repair splits cannot provide ([[IvfIndex.recluster]]:
       // generation built off the query path, marker-fenced atomic
@@ -121,14 +150,16 @@ object IndexMaintenance {
       embCol: String,
       checkpointDir: String,
       splitCap: Option[Long] = None,
-      reclusterEvery: Option[Long] = None): StreamingQuery =
+      reclusterEvery: Option[Long] = None,
+      opCol: Option[String] = None,
+      compactDeletesEvery: Option[Long] = None): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(indexPath, idCol, embCol, batch, batchId, splitCap,
-          reclusterEvery); ()
+          reclusterEvery, opCol, compactDeletesEvery); ()
       }
       .start()
 
@@ -172,11 +203,25 @@ object IndexMaintenance {
       params: graft.query.IvfPq.Params = graft.query.IvfPq.Params(),
       splitCap: Option[Long] = None,
       reencodeDriftCap: Option[Double] = None,
-      reclusterEvery: Option[Long] = None): Boolean = {
+      reclusterEvery: Option[Long] = None,
+      opCol: Option[String] = None,
+      compactDeletesEvery: Option[Long] = None): Boolean = {
+    import org.apache.spark.sql.functions.col
     val spark = batch.sparkSession
     if (batchId <= lastApplied(spark, indexPath) || batch.isEmpty) false
     else {
-      graft.query.IvfPq.upsert(spark, indexPath, idCol, embCol, batch, params)
+      // CDC-shaped feed — the [[applyBatch]] opCol contract verbatim;
+      // one shared tombstone table masks code AND payload rows
+      val (deletes, upserts) = opCol match {
+        case Some(oc) =>
+          (batch.filter(col(oc) === "delete").select(col(idCol)),
+            batch.filter(col(oc) =!= "delete").drop(oc))
+        case None => (batch.limit(0).select(col(idCol)), batch)
+      }
+      if (!deletes.isEmpty)
+        graft.query.IvfPq.delete(spark, indexPath, idCol, deletes)
+      if (!upserts.isEmpty)
+        graft.query.IvfPq.upsert(spark, indexPath, idCol, embCol, upserts, params)
       // optional in-line occupancy repair (the [[applyBatch]] splitCap
       // story, now available for the composed family too): the split
       // moves code rows with their cells under the split_pending
@@ -193,6 +238,13 @@ object IndexMaintenance {
       // drift-free batches; result-invisible always.
       reencodeDriftCap.foreach(cap => graft.query.IvfPq.reencodeDrifted(
         spark, indexPath, idCol, embCol, params, cap))
+      // optional physical deletion fold-in at a batch cadence — the
+      // [[applyBatch]] compactDeletesEvery story; the composed pass
+      // moves surviving code rows with their cells
+      compactDeletesEvery.foreach { n =>
+        if (n > 0 && batchId % n == 0)
+          graft.query.IvfPq.compactTombstones(spark, indexPath, idCol, embCol)
+      }
       // optional full composed re-cluster at a batch cadence — the
       // centroid-placement repair ([[graft.query.IvfPq.recluster]]:
       // whole artifact set rebuilt off the query path, marker-fenced
@@ -227,14 +279,17 @@ object IndexMaintenance {
       params: graft.query.IvfPq.Params = graft.query.IvfPq.Params(),
       splitCap: Option[Long] = None,
       reencodeDriftCap: Option[Double] = None,
-      reclusterEvery: Option[Long] = None): StreamingQuery =
+      reclusterEvery: Option[Long] = None,
+      opCol: Option[String] = None,
+      compactDeletesEvery: Option[Long] = None): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.ProcessingTime(0L))
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyIvfPqBatch(indexPath, idCol, embCol, batch, batchId, params,
-          splitCap, reencodeDriftCap, reclusterEvery); ()
+          splitCap, reencodeDriftCap, reclusterEvery, opCol,
+          compactDeletesEvery); ()
       }
       .start()
 

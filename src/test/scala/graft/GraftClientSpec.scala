@@ -259,6 +259,90 @@ class GraftClientSpec extends AnyFunSuite with SharedSpark {
     assert(point == batchQ0, "point hybrid face diverged from the batch face")
   }
 
+  test("deleteWhere masks a chunk out of every channel; compactDeletes " +
+      "removes it physically with answers unchanged") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-client-del").toString
+    val client = new GraftClient(spark,
+      GraftClient.Config(chunkSize = 200, chunkOverlap = 40, embedDim = 64))
+    client.ingest(mdxDocs.toDF("doc_id", "mdx"), "doc_id", "mdx", s"$dir/index")
+    client.buildQueryIndex(s"$dir/index", s"$dir/ann", composed = true)
+    client.buildLexicalIndex(s"$dir/index", s"$dir/ann")
+
+    // the takedown arrives as a predicate, not an id list
+    client.deleteWhere(s"$dir/ann", col("content").contains("Broadcast small tables"))
+
+    val probes = Seq(
+      "Call ingest then query with an embedded question string.",
+      "Broadcast small tables and let AQE handle skewed joins.")
+    val queries = probes.zipWithIndex
+      .map { case (p, i) => (i.toLong, client.embedText(p), p) }
+      .toDF("query_id", "qvec", "qtext")
+
+    def vecAnswers() = client.queryIndexedBatch(s"$dir/ann", queries,
+        "query_id", "qvec", threshold = 0.0, count = 3)
+      .select(col("query_id"), col("content"),
+        (round(col("sim") * 1e9)).cast("long").as("s"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    def hybAnswers() = client.queryHybridBatch(s"$dir/ann", queries,
+        "query_id", "qvec", "qtext", count = 3, channelK = 3)
+      .select(col("query_id"), col("rank"), col("content"), col("rrf_micro"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+
+    val vecMasked = vecAnswers()
+    val hybMasked = hybAnswers()
+    assert(!vecMasked.exists(_._2.contains("Broadcast small tables")))
+    assert(!hybMasked.exists(_._3.contains("Broadcast small tables")))
+
+    // oracle: engine-level channels over the SURVIVING rows only
+    val withId = graft.pipeline.ScalableWindow.globalRunningSum(
+        spark.read.parquet(s"$dir/index").withColumn("__one", lit(1L)),
+        "__one", "row_id",
+        col("doc_id").asc, col("chunk_id").asc, col("piece_id").asc)
+      .filter(!col("content").contains("Broadcast small tables"))
+    val vecOracle = graft.query.SimilaritySearch.topKBatch(
+        withId.select("row_id", "embedding"), "embedding", "row_id",
+        queries.select("query_id", "qvec"), "query_id", "qvec",
+        k = 3, threshold = 0.0)
+      .join(withId.select("row_id", "content"), "row_id")
+      .select(col("query_id"), col("content"),
+        (round(col("sim") * 1e9)).cast("long").as("s"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(vecMasked == vecOracle, "masked vector serve diverged from the live-corpus ranking")
+    val qTerms = queries.select(col("query_id"),
+      explode(graft.query.LexicalSearch.tokens(col("qtext"))).as("__term"))
+    val lexOracle = graft.query.LexicalSearch.bm25TopK(
+        withId.select("row_id", "content"), "row_id", "content",
+        qTerms, "query_id", "__term", k = 3)
+      .select(col("query_id"), col("row_id"), col("rank"))
+    val vecRanks = graft.query.SimilaritySearch.topKBatch(
+        withId.select("row_id", "embedding"), "embedding", "row_id",
+        queries.select("query_id", "qvec"), "query_id", "qvec",
+        k = 3, threshold = 0.0)
+      .select(col("query_id"), col("row_id"), col("rn").as("rank"))
+    val hybOracle = graft.query.LexicalSearch.rrfFuse(
+        vecRanks, lexOracle, "query_id", "row_id", "rank", k = 3)
+      .join(withId.select("row_id", "content"), "row_id")
+      .select(col("query_id"), col("rank"), col("content"), col("rrf_micro"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(hybMasked == hybOracle, "masked hybrid serve diverged from the live-corpus fusion")
+
+    // physical fold-in: payload row gone, every answer identical
+    client.compactDeletes(s"$dir/ann")
+    assert(!graft.query.Tombstones.exists(spark, s"$dir/ann/ivf"))
+    assert(!graft.query.Tombstones.exists(spark, s"$dir/ann/lex"))
+    assert(spark.read.parquet(s"$dir/ann/payload")
+      .filter(col("content").contains("Broadcast small tables")).isEmpty)
+    assert(spark.read.parquet(s"$dir/ann/ivf/cells")
+      .count() == withId.count())
+    assert(vecAnswers() == vecMasked)
+    assert(hybAnswers() == hybMasked)
+  }
+
   test("answer fills a caller-supplied template") {
     val dir = java.nio.file.Files.createTempDirectory("graft-client-tpl").toString
     val client = new GraftClient(spark,

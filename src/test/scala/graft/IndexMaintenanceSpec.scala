@@ -340,4 +340,62 @@ class IndexMaintenanceSpec extends AnyFunSuite with SharedSpark {
     assert(lexReport.filesAfter < lexReport.filesBefore)
     assert(lexAnswer() === lexBefore, "lexical compaction changed scores")
   }
+
+  test("CDC maintenance stream: tagged deletes mask ids, upserts append, " +
+      "compaction cadence folds them in — all behind one fence") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-cdc-ckpt").toString
+    // base index over 80% of the corpus; the stream upserts the held-out
+    // fifth and deletes every vec_id % 9 == 4 row, interleaved
+    IvfIndex.build(e.filter(pmod(col("vec_id"), lit(10)) < 8),
+      "vec_id", "embedding", dir, IvfIndex.Params(nCentroids = 8))
+    val ups = e.filter(pmod(col("vec_id"), lit(10)) >= 8)
+      .select(lit("upsert").as("op"), col("vec_id"), col("embedding"))
+      .as[(String, Long, Array[Float])].collect().toSeq
+    val dels = e.filter(pmod(col("vec_id"), lit(9)) === 4 &&
+        pmod(col("vec_id"), lit(10)) < 8) // delete only already-indexed ids
+      .select(lit("delete").as("op"), col("vec_id"), col("embedding"))
+      .as[(String, Long, Array[Float])].collect().toSeq
+
+    val input = MemoryStream[(String, Long, Array[Float])]
+    val q = IndexMaintenance.maintainIvf(
+      input.toDS().toDF("op", "vec_id", "embedding"), dir, "vec_id",
+      "embedding", ckpt, opCol = Some("op"),
+      // cadence 2: batch 2's pass folds batch-0/1 tombstones physically;
+      // batch 2's own deletes stay pending — both serving modes active
+      compactDeletesEvery = Some(2L))
+    try {
+      val (d1, d2) = dels.splitAt(dels.size / 2)
+      input.addData(ups); q.processAllAvailable()         // batch 0
+      input.addData(d1); q.processAllAvailable()          // batch 1
+      input.addData(d2); q.processAllAvailable()          // batch 2 (compacts)
+    } finally q.stop()
+
+    val live = e.filter(pmod(col("vec_id"), lit(9)) =!= 4 ||
+      pmod(col("vec_id"), lit(10)) >= 8)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val got = topkSet(IvfIndex.queryTopK(spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 5, threshold = 0.0))
+    val exact = topkSet(SimilaritySearch.topKBatch(
+      live, "embedding", "vec_id", queries, "query_id", "qvec",
+      k = 5, threshold = 0.0))
+    assert(got == exact, "CDC-maintained index diverged from live brute force")
+    // batch 2's cadence tick runs AFTER its own deletes landed, so it
+    // folded BOTH delete batches physically and retired the table —
+    // the cells table holds exactly the live rows
+    assert(spark.read.parquet(s"$dir/cells").count() == live.count())
+    assert(!graft.query.Tombstones.exists(spark, dir))
+    // a later upsert-only batch ticks the cadence as a clean no-op
+    assert(IndexMaintenance.applyBatch(dir, "vec_id", "embedding",
+      Seq(("upsert", -1L, Array.fill(64)(0.1f))).toDF("op", "vec_id", "embedding"),
+      batchId = 4L, opCol = Some("op"), compactDeletesEvery = Some(2L)))
+    assert(!graft.query.Tombstones.exists(spark, dir))
+    assert(spark.read.parquet(s"$dir/cells").count() == live.count() + 1)
+  }
 }
