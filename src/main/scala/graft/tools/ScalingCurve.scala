@@ -37,7 +37,7 @@ object ScalingCurve {
     * unit spike on dimension 2·(i mod 8) — 8 well-separated modes, the
     * FilteredSearchSpec fixture geometry at scale.
     */
-  private def corpus(spark: SparkSession, n: Long, dim: Int, clustered: Boolean): DataFrame = {
+  private[tools] def corpus(spark: SparkSession, n: Long, dim: Int, clustered: Boolean): DataFrame = {
     val noise =
       s"""transform(sequence(0, ${dim - 1}), c ->
          |  cast(pmod(xxhash64(id * $dim + c), 1000000) / 1000000.0 - 0.5

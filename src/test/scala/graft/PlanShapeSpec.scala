@@ -399,4 +399,30 @@ class PlanShapeSpec extends AnyFunSuite with SharedSpark {
     assert("rangepartitioning".r.findAllIn(plan).size <= 1,
       "unexpected extra range exchange:\n" + plan.take(2000))
   }
+
+  test("a tombstone-masked probe keeps its static partition pruning and " +
+      "anti-joins the delete log as a broadcast hash join") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-del").toString
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    graft.query.IvfIndex.build(e, "vec_id", "embedding", dir,
+      graft.query.IvfIndex.Params(nCentroids = 8))
+    graft.query.IvfIndex.delete(spark, dir, "vec_id",
+      e.filter(pmod(col("vec_id"), lit(10)) === 0).select("vec_id"))
+    val queries = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val plan = graft.query.IvfIndex.queryTopK(spark, dir, "vec_id",
+        "embedding", queries, "query_id", "qvec", k = 3, threshold = 0.0)
+      .queryExecution.executedPlan.toString
+    // the mask must not demote the equi anti-join to a nested loop
+    // (build side is the tiny tombstone parquet — size stats broadcast it)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      "tombstone mask is not a broadcast hash anti-join:\n" + plan.take(2500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "tombstone mask degraded to a nested-loop join:\n" + plan.take(2500))
+    // ... and the static isin pruning still reaches the cells scan
+    // (the probed ids appear as a partition filter, not a post-filter)
+    assert(plan.contains("PartitionFilters: [centroid_id"),
+      "static partition pruning lost under the mask:\n" + plan.take(2500))
+  }
 }
