@@ -72,6 +72,9 @@ object Bench {
     "q118_ivf_delete" -> "ivf_delete",
     "q119_ivfpq_delete" -> "ivfpq_delete",
     "q120_lex_delete" -> "lex_delete",
+    // fsck builds its own composed + lexical artifacts (they carry a
+    // pending delete, so they cannot share anyone's index)
+    "q121_index_fsck" -> "fsck_index",
     "q107_ivfpq_topk" -> "ivfpq_index",
     "q111_ivfpq_split" -> "ivfpq_split",
     "q112_residual_topk" -> "ivfpq_residual",

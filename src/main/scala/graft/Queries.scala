@@ -506,6 +506,41 @@ object Queries {
       .orderBy("query_id", "rn")
   }
 
+  /** Q121: INDEX INTEGRITY VERIFICATION ([[graft.query.IndexCheck]] —
+    * the fsck that closes the ops lifecycle): a composed IVF+PQ index
+    * and a lexical postings index are built, given a pending delete
+    * batch (so the masked serving state is what gets audited, not just
+    * the fresh build), and every invariant the exactness proofs assume
+    * is checked — radius coverage over live rows, meta↔directory
+    * agreement, id uniqueness, cells↔codes alignment, physical-stats
+    * consistency, bucket hashing. The output is the sf-independent
+    * verdict table (source, check, ok): every row must read ok=true on
+    * a healthy index at ANY corpus size, which is exactly what the
+    * literal-VALUES oracle pins (the corruption matrix — each breakage
+    * flags exactly its check — lives in IndexCheckSpec, where indexes
+    * can be damaged on purpose).
+    */
+  def q121IndexFsck(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = indexWorkDir("fsck", dir)
+    buildOnce(work) {
+      IvfPq.build(e, "vec_id", "embedding", s"$work/ivfpq",
+        IvfPq.Params(pq = PqIndex.Params(fitSampleMod = 4)))
+      IvfPq.delete(spark, s"$work/ivfpq", "vec_id",
+        e.filter(pmod(col("vec_id"), lit(10)) === 0).select("vec_id"))
+      val docs = Tables.parallelize(Tables(spark, dir, "documents"))
+      LexicalSearch.buildIndex(docs, "doc_id", "text", s"$work/lex")
+      LexicalSearch.deleteFromIndex(spark, s"$work/lex", "doc_id",
+        docs.filter(pmod(col("doc_id"), lit(10)) === 0).select("doc_id"))
+    }
+    graft.query.IndexCheck.checkIvf(spark, s"$work/ivfpq", "vec_id", "embedding")
+      .select(lit("ivfpq").as("source"), col("check"), col("ok"))
+      .unionByName(
+        graft.query.IndexCheck.checkLexical(spark, s"$work/lex", "doc_id")
+          .select(lit("lex").as("source"), col("check"), col("ok")))
+      .orderBy("source", "check")
+  }
+
   /** Q120: DOCUMENT DELETION on the persisted lexical index
     * ([[graft.query.LexicalSearch.deleteFromIndex]]) — the hardest
     * deletion surface, because BM25 couples every document's score to
@@ -1073,6 +1108,7 @@ object Queries {
     "q118_ivf_delete" -> (q118IvfDelete _),
     "q119_ivfpq_delete" -> (q119IvfPqDelete _),
     "q120_lex_delete" -> (q120LexDelete _),
+    "q121_index_fsck" -> (q121IndexFsck _),
     "q103_retrieval_eval" -> (q103RetrievalEval _),
     "q104_drift_monitor" -> (q104DriftMonitor _))
 
@@ -1363,6 +1399,25 @@ object Queries {
       select = "query_id, CAST(\"rank\" AS BIGINT) AS \"rank\", doc_id, score",
       suffix = "ORDER BY query_id, \"rank\"",
       livePred = "doc_id % 3 <> 2"),
+    // q121: the fsck verdict table is sf-INDEPENDENT by construction —
+    // every invariant must hold on a healthy index at any corpus size,
+    // so the oracle is the literal expected verdicts (the per-breakage
+    // detection matrix is spec territory: IndexCheckSpec corrupts
+    // indexes on purpose, which SQL over healthy fixtures cannot)
+    "q121_index_fsck" ->
+      """SELECT * FROM (VALUES
+        |  ('ivfpq', 'codes_align', true),
+        |  ('ivfpq', 'label_meta_fresh', true),
+        |  ('ivfpq', 'meta_matches_dirs', true),
+        |  ('ivfpq', 'pending_markers', true),
+        |  ('ivfpq', 'pending_tombstones', true),
+        |  ('ivfpq', 'radius_coverage', true),
+        |  ('ivfpq', 'unique_ids', true),
+        |  ('lex', 'bucket_hash', true),
+        |  ('lex', 'pending_tombstones', true),
+        |  ('lex', 'stats_physical', true)
+        |) AS t(source, "check", ok)
+        |ORDER BY source, "check"""".stripMargin,
     // q85 queries the upsert-maintained index (90% build + 10% append);
     // same exact oracle — append-maintenance must be invisible to results
     "q85_ivf_upsert" -> cosineTopKOracle,

@@ -231,7 +231,7 @@ object IvfIndex {
     commitGeneration(spark, indexPath, Seq("cells", "cells_meta"))
   }
 
-  private def reclusterPendingPath(indexPath: String): String =
+  private[query] def reclusterPendingPath(indexPath: String): String =
     s"$indexPath/recluster_pending"
 
   /** Every artifact name a generation swap may install or purge —
@@ -492,7 +492,7 @@ object IvfIndex {
     * degrade to non-foldable/stale, never wedge every subsequent
     * [[upsert]] with a read failure until manual cleanup.
     */
-  private def labelMetaArtifacts(
+  private[query] def labelMetaArtifacts(
       spark: SparkSession,
       indexPath: String): Seq[(String, String, Long, Seq[Long])] = {
     val root = new org.apache.hadoop.fs.Path(indexPath)
@@ -904,10 +904,10 @@ object IvfIndex {
       .map(_.getPath.getName.stripPrefix("centroid_id=").toLong)
   }
 
-  private def cellDirIds(spark: SparkSession, indexPath: String): Seq[Long] =
+  private[query] def cellDirIds(spark: SparkSession, indexPath: String): Seq[Long] =
     partitionDirIds(spark, s"$indexPath/cells")
 
-  private def codesDirIds(spark: SparkSession, indexPath: String): Seq[Long] =
+  private[query] def codesDirIds(spark: SparkSession, indexPath: String): Seq[Long] =
     partitionDirIds(spark, s"$indexPath/cell_codes")
 
   /** A composed ([[IvfPq]]) split's in-progress marker: the (old id,
@@ -917,7 +917,7 @@ object IvfIndex {
     * reconcile. Lives beside `cells/` — never read as part of any
     * table.
     */
-  private def splitPendingPath(indexPath: String): String =
+  private[query] def splitPendingPath(indexPath: String): String =
     s"$indexPath/split_pending"
 
   /** Exact per-cell centers + radii from (__cid, __norm) member rows —
