@@ -75,6 +75,9 @@ object Bench {
     // fsck builds its own composed + lexical artifacts (they carry a
     // pending delete, so they cannot share anyone's index)
     "q121_index_fsck" -> "fsck_index",
+    // sharded retrieval builds its own 4-shard set (build + routed
+    // upsert + routed delete in the cold run)
+    "q122_sharded_topk" -> "sharded_index",
     "q107_ivfpq_topk" -> "ivfpq_index",
     "q111_ivfpq_split" -> "ivfpq_split",
     "q112_residual_topk" -> "ivfpq_residual",

@@ -541,6 +541,37 @@ object Queries {
       .orderBy("source", "check")
   }
 
+  /** Q122: SHARDED retrieval ([[graft.query.ShardedIvf]] — horizontal
+    * composition, the 100 TB serving shape): the corpus hash-partitions
+    * across 4 independent IVF shards (each built over its quarter —
+    * bounded build memory, restartable, rolling-maintainable), a fifth
+    * of the rows arrives through the hash-routed upsert, and every 9th
+    * row is deleted through the hash-routed tombstone path; the batch
+    * then queries ACROSS the shard set (per-shard exact top-k, one
+    * answer-sized global re-rank — exact by containment: a global
+    * winner ranks ≤ k in its home shard). Oracle = brute-force cosine
+    * over the surviving corpus, so the row is green only if sharding,
+    * routing, deletion and the cross-shard re-rank are all
+    * result-invisible together.
+    */
+  def q122ShardedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = indexWorkDir("sharded", dir)
+    buildOnce(work) {
+      graft.query.ShardedIvf.build(
+        e.filter(pmod(col("vec_id"), lit(10)) < 8), "vec_id", "embedding",
+        work, n = 4)
+      graft.query.ShardedIvf.upsert(spark, work, "vec_id", "embedding",
+        e.filter(pmod(col("vec_id"), lit(10)) >= 8))
+      graft.query.ShardedIvf.delete(spark, work, "vec_id",
+        e.filter(pmod(col("vec_id"), lit(9)) === 4).select("vec_id"))
+    }
+    graft.query.ShardedIvf.queryTopK(spark, work, "vec_id", "embedding",
+        queryBatch(e), "query_id", "qvec", k = 5, threshold = 0.0)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Q120: DOCUMENT DELETION on the persisted lexical index
     * ([[graft.query.LexicalSearch.deleteFromIndex]]) — the hardest
     * deletion surface, because BM25 couples every document's score to
@@ -1109,6 +1140,7 @@ object Queries {
     "q119_ivfpq_delete" -> (q119IvfPqDelete _),
     "q120_lex_delete" -> (q120LexDelete _),
     "q121_index_fsck" -> (q121IndexFsck _),
+    "q122_sharded_topk" -> (q122ShardedTopK _),
     "q103_retrieval_eval" -> (q103RetrievalEval _),
     "q104_drift_monitor" -> (q104DriftMonitor _))
 
@@ -1380,6 +1412,24 @@ object Queries {
         |  SELECT q.query_id, e.vec_id,
         |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
         |  FROM embeddings e JOIN q ON list_contains(q.lbls, e.label)),
+        |r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        |  FROM s WHERE sim > 0.0)
+        |SELECT query_id, vec_id, round(sim, 6) AS sim, rn
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // q122: sharded retrieval over the post-deletion corpus — every 9th
+    // row deleted through the hash-routed tombstone path, so the same
+    // survivors-only brute-force shape gates it (its own live set)
+    "q122_sharded_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id % 9 <> 4),
         |r AS (
         |  SELECT query_id, vec_id, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
