@@ -78,6 +78,9 @@ object Bench {
     // sharded retrieval builds its own 4-shard set (build + routed
     // upsert + routed delete in the cold run)
     "q122_sharded_topk" -> "sharded_index",
+    // q123 shares q122's shard set (q122 sorts first and prices the
+    // build); q123's cold run prices the per-shard label-meta artifacts
+    "q123_sharded_filtered" -> "sharded_label_meta",
     "q107_ivfpq_topk" -> "ivfpq_index",
     "q111_ivfpq_split" -> "ivfpq_split",
     "q112_residual_topk" -> "ivfpq_residual",

@@ -554,7 +554,11 @@ object Queries {
     * routing, deletion and the cross-shard re-rank are all
     * result-invisible together.
     */
-  def q122ShardedTopK(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared 4-shard set q122/q123 serve from: built over 80%, a
+    * fifth hash-route-upserted, every 9th row hash-route-deleted —
+    * one lifecycle, two serve faces priced against it.
+    */
+  private def shardedWork(spark: SparkSession, dir: String): String = {
     val e = Tables(spark, dir, "embeddings")
     val work = indexWorkDir("sharded", dir)
     buildOnce(work) {
@@ -566,8 +570,39 @@ object Queries {
       graft.query.ShardedIvf.delete(spark, work, "vec_id",
         e.filter(pmod(col("vec_id"), lit(9)) === 4).select("vec_id"))
     }
+    work
+  }
+
+  def q122ShardedTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = shardedWork(spark, dir)
     graft.query.ShardedIvf.queryTopK(spark, work, "vec_id", "embedding",
         queryBatch(e), "query_id", "qvec", k = 5, threshold = 0.0)
+      .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
+  /** Q123: FILTERED retrieval across the SAME post-deletion shard set
+    * as q122 ([[graft.query.ShardedIvf.queryTopKFiltered]]) — the
+    * attribute-constrained serve shape composed with horizontal
+    * sharding AND the deletion lifecycle in one row: per-shard
+    * label-radius-bounded exact retrieval (each shard's persisted
+    * label-meta artifact, built per shard over its routed slice),
+    * masked by each shard's pending tombstones, unioned and globally
+    * re-ranked. Exact by containment per label; oracle = the
+    * label-equijoined brute-force ranking over the SURVIVING corpus.
+    */
+  def q123ShardedFiltered(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "embeddings")
+    val work = shardedWork(spark, dir)
+    buildOnce(s"$work/__label_meta")(graft.query.ShardedIvf.buildLabelMeta(
+      spark, work, "vec_id", "embedding", e.select("vec_id", "label"), "label"))
+    graft.query.ShardedIvf.queryTopKFiltered(spark, work, "vec_id", "embedding",
+        e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+            col("label")),
+        "query_id", "qvec", e.select("vec_id", "label"), "label",
+        k = 5, threshold = 0.0)
       .select(col("query_id"), col("vec_id"), round(col("sim"), 6).as("sim"), col("rn"))
       .orderBy("query_id", "rn")
   }
@@ -1141,6 +1176,7 @@ object Queries {
     "q120_lex_delete" -> (q120LexDelete _),
     "q121_index_fsck" -> (q121IndexFsck _),
     "q122_sharded_topk" -> (q122ShardedTopK _),
+    "q123_sharded_filtered" -> (q123ShardedFiltered _),
     "q103_retrieval_eval" -> (q103RetrievalEval _),
     "q104_drift_monitor" -> (q104DriftMonitor _))
 
@@ -1429,6 +1465,23 @@ object Queries {
         |  SELECT q.query_id, e.vec_id,
         |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
         |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id % 9 <> 4),
+        |r AS (
+        |  SELECT query_id, vec_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn
+        |  FROM s WHERE sim > 0.0)
+        |SELECT query_id, vec_id, round(sim, 6) AS sim, rn
+        |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+    // q123: label-filtered retrieval across the same post-deletion shard
+    // set — the q108 equijoin truth restricted to the survivors
+    "q123_sharded_filtered" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q.query_id, e.vec_id,
+        |    list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS sim
+        |  FROM embeddings e JOIN q ON e.label = q.ql
         |  WHERE e.vec_id % 9 <> 4),
         |r AS (
         |  SELECT query_id, vec_id, sim,

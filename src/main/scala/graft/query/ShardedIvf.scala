@@ -198,6 +198,82 @@ object ShardedIvf {
       .transform(SimilaritySearch.topKExplode(_, queryIdCol, idCol, "sim", k))
   }
 
+  /** Persist the per-(cell, label) radius artifact on every shard —
+    * the build-once half of sharded FILTERED serving
+    * ([[IvfIndex.buildLabelMeta]] per shard; each shard's artifact
+    * folds through that shard's routed upserts and self-stales on its
+    * compactions, exactly the single-index lifecycle).
+    */
+  def buildLabelMeta(
+      spark: SparkSession,
+      root: String,
+      idCol: String,
+      embCol: String,
+      labels: DataFrame,
+      labelCol: String): Unit =
+    (0 until nShards(spark, root)).foreach { i =>
+      IvfIndex.buildLabelMeta(spark, shardPath(root, i), idCol, embCol,
+        labels, labelCol)
+    }
+
+  /** FILTERED batch top-k across the shard set — the [[queryTopK]]
+    * composition applied to [[IvfIndex.queryTopKFiltered]] /
+    * [[IvfPq.queryTopKFiltered]] (routed by each shard's own layout):
+    * exact by the same containment, per label — a query's global
+    * filtered winner is a label-mate in exactly one shard and ranks
+    * ≤ k among that shard's mates, so the union of per-shard filtered
+    * top-ks contains the answer and one answer-sized global re-rank
+    * finishes. The full corpus labels frame is passed to every shard
+    * (each shard's joins restrict it to the shard's own rows); the
+    * high-cardinality fallback branches PER SHARD, which is the right
+    * granularity — fanout is a per-index cost property.
+    */
+  def queryTopKFiltered(
+      spark: SparkSession,
+      root: String,
+      idCol: String,
+      embCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryVecCol: String,
+      labels: DataFrame,
+      labelCol: String,
+      k: Int,
+      threshold: Double,
+      probeWidth: Int = 1,
+      maxLabelFanout: Long = 1000000L,
+      pqParams: PqIndex.Params = PqIndex.Params()): DataFrame = {
+    val n = nShards(spark, root)
+    def shardHits(i: Int): DataFrame = {
+      val p = shardPath(root, i)
+      val codes = new org.apache.hadoop.fs.Path(s"$p/cell_codes")
+      val composed = codes.getFileSystem(spark.sessionState.newHadoopConf())
+        .exists(codes)
+      val hits =
+        if (composed)
+          IvfPq.queryTopKFiltered(spark, p, idCol, embCol, queries,
+            queryIdCol, queryVecCol, labels, labelCol, k, threshold,
+            probeWidth, maxLabelFanout,
+            params = IvfPq.Params(pq = pqParams))
+        else
+          IvfIndex.queryTopKFiltered(spark, p, idCol, embCol, queries,
+            queryIdCol, queryVecCol, labels, labelCol, k, threshold,
+            probeWidth, maxLabelFanout)
+      hits.select(col(queryIdCol), col(idCol), col("sim"))
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(n, 8))
+    val perShard =
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        Await.result(
+          Future.sequence((0 until n).map(i => Future(shardHits(i)))),
+          scala.concurrent.duration.Duration.Inf)
+      } finally { pool.shutdown() }
+    perShard.reduce(_ unionByName _)
+      .transform(SimilaritySearch.topKExplode(_, queryIdCol, idCol, "sim", k))
+  }
+
   /** Per-shard maintenance diagnostics: [[IvfIndex.stats]] rows with a
     * `shard` column — the input to the rolling split/compact/re-cluster
     * decisions.

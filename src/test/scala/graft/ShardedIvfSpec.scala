@@ -84,6 +84,32 @@ class ShardedIvfSpec extends AnyFunSuite with SharedSpark {
     assert(st.agg(sum("occupancy")).head.getLong(0) == live.count())
   }
 
+  test("filtered search across shards equals the label-equijoined exact " +
+      "scan — with and without per-shard persisted label metadata") {
+    val e = Tables(spark, Sf0001, "embeddings")
+    val root = tmp("filtered")
+    ShardedIvf.build(e.select("vec_id", "embedding"), "vec_id", "embedding",
+      root, n = 3, IvfIndex.Params(nCentroids = 4))
+    val labels = e.select(col("vec_id"), col("label"))
+    val queries = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+        col("label"))
+    val exact = queries.as("q")
+      .join(e.select(col("vec_id"), col("embedding"), col("label")).as("c"),
+        col("q.label") === col("c.label"))
+      .select(col("query_id"), col("c.vec_id").as("vec_id"),
+        graft.functions.cosine_sim(col("qvec"), col("c.embedding")).as("sim"))
+      .filter(col("sim") > 0.0)
+      .transform(graft.query.SimilaritySearch.topKExplode(
+        _, "query_id", "vec_id", "sim", 4))
+    def got() = topkSet(ShardedIvf.queryTopKFiltered(spark, root, "vec_id",
+      "embedding", queries, "query_id", "qvec", labels, "label",
+      k = 4, threshold = 0.0))
+    assert(got() == topkSet(exact), "per-call-derived sharded filtered diverged")
+    ShardedIvf.buildLabelMeta(spark, root, "vec_id", "embedding", labels, "label")
+    assert(got() == topkSet(exact), "artifact-served sharded filtered diverged")
+  }
+
   test("a mixed plain/composed shard set serves exactly (one-shard-at-a-" +
       "time migration)") {
     val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
