@@ -102,18 +102,26 @@ object ShardedIvf {
 
   /** Append new vectors, each into its hash-home shard (the
     * single-index append contract per shard — including the
-    * tombstone-overlap guard).
+    * tombstone-overlap guard). `pqParams` must match the geometry the
+    * composed shards were built with ([[build]]/[[queryTopK]]'s
+    * parameter, same default): [[PqIndex.encode]] slices subvectors by
+    * dim/numSub, so encoding an upsert batch with a mismatched
+    * geometry would write code rows whose ADC bounds price against the
+    * wrong codebooks — silently corrupting exactness for those rows.
+    * Plain shards ignore it.
     */
   def upsert(
       spark: SparkSession,
       root: String,
       idCol: String,
       embCol: String,
-      newRows: DataFrame): Unit =
+      newRows: DataFrame,
+      pqParams: PqIndex.Params = PqIndex.Params()): Unit =
     routed(spark, root, idCol, newRows) { (p, slice) =>
       val codes = new org.apache.hadoop.fs.Path(s"$p/cell_codes")
       if (codes.getFileSystem(spark.sessionState.newHadoopConf()).exists(codes))
-        IvfPq.upsert(spark, p, idCol, embCol, slice)
+        IvfPq.upsert(spark, p, idCol, embCol, slice,
+          IvfPq.Params(pq = pqParams))
       else IvfIndex.upsert(spark, p, idCol, embCol, slice)
     }
 
@@ -285,4 +293,68 @@ object ShardedIvf {
       .reduce(_ unionByName _)
       .select(col("shard"), col("centroid_id"), col("occupancy"),
         col("radius"), col("n_files"))
+
+  /** Integrity verification across the shard set — the fsck an
+    * operator runs after an incident ([[IndexCheck.checkIvf]], each
+    * shard audited through its own layout, plain or composed), with a
+    * `shard` column like [[stats]]: one (shard, check, ok, observed)
+    * row per invariant per shard, so "which shard is corrupt" is one
+    * filter, not N hand-looped calls.
+    */
+  def check(
+      spark: SparkSession,
+      root: String,
+      idCol: String,
+      embCol: String): DataFrame =
+    (0 until nShards(spark, root)).map(i =>
+        IndexCheck.checkIvf(spark, shardPath(root, i), idCol, embCol)
+          .withColumn("shard", lit(i)))
+      .reduce(_ unionByName _)
+      .select(col("shard"), col("check"), col("ok"), col("observed"))
+
+  /** Hot-cell occupancy repair across the shard set, one shard at a
+    * time ([[IvfIndex.splitToConvergence]] — composed shards move
+    * their code rows with their cells inside the same pass): each
+    * shard's pass is independently crash-safe under the split_pending
+    * marker, so this is rolling maintenance like [[compactTombstones]]
+    * — queries exact throughout, and a window can repair a subset of
+    * shards and stop.
+    */
+  def splitToConvergence(
+      spark: SparkSession,
+      root: String,
+      idCol: String,
+      embCol: String,
+      occupancyCap: Long): Unit =
+    (0 until nShards(spark, root)).foreach(i =>
+      IvfIndex.splitToConvergence(spark, shardPath(root, i), idCol, embCol,
+        occupancyCap))
+
+  /** Full centroid-placement repair of ONE shard — the rolling
+    * re-cluster that is the point of sharding the maintenance
+    * lifecycle: the fresh generation builds off the query path and
+    * swaps atomically ([[IvfIndex.recluster]] / [[IvfPq.recluster]] by
+    * the shard's own layout), while every other shard — and, by the
+    * marker-fenced swap, this one — keeps serving exactly. Re-cluster
+    * a drifted shard set one shard per maintenance window; no
+    * whole-set fence exists anywhere.
+    */
+  def reclusterShard(
+      spark: SparkSession,
+      root: String,
+      shard: Int,
+      idCol: String,
+      embCol: String,
+      params: IvfIndex.Params = IvfIndex.Params(),
+      pqParams: PqIndex.Params = PqIndex.Params()): Unit = {
+    val n = nShards(spark, root)
+    require(shard >= 0 && shard < n,
+      s"ShardedIvf.reclusterShard: shard $shard outside [0, $n)")
+    val p = shardPath(root, shard)
+    val codes = new org.apache.hadoop.fs.Path(s"$p/cell_codes")
+    if (codes.getFileSystem(spark.sessionState.newHadoopConf()).exists(codes))
+      IvfPq.recluster(spark, p, idCol, embCol,
+        IvfPq.Params(ivf = params, pq = pqParams))
+    else IvfIndex.recluster(spark, p, idCol, embCol, params)
+  }
 }

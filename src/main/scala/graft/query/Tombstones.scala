@@ -148,14 +148,28 @@ object Tombstones {
       idCol: String,
       batch: DataFrame,
       opName: String): Unit =
-    df(spark, indexPath).foreach { t =>
-      val n = batch.select(col(idCol))
-        .join(t.select(col(IdColumn).as(idCol)), Seq(idCol), "left_semi")
-        .limit(1).count()
-      require(n == 0L,
+    require(!overlaps(spark, indexPath, idCol, batch),
         s"$opName: the batch carries ids tombstoned by a pending delete — " +
           s"run the index's tombstone compaction first (re-inserting a " +
           s"deleted id before its old row is physically removed would " +
           s"serve both rows under one id)")
+
+  /** Does `batch` carry any pending-tombstoned id? One existence
+    * semi-join against the cadence-bounded table when it exists, one
+    * fs.exists when it does not — the decision input for both overlap
+    * disciplines: the loud [[requireNoOverlap]] guard on the batch
+    * append paths, and the CDC maintenance streams' compact-before-
+    * upsert convergence ([[graft.streaming.IndexMaintenance]]), where
+    * throwing would wedge replay forever.
+    */
+  def overlaps(
+      spark: SparkSession,
+      indexPath: String,
+      idCol: String,
+      batch: DataFrame): Boolean =
+    df(spark, indexPath).exists { t =>
+      batch.select(col(idCol))
+        .join(t.select(col(IdColumn).as(idCol)), Seq(idCol), "left_semi")
+        .limit(1).count() > 0L
     }
 }

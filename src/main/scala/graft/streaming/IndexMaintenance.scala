@@ -77,28 +77,50 @@ object IndexMaintenance {
       reclusterEvery: Option[Long] = None,
       opCol: Option[String] = None,
       compactDeletesEvery: Option[Long] = None): Boolean = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val spark = batch.sparkSession
     if (batchId <= lastApplied(spark, indexPath) || batch.isEmpty) false
     else {
       // CDC-shaped feed: with `opCol` set, rows tagged "delete" mask
       // their ids out of the index ([[graft.query.IvfIndex.delete]] —
       // O(batch), exact from this batch on) and every other row
-      // upserts. Deletes apply FIRST; an id must not carry both ops in
-      // one batch (the append paths' caller-owns-identity contract —
-      // the upsert's tombstone-overlap guard enforces it loudly).
-      // Replay semantics are BETTER than the upsert's benign-
-      // duplication window: a replayed tombstone append is a duplicate
-      // mask row, deduplicated by every reader and by compaction.
+      // upserts — including rows whose op is NULL (the common CDC
+      // encoding for plain inserts; a bare =!= comparison would
+      // evaluate NULL and silently drop them from both branches).
+      // Deletes apply FIRST. Replay semantics are BETTER than the
+      // upsert's benign-duplication window: a replayed tombstone
+      // append is a duplicate mask row, deduplicated by every reader
+      // and by compaction.
       val (deletes, upserts) = opCol match {
         case Some(oc) =>
           (batch.filter(col(oc) === "delete").select(col(idCol)),
-            batch.filter(col(oc) =!= "delete").drop(oc))
+            batch.filter(coalesce(col(oc), lit("")) =!= "delete").drop(oc))
         case None => (batch.limit(0).select(col(idCol)), batch)
       }
       if (!deletes.isEmpty) IvfIndex.delete(spark, indexPath, idCol, deletes)
-      if (!upserts.isEmpty)
+      if (!upserts.isEmpty) {
+        // a CDC stream must CONVERGE on replay: an id deleted in an
+        // earlier batch (or earlier in THIS batch) and re-inserted now
+        // would trip the upsert's tombstone-overlap guard — and a
+        // foreachBatch retry would trip it identically forever,
+        // wedging the stream on an error only an out-of-band
+        // compaction could clear. The caller-owned two-step (compact,
+        // then re-insert) folds in here instead: when the batch
+        // overlaps pending tombstones, the physical fold-in runs
+        // FIRST, so the upsert lands on an index whose old rows are
+        // gone — replace semantics, idempotent under replay (a
+        // replayed compaction is a clean rerun by the
+        // tombstones-are-the-marker discipline). Costs one semi-join
+        // against the cadence-bounded tombstone table only when one
+        // exists, and only in CDC mode (the plain path keeps the loud
+        // guard: there deletes happen out of band, and silently
+        // compacting them here would hide an O(affected-cells) rewrite
+        // inside an append).
+        if (opCol.isDefined &&
+            graft.query.Tombstones.overlaps(spark, indexPath, idCol, upserts))
+          IvfIndex.compactTombstones(spark, indexPath, idCol, embCol)
         IvfIndex.upsert(spark, indexPath, idCol, embCol, upserts)
+      }
       // optional in-line occupancy repair before the fence is written:
       // result-invisible (the radius-coverage contract). Replay
       // semantics differ from the upsert's benign-duplication window:
@@ -206,22 +228,28 @@ object IndexMaintenance {
       reclusterEvery: Option[Long] = None,
       opCol: Option[String] = None,
       compactDeletesEvery: Option[Long] = None): Boolean = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
     val spark = batch.sparkSession
     if (batchId <= lastApplied(spark, indexPath) || batch.isEmpty) false
     else {
-      // CDC-shaped feed — the [[applyBatch]] opCol contract verbatim;
-      // one shared tombstone table masks code AND payload rows
+      // CDC-shaped feed — the [[applyBatch]] opCol contract verbatim
+      // (NULL-op rows upsert; a delete→re-insert overlap compacts
+      // first so replay converges); one shared tombstone table masks
+      // code AND payload rows
       val (deletes, upserts) = opCol match {
         case Some(oc) =>
           (batch.filter(col(oc) === "delete").select(col(idCol)),
-            batch.filter(col(oc) =!= "delete").drop(oc))
+            batch.filter(coalesce(col(oc), lit("")) =!= "delete").drop(oc))
         case None => (batch.limit(0).select(col(idCol)), batch)
       }
       if (!deletes.isEmpty)
         graft.query.IvfPq.delete(spark, indexPath, idCol, deletes)
-      if (!upserts.isEmpty)
+      if (!upserts.isEmpty) {
+        if (opCol.isDefined &&
+            graft.query.Tombstones.overlaps(spark, indexPath, idCol, upserts))
+          graft.query.IvfPq.compactTombstones(spark, indexPath, idCol, embCol)
         graft.query.IvfPq.upsert(spark, indexPath, idCol, embCol, upserts, params)
+      }
       // optional in-line occupancy repair (the [[applyBatch]] splitCap
       // story, now available for the composed family too): the split
       // moves code rows with their cells under the split_pending

@@ -398,4 +398,100 @@ class IndexMaintenanceSpec extends AnyFunSuite with SharedSpark {
     assert(!graft.query.Tombstones.exists(spark, dir))
     assert(spark.read.parquet(s"$dir/cells").count() == live.count() + 1)
   }
+
+  test("CDC convergence: NULL-op rows upsert; delete then re-insert of an id " +
+      "compacts first instead of wedging replay") {
+    import spark.implicits._
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-conv").toString
+    IvfIndex.build(e, "vec_id", "embedding", dir, IvfIndex.Params(nCentroids = 8))
+
+    // batch 0: a tagged takedown of three indexed ids
+    val dels = e.filter(col("vec_id").isin(3L, 4L, 5L))
+      .select(lit("delete").as("op"), col("vec_id"), col("embedding"))
+    assert(IndexMaintenance.applyBatch(dir, "vec_id", "embedding", dels, 0L,
+      opCol = Some("op")))
+    assert(graft.query.Tombstones.exists(spark, dir))
+
+    // batch 1: re-insert id 4 (tombstoned — the wedge scenario: the
+    // overlap guard would throw here, and a foreachBatch retry would
+    // throw identically forever) alongside a NULL-op row, the common
+    // CDC encoding for a plain insert (a bare =!= would drop it from
+    // both branches). Must apply cleanly: the overlap triggers the
+    // physical fold-in FIRST, then both rows upsert.
+    val vec4 = e.filter(col("vec_id") === 4L)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val batch1 = Seq(
+      (Option("upsert"), 4L, vec4),
+      (Option.empty[String], 100000L, Array.fill(64)(0.25f)))
+      .toDF("op", "vec_id", "embedding")
+    assert(IndexMaintenance.applyBatch(dir, "vec_id", "embedding", batch1, 1L,
+      opCol = Some("op")))
+
+    // the overlap compact retired ALL pending tombstones physically
+    assert(!graft.query.Tombstones.exists(spark, dir))
+    // cells hold exactly: corpus minus {3,5}, id 4 ONCE (replaced, not
+    // duplicated), plus the NULL-op row
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.count() == e.count() - 2 + 1)
+    assert(cells.groupBy("vec_id").count().filter(col("count") > 1).isEmpty)
+    assert(cells.filter(col("vec_id") === 100000L).count() == 1L)
+
+    // serving equals brute force over the converged live set
+    val live = e.filter(!col("vec_id").isin(3L, 5L))
+      .unionByName(Seq((100000L, Array.fill(64)(0.25f))).toDF("vec_id", "embedding"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val got = topkSet(IvfIndex.queryTopK(spark, dir, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 5, threshold = 0.0))
+    val exact = topkSet(SimilaritySearch.topKBatch(
+      live, "embedding", "vec_id", queries, "query_id", "qvec",
+      k = 5, threshold = 0.0))
+    assert(got == exact, "converged CDC index diverged from live brute force")
+
+    // a replay of the applied batch id stays a fenced no-op
+    assert(!IndexMaintenance.applyBatch(dir, "vec_id", "embedding", batch1, 1L,
+      opCol = Some("op")))
+    assert(spark.read.parquet(s"$dir/cells").count() == live.count())
+  }
+
+  test("CDC convergence on the composed IVF+PQ layout: NULL-op upserts land, " +
+      "overlapping re-inserts compact first") {
+    import spark.implicits._
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc-conv-pq").toString
+    val params = graft.query.IvfPq.Params(ivf = IvfIndex.Params(nCentroids = 8))
+    graft.query.IvfPq.build(e, "vec_id", "embedding", dir, params)
+
+    val dels = e.filter(col("vec_id").isin(6L, 7L))
+      .select(lit("delete").as("op"), col("vec_id"), col("embedding"))
+    assert(IndexMaintenance.applyIvfPqBatch(dir, "vec_id", "embedding", dels,
+      0L, params, opCol = Some("op")))
+    val vec7 = e.filter(col("vec_id") === 7L)
+      .select("embedding").head.getSeq[Float](0).toArray
+    val batch1 = Seq(
+      (Option("upsert"), 7L, vec7),
+      (Option.empty[String], 100001L, Array.fill(64)(0.5f)))
+      .toDF("op", "vec_id", "embedding")
+    assert(IndexMaintenance.applyIvfPqBatch(dir, "vec_id", "embedding", batch1,
+      1L, params, opCol = Some("op")))
+
+    assert(!graft.query.Tombstones.exists(spark, dir))
+    // codes stay aligned with cells through the compact+re-insert
+    val codes = spark.read.parquet(s"$dir/cell_codes")
+    assert(codes.count() == e.count() - 1 + 1)
+    assert(codes.groupBy("vec_id").count().filter(col("count") > 1).isEmpty)
+
+    val live = e.filter(col("vec_id") =!= 6L)
+      .unionByName(Seq((100001L, Array.fill(64)(0.5f))).toDF("vec_id", "embedding"))
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val got = topkSet(graft.query.IvfPq.queryTopK(spark, dir, "vec_id",
+      "embedding", queries, "query_id", "qvec", k = 5, threshold = 0.0,
+      1, params))
+    val exact = topkSet(SimilaritySearch.topKBatch(
+      live, "embedding", "vec_id", queries, "query_id", "qvec",
+      k = 5, threshold = 0.0))
+    assert(got == exact, "converged composed CDC index diverged")
+  }
 }

@@ -138,4 +138,77 @@ class ShardedIvfSpec extends AnyFunSuite with SharedSpark {
       e, "embedding", "vec_id", queries, "query_id", "qvec", k = 5, threshold = 0.0))
     assert(got == exact, "mixed-layout shard set diverged from brute force")
   }
+
+  test("composed shard upserts encode with the BUILT PQ geometry " +
+      "(pqParams threads through the routed append)") {
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    val root = tmp("pqgeom")
+    // non-default geometry: 4 subvectors of 16 dims (default is 8×8) —
+    // an upsert encoded with the DEFAULT geometry against these
+    // codebooks would write code rows whose ADC bounds are priced
+    // against the wrong sub-slices
+    val pq = PqIndex.Params(numSub = 4)
+    ShardedIvf.build(e.filter(pmod(col("vec_id"), lit(10)) < 8),
+      "vec_id", "embedding", root, n = 2, IvfIndex.Params(nCentroids = 4),
+      composed = true, pqParams = pq)
+    ShardedIvf.upsert(spark, root, "vec_id", "embedding",
+      e.filter(pmod(col("vec_id"), lit(10)) >= 8), pqParams = pq)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val got = topkSet(ShardedIvf.queryTopK(spark, root, "vec_id", "embedding",
+      queries, "query_id", "qvec", k = 5, threshold = 0.0, pqParams = pq))
+    val exact = topkSet(SimilaritySearch.topKBatch(
+      e, "embedding", "vec_id", queries, "query_id", "qvec", k = 5, threshold = 0.0))
+    assert(got == exact,
+      "upserted rows diverged — PQ geometry not threaded into the routed append")
+  }
+
+  test("per-shard fsck and rolling one-shard re-cluster: exact mid-maintenance") {
+    val e = Tables(spark, Sf0001, "embeddings").select("vec_id", "embedding")
+    val root = tmp("maint")
+    ShardedIvf.build(e, "vec_id", "embedding", root, n = 3,
+      IvfIndex.Params(nCentroids = 4))
+
+    // healthy set: every invariant verdict ok, one row block per shard
+    val healthy = ShardedIvf.check(spark, root, "vec_id", "embedding")
+    assert(healthy.filter(!col("ok")).isEmpty)
+    assert(healthy.select("shard").distinct().count() == 3)
+
+    // a deletion incident: fsck surfaces the pending tombstones on
+    // exactly the routed home shards (contract state, ok stays true)
+    ShardedIvf.delete(spark, root, "vec_id",
+      e.filter(pmod(col("vec_id"), lit(7)) === 3).select("vec_id"))
+    val after = ShardedIvf.check(spark, root, "vec_id", "embedding")
+    assert(after.filter(!col("ok")).isEmpty)
+    val pendingShards = after
+      .filter(col("check") === "pending_tombstones" && col("observed") > 0)
+      .select("shard").collect().map(_.getInt(0)).toSet
+    val homeShards = (0 until 3).filter(i =>
+      Tombstones.exists(spark, ShardedIvf.shardPath(root, i))).toSet
+    assert(pendingShards == homeShards && pendingShards.nonEmpty)
+
+    val live = e.filter(pmod(col("vec_id"), lit(7)) =!= 3)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = topkSet(SimilaritySearch.topKBatch(
+      live, "embedding", "vec_id", queries, "query_id", "qvec",
+      k = 5, threshold = 0.0))
+    def got() = topkSet(ShardedIvf.queryTopK(spark, root, "vec_id",
+      "embedding", queries, "query_id", "qvec", k = 5, threshold = 0.0))
+
+    // rolling maintenance: re-cluster ONE shard; the set serves exactly
+    // with the other two untouched, and the rebuilt shard's fresh
+    // generation doubled as its physical compaction
+    ShardedIvf.reclusterShard(spark, root, 1, "vec_id", "embedding",
+      IvfIndex.Params(nCentroids = 5))
+    assert(got() == exact, "shard set diverged after a one-shard re-cluster")
+    assert(!Tombstones.exists(spark, ShardedIvf.shardPath(root, 1)))
+
+    // routed occupancy repair across all shards (real splits at this
+    // cap), still exact, and the post-maintenance fsck reads clean
+    ShardedIvf.splitToConvergence(spark, root, "vec_id", "embedding", 40L)
+    assert(got() == exact, "shard set diverged after routed splits")
+    assert(ShardedIvf.check(spark, root, "vec_id", "embedding")
+      .filter(!col("ok")).isEmpty)
+  }
 }
