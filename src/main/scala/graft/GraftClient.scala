@@ -352,8 +352,21 @@ final class GraftClient(
     *
     * Serving stays exact from this call on; fold the removals in
     * physically with [[compactDeletes]] at maintenance cadence.
+    *
+    * A CLIENT-LEVEL pending-deletes table (`annPath/tombstones`,
+    * [[graft.query.Tombstones]] layout) records the ids independently
+    * of the per-index tombstone tables: those are INDEX lifecycle
+    * state, retired by any index-level compaction or generation swap
+    * (an [[graft.streaming.IndexMaintenance]] re-cluster rebuilds from
+    * live rows and purges its spent table) — but the PAYLOAD purge is
+    * the client's own obligation, and keying it off a table another
+    * lifecycle may retire first would leave deleted rows' content
+    * physically retained (unreachable, but a takedown means REMOVED).
+    * [[compactDeletes]] consumes this table and clears it last.
     */
   def deleteRows(annPath: String, rowIds: DataFrame): Unit = {
+    graft.query.Tombstones.append(spark, annPath, "row_id",
+      rowIds.select(col("row_id")))
     graft.query.IvfIndex.delete(spark, s"$annPath/ivf", "row_id",
       rowIds.select(col("row_id")))
     val lex = new org.apache.hadoop.fs.Path(s"$annPath/lex")
@@ -388,7 +401,12 @@ final class GraftClient(
     */
   def compactDeletes(annPath: String): Unit = {
     val ivfPath = s"$annPath/ivf"
-    graft.query.Tombstones.df(spark, ivfPath).foreach { t =>
+    // the payload purge keys off the CLIENT-LEVEL pending table
+    // ([[deleteRows]]) — NOT the ivf tombstone table, which an index
+    // re-cluster between delete and compaction legitimately retires
+    // (its generation swap physically drops the rows from the INDEX,
+    // but the payload purge is owed regardless)
+    graft.query.Tombstones.df(spark, annPath).foreach { t =>
       val tombIds = t.select(
         col(graft.query.Tombstones.IdColumn).as("row_id"))
       val buckets = tombIds
@@ -417,14 +435,20 @@ final class GraftClient(
           ()
         }
       }
-      graft.query.IvfIndex.compactTombstones(
-        spark, ivfPath, "row_id", "embedding")
-      ()
     }
+    // index-level fold-ins run off their OWN tables (each a cheap no-op
+    // when an earlier maintenance pass — e.g. a re-cluster's generation
+    // swap — already retired it physically)
+    graft.query.IvfIndex.compactTombstones(
+      spark, ivfPath, "row_id", "embedding")
     val lex = new org.apache.hadoop.fs.Path(s"$annPath/lex")
     if (lex.getFileSystem(spark.sessionState.newHadoopConf()).exists(lex))
       graft.query.LexicalSearch.compactTombstones(spark, s"$annPath/lex",
         "row_id")
+    // the client pending table clears LAST — the crash-marker
+    // discipline: while any physical work remains, a rerun still sees
+    // every pending id
+    graft.query.Tombstones.clear(spark, annPath)
   }
 
   /** Build the LEXICAL channel of the hybrid serve face over a written

@@ -335,12 +335,53 @@ class GraftClientSpec extends AnyFunSuite with SharedSpark {
     client.compactDeletes(s"$dir/ann")
     assert(!graft.query.Tombstones.exists(spark, s"$dir/ann/ivf"))
     assert(!graft.query.Tombstones.exists(spark, s"$dir/ann/lex"))
+    // the client-level pending table cleared LAST
+    assert(!graft.query.Tombstones.exists(spark, s"$dir/ann"))
     assert(spark.read.parquet(s"$dir/ann/payload")
       .filter(col("content").contains("Broadcast small tables")).isEmpty)
     assert(spark.read.parquet(s"$dir/ann/ivf/cells")
       .count() == withId.count())
     assert(vecAnswers() == vecMasked)
     assert(hybAnswers() == hybMasked)
+  }
+
+  test("takedown payload purge survives an index re-cluster retiring the " +
+      "ivf tombstone table between delete and compaction") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-client-del-rc").toString
+    val client = new GraftClient(spark,
+      GraftClient.Config(chunkSize = 200, chunkOverlap = 40, embedDim = 64))
+    client.ingest(mdxDocs.toDF("doc_id", "mdx"), "doc_id", "mdx", s"$dir/index")
+    client.buildQueryIndex(s"$dir/index", s"$dir/ann")
+
+    val victim = col("content").contains("Broadcast small tables")
+    client.deleteWhere(s"$dir/ann", victim)
+    assert(graft.query.Tombstones.exists(spark, s"$dir/ann/ivf"))
+
+    // a maintenance re-cluster lands BETWEEN the delete and the client
+    // compaction (e.g. IndexMaintenance reclusterEvery): its generation
+    // swap physically drops the deleted rows from the INDEX and retires
+    // the spent ivf tombstone table — the exact window that used to
+    // orphan the payload purge
+    graft.query.IvfIndex.recluster(spark, s"$dir/ann/ivf", "row_id", "embedding")
+    assert(!graft.query.Tombstones.exists(spark, s"$dir/ann/ivf"))
+    // content still physically present (unreachable) — purge still owed
+    assert(spark.read.parquet(s"$dir/ann/payload").filter(victim).count() > 0)
+
+    client.compactDeletes(s"$dir/ann")
+    assert(spark.read.parquet(s"$dir/ann/payload").filter(victim).isEmpty,
+      "payload purge lost after the index re-cluster retired the ivf tombstones")
+    assert(!graft.query.Tombstones.exists(spark, s"$dir/ann"))
+
+    // serving stays exact end to end
+    val q = Seq((0L,
+        client.embedText("Broadcast small tables and let AQE handle skew."),
+        "broadcast"))
+      .toDF("query_id", "qvec", "qtext")
+    val served = client.queryIndexedBatch(s"$dir/ann", q, "query_id", "qvec",
+        threshold = -1.0, count = 5)
+      .select("content").collect().map(_.getString(0))
+    assert(served.nonEmpty && !served.exists(_.contains("Broadcast small tables")))
   }
 
   test("answer fills a caller-supplied template") {
