@@ -63,13 +63,33 @@ object TrainingFeed {
     * splits cannot provide. Result-invisible; a crash mid-swap is
     * completed by the next reader ([[IvfIndex.recluster]]).
     */
+  /** `opCol` + `compactDeletesEvery`: the DELETION cadence — the last
+    * lifecycle knob the composed feed lacked ([[IndexMaintenance
+    * .applyBatch]]'s pair; the reference's store deletes with plain
+    * SQL, reference src/clients/vector-client.ts:396-415). With
+    * `opCol` set, feed rows tagged "delete" are TAKEDOWNS of
+    * previously-admitted doc ids: inside the index fence, their ids
+    * mask out of the serving index before the batch's fold (O(batch),
+    * exact from this batch on — the q118 contract under continuous
+    * ingest), and `compactDeletesEvery` folds accumulated tombstones
+    * in physically every Nth applied batch. Rows whose op is NULL or
+    * anything else flow through admission unchanged. Deletion is a
+    * SERVING-index operation only, deliberately: the seen-sha table
+    * and the near-dup probe index keep the taken-down content's
+    * fingerprints, so the same text — or a near-duplicate of it —
+    * can never be re-admitted later (a takedown that re-admits copies
+    * is not a takedown), and the quota ledger keeps its consumed
+    * tokens (budgets record what was SPENT).
+    */
   case class Config(
       quotas: Map[String, Long],
       threshold: Double = 0.5,
       embedDim: Int = 16,
       nCentroids: Int = 8,
       splitCap: Option[Long] = None,
-      reclusterEvery: Option[Long] = None)
+      reclusterEvery: Option[Long] = None,
+      opCol: Option[String] = None,
+      compactDeletesEvery: Option[Long] = None)
 
   private def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
@@ -96,7 +116,19 @@ object TrainingFeed {
     import spark.implicits._
     if (batchId <= IndexMaintenance.lastApplied(spark, workDir) || batch.isEmpty)
       return
-    val docs = batch
+    // CDC split ([[IndexMaintenance.applyBatch]]'s opCol contract):
+    // tagged deletes become stage-4 takedown ids; everything else —
+    // including NULL-op rows, the common CDC insert encoding — is a
+    // document for admission
+    val (delIds, arriving) = cfg.opCol match {
+      case Some(oc) =>
+        (batch.filter(col(oc) === "delete")
+           .select(col("doc_id").cast("long").as("doc_id")).localCheckpoint(),
+         batch.filter(coalesce(col(oc), lit("")) =!= "delete"))
+      case None =>
+        (batch.limit(0).select(col("doc_id").cast("long").as("doc_id")), batch)
+    }
+    val docs = arriving
       .select(col("doc_id").cast("long").as("doc_id"), col("text"), col("source"))
       .localCheckpoint()
 
@@ -174,6 +206,17 @@ object TrainingFeed {
     // same rows twice
     val indexPath = s"$workDir/index"
     if (batchId > IndexMaintenance.lastApplied(spark, indexPath)) {
+      // takedowns FIRST, on the index as the feed left it last batch
+      // (a delete targets earlier batches' admissions — feed ids
+      // increase, so it can never name a row this batch will fold).
+      // Replay-safe without extra machinery: a replayed tombstone
+      // append is a duplicate mask row, deduplicated by every reader
+      // and by compaction. No index yet means nothing was admitted —
+      // the delete targets nothing and is skipped rather than leaving
+      // a tombstone table for a directory the first build owns.
+      if (!exists(spark, s"$indexPath/cells_meta")) ()
+      else if (!delIds.isEmpty)
+        IvfIndex.delete(spark, indexPath, "doc_id", delIds)
       val vecs = gated.filter(col("admitted"))
         .join(docs.select("doc_id", "text"), "doc_id")
         .select(col("doc_id"),
@@ -200,6 +243,18 @@ object TrainingFeed {
             IvfIndex.recluster(spark, indexPath, "doc_id", "embedding",
               IvfIndex.Params(nCentroids = cfg.nCentroids))
         }
+      }
+      // physical deletion fold-in at a batch cadence (the
+      // [[IndexMaintenance.applyBatch]] compactDeletesEvery story):
+      // cell-pruned rewrite, radii re-tightened, spent tombstones
+      // retired — the tombstones-are-the-marker discipline makes a
+      // crashed pass a clean rerun inside the same fence. Runs even on
+      // admission-empty batches: a takedown-only feed window still
+      // owes its compaction cadence.
+      cfg.compactDeletesEvery.foreach { cn =>
+        if (cn > 0 && batchId % cn == 0 &&
+            exists(spark, s"$indexPath/cells_meta"))
+          IvfIndex.compactTombstones(spark, indexPath, "doc_id", "embedding")
       }
       IndexMaintenance.writeFence(spark, indexPath, batchId)
     }

@@ -188,6 +188,95 @@ class TrainingFeedSpec extends AnyFunSuite with SharedSpark {
       .collect().map(_.toSeq).toSet == wantDrift)
   }
 
+  test("CDC takedowns mid-feed: tagged deletes mask admitted docs out of " +
+      "the maintained index inside the fence, the cadence compacts, " +
+      "replays no-op") {
+    import spark.implicits._
+    val work = tempDir("cdc")
+    val docs = feed.take(80)
+    val byId = docs.map(d => d._1 -> d._2).toMap
+    val quotas = docs.map(_._3).distinct.map(_ -> Long.MaxValue / 4).toMap
+    val cfg = TrainingFeed.Config(quotas = quotas,
+      opCol = Some("op"), compactDeletesEvery = Some(2L))
+    def asDf(rows: Seq[(Option[String], Long, String, String)]) =
+      rows.toDF("op", "doc_id", "text", "source")
+    def cellIds() = spark.read.parquet(s"$work/index/cells")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // batch 0: every op NULL — the plain-insert CDC encoding must flow
+    // through admission, not silently drop
+    TrainingFeed.step(asDf(docs.take(40)
+      .map(d => (Option.empty[String], d._1, d._2, d._3))), 0L, work, cfg)
+    val indexed0 = cellIds()
+    assert(indexed0.size > 10, "NULL-op rows were dropped from admission")
+    val victims = indexed0.toSeq.sorted.take(3)
+
+    // batch 1: new docs + takedowns of three admitted ids. Cadence not
+    // due (1 % 2 != 0): the victims are MASKED, not yet folded
+    TrainingFeed.step(asDf(
+      docs.slice(40, 60).map(d => (Option("upsert"), d._1, d._2, d._3)) ++
+        victims.map(v => (Option("delete"), v, "", ""))), 1L, work, cfg)
+    assert(graft.query.Tombstones.exists(spark, s"$work/index"))
+    // served retrieval excludes a victim immediately — probe with the
+    // victim's own vector (its nearest neighbor by construction)
+    val victimQueries = victims.map(v => (v, byId(v)))
+      .toDF("query_id", "text")
+      .select(col("query_id"),
+        graft.functions.hash_embed(col("text"), lit(cfg.embedDim)).as("qvec"))
+    val hitIds = graft.query.IvfIndex.queryTopK(spark, s"$work/index",
+        "doc_id", "embedding", victimQueries, "query_id", "qvec",
+        k = 3, threshold = -2.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(hitIds.nonEmpty && victims.forall(!hitIds.contains(_)),
+      "a taken-down doc still serves from the feed's index")
+
+    // batch 2: cadence due — the fold-in retires the tombstones and
+    // physically removes the victims
+    TrainingFeed.step(asDf(
+      docs.slice(60, 80).map(d => (Option("upsert"), d._1, d._2, d._3))),
+      2L, work, cfg)
+    assert(!graft.query.Tombstones.exists(spark, s"$work/index"))
+    val live = cellIds()
+    assert(victims.forall(!live.contains(_)))
+
+    // equality pin: the maintained index answers like a fresh batch
+    // build over exactly the surviving admitted vectors
+    val vecs = docs.filter(d => live(d._1)).toDF("doc_id", "text", "source")
+      .select(col("doc_id"),
+        graft.functions.hash_embed(col("text"), lit(cfg.embedDim)).as("embedding"))
+    val queries = vecs.limit(5)
+      .select(col("doc_id").as("query_id"), col("embedding").as("qvec"))
+    val fresh = tempDir("cdc-freshidx")
+    graft.query.IvfIndex.build(vecs, "doc_id", "embedding", fresh,
+      graft.query.IvfIndex.Params(nCentroids = cfg.nCentroids))
+    def topk(path: String) = graft.query.IvfIndex
+      .queryTopK(spark, path, "doc_id", "embedding", queries, "query_id",
+        "qvec", k = 5, threshold = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(topk(s"$work/index") == topk(fresh))
+
+    // the ledger never saw the delete rows: every gated doc id is
+    // unique (the victims' admission rows from batch 0 stand alone —
+    // budgets record what was spent)
+    val gated = spark.read.parquet(s"$work/gated")
+    assert(gated.select("doc_id").distinct().count() == gated.count())
+
+    // fenced replay of the last batch id: complete no-op
+    val before = live
+    TrainingFeed.step(asDf(
+      docs.slice(60, 80).map(d => (Option("upsert"), d._1, d._2, d._3))),
+      2L, work, cfg)
+    assert(cellIds() == before)
+    // crash replay INSIDE the fence window (chain fence lost after all
+    // state writes): the index's own fence keeps the fold a no-op
+    fs(work).delete(new org.apache.hadoop.fs.Path(s"$work/applied_batch"), true)
+    TrainingFeed.step(asDf(
+      docs.slice(60, 80).map(d => (Option("upsert"), d._1, d._2, d._3))),
+      2L, work, cfg)
+    assert(cellIds() == before)
+    assert(!graft.query.Tombstones.exists(spark, s"$work/index"))
+  }
+
   test("health probe: per-batch retrieval metrics off the maintained index, replay-identical") {
     import spark.implicits._
     val work = tempDir("health")
