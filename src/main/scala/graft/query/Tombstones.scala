@@ -75,22 +75,38 @@ object Tombstones {
     if (!exists(spark, indexPath)) None
     else Some(spark.read.parquet(path(indexPath)).select(col(IdColumn)))
 
+  /** Rows per appended tombstone file: one narrow long/string column,
+    * so ~4M rows ≈ a few tens of MB — comfortably one task's work. The
+    * divisor that makes [[append]] size-aware instead of single-task.
+    */
+  private val RowsPerAppendFile = 4000000L
+
   /** Record `ids` (any frame carrying `idCol`) as deleted. Append-only
     * and duplicate-tolerant: ids are distinct'd within the batch, and a
     * re-delete across batches is harmless (the anti-join and the
     * compaction both dedup by construction). Ids absent from the index
     * are harmless too — they mask nothing and compaction drops them.
+    *
+    * File shape: ⌈batch / [[RowsPerAppendFile]]⌉ files per append — one
+    * file for every cadence-sized delete batch (table file count stays
+    * at the deletion cadence), but a giant batch (a whole-tenant
+    * right-to-be-forgotten order) spreads over proportional tasks
+    * instead of funneling through one. Costs one count of the
+    * checkpointed distinct batch — noise against the write it sizes.
     */
   def append(
       spark: SparkSession,
       indexPath: String,
       idCol: String,
-      ids: DataFrame): Unit =
-    ids.select(col(idCol).as(IdColumn)).distinct()
-      // one narrow column, batch-sized: a single file per delete batch
-      // keeps the table's file count at the deletion cadence
-      .repartition(1)
-      .write.mode("append").parquet(path(indexPath))
+      ids: DataFrame): Unit = {
+    val batch = ids.select(col(idCol).as(IdColumn)).distinct().localCheckpoint()
+    try {
+      val n = batch.count()
+      val files = math.max(1L, (n + RowsPerAppendFile - 1) / RowsPerAppendFile)
+      batch.repartition(files.toInt)
+        .write.mode("append").parquet(path(indexPath))
+    } finally { batch.unpersist(); () }
+  }
 
   /** Mask deleted rows out of a candidate frame: anti-join on `idCol`
     * when the table exists, the frame untouched (and no job run) when

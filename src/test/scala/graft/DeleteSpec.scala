@@ -392,4 +392,30 @@ class DeleteSpec extends AnyFunSuite with SharedSpark {
     assert(lexSet(full) == lexSet(LexicalSearch.queryIndex(spark, fullDir,
       "doc_id", lexQueries, "query_id", "term", k = 5)))
   }
+  test("a giant delete batch spreads across proportional files; " +
+      "dedup and masking semantics unchanged") {
+    val dir = tmp("giant")
+    // a whole-tenant right-to-be-forgotten order: 9M ids (> 2 file
+    // quanta) sent WITH duplicates — the append must distinct them and
+    // write ceil(9M/4M) = 3 files instead of funneling one task
+    val ids = spark.range(9000000L).select(col("id").as("vec_id"))
+    Tombstones.append(spark, dir, "vec_id",
+      ids.unionAll(ids.limit(1000)))
+    val files = new java.io.File(s"$dir/tombstones").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 3, s"expected 3 spread files, got $files")
+    assert(Tombstones.pendingCount(spark, dir) == 9000000L)
+    // masking over the file-spread table is the same anti-join
+    val probe = spark.range(8999995L, 9000005L).select(col("id").as("vec_id"))
+    val live = Tombstones.liveOnly(probe, spark, dir, "vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(live == (9000000L until 9000005L).toSet)
+    // a cadence-sized batch still lands as ONE file (table file count
+    // stays at the deletion cadence)
+    val dir2 = tmp("small")
+    Tombstones.append(spark, dir2, "vec_id",
+      spark.range(100L).select(col("id").as("vec_id")))
+    assert(new java.io.File(s"$dir2/tombstones").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+  }
 }
