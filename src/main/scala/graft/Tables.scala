@@ -92,11 +92,30 @@ object Tables {
     dir
   }
 
-  /** Session config every graft entry point should apply. */
+  /** Session config every graft entry point should apply.
+    *
+    * The two r21 performance settings are scale-adaptive, not tuned to a
+    * core count (opt guide §2.2/§3.1/§9):
+    *
+    *  - `coalescePartitions.minPartitionSize=64k` (default 1m): AQE's
+    *    coalescing floor. With the default, any exchange under ~32 MB
+    *    collapses below the session's parallelism — for byte-small but
+    *    CPU-dense frames (vector kernels, window fills, gram verifies)
+    *    that serializes whole stages onto 1-2 cores (measured: q84's
+    *    window stage ran 1 task for 1.0 s; q82's pass-2 ranking 2 tasks
+    *    for 1.5 s). 64k keeps `parallelismFirst` honest at small bytes
+    *    and is invisible at scale, where partition sizes are decided by
+    *    total/parallelism, far above either floor.
+    *    over sort-merge when its size conditions hold (guide §9's
+    *    recommended baseline) — skips both sort passes on joins whose
+    *    build side provably fits; falls back to SMJ otherwise, at any
+    *    scale, by the planner's own guard.
+    */
   def configure(builder: SparkSession.Builder): SparkSession.Builder =
     builder
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ", "false")
       .config("spark.sql.warehouse.dir", warehouseDir)

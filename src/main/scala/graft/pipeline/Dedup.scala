@@ -492,33 +492,48 @@ object Dedup {
     * the full corpus — exact duplicates have IDENTICAL gram sets, so
     * every near-dup edge through a dropped copy exists through its
     * representative too, and each text group's representative is the
-    * group minimum, so cluster minima agree.
+    * group minimum, so cluster minima agree. The same identity makes a
+    * pair of reps verify at jaccard ≥ τ among the reps iff it does in
+    * the full corpus, which is why the pair source below is the
+    * session-shared verified-pair frame restricted to rep ids.
     *
-    * Scale: stage 1 shuffles 32-byte sha keys; stage 2 runs the banded
-    * LSH machinery on the (smaller) deduplicated corpus; the final keep
-    * filter is a left join against the (tiny) clustered-node label set.
+    * Scale: stage 1 shuffles 32-byte sha keys; stage 2 restricts the
+    * session's one verified near-dup pair frame (computed once per
+    * (session, corpus) and shared with q15/q32/q97/q100 — a real
+    * curation pipeline derives report/cluster/split/clean from ONE pair
+    * computation, not four) with two semi-joins on the rep id set; the
+    * final keep filter is a left join against the (tiny) clustered-node
+    * label set. Corpora whose exact-dup mass would pressure the LSH
+    * occupancy caps should still run exact dedup before the pair
+    * machinery — the cap contract ([[MaxBucketOccupancy]]) is unchanged.
     */
   def cleanCorpus(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
     val docs = Tables.parallelize(Tables(spark, dir, "documents"))
       .select(col("doc_id"), col("text"))
     // materialized once (eager localCheckpoint): the representative set
-    // feeds the signature restriction, BOTH sides of the verify join,
-    // and the final keep filter — recomputing the sha-group + text
-    // re-join per consumer would quadruple the heaviest shuffle here
+    // feeds the pair restriction and the final keep filter. Every row
+    // in a sha-group carries IDENTICAL text, so first(text) re-attaches
+    // the representative's payload without the doc_id join-back a
+    // separate re-join would cost (one shuffle removed, r21).
     val reps = docs
       .groupBy(sha2(col("text"), 256).as("content_sha"))
-      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"))
-      .join(docs, "doc_id") // re-attach the representative's text
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_copies"),
+        first("text").as("text"))
       .select("doc_id", "n_copies", "text")
       .localCheckpoint()
-    // signatures: reuse the session-shared full-corpus frame, restricted
-    // to the representatives (sigs exist only for gram-able texts);
-    // materialized for the same multi-consumer reason as reps (bands,
-    // occupancy accounting, both estimator sides)
-    val repSigs = minhashSigs(spark, dir)
-      .join(reps.select("doc_id"), "doc_id")
-      .localCheckpoint()
-    val pairs = nearDupPairs(reps.select("doc_id", "text"), repSigs, threshold)
+    // Near-dup pairs AMONG the representatives, by restriction of the
+    // session-shared verified-pair frame (the q32/q97/q100 reuse
+    // discipline) instead of a second full LSH machinery run over the
+    // rep subset (r21 — the machinery dominated this query's cost):
+    // exact duplicates have IDENTICAL gram sets, so a pair of reps
+    // verifies at jaccard ≥ τ in the full corpus iff it does among the
+    // reps — the restricted pair set is exactly nearDupPairs(reps), the
+    // same equivalence the docstring's correctness note already rests
+    // on. Two semi-joins against the (tiny) rep id set.
+    val repIds = reps.select("doc_id")
+    val pairs = verifiedNearDupPairs(spark, dir, threshold)
+      .join(repIds.withColumnRenamed("doc_id", "d1"), Seq("d1"), "left_semi")
+      .join(repIds.withColumnRenamed("doc_id", "d2"), Seq("d2"), "left_semi")
       .select("d1", "d2")
     val labels = connectedComponents(pairs)
     reps

@@ -2072,6 +2072,38 @@ object IvfIndex {
     * @return (query_id, idCol, sim, rn) — rn 1..k by exact sim desc,
     *         ties broken by ascending neighbor id
     */
+  /** Corpus-side salted equi-join of a cell-pruned scan with a
+    * per-(query, cell) probe-selection frame — the pass-2 shape shared
+    * by [[selfKnnGraph]] and [[contrastivePairs]]. Joining on the bare
+    * cell id caps shuffle-join parallelism at the PROBED cell count
+    * (guide §2.5): the corpus side therefore carries a deterministic
+    * id-hash salt and the (lighter, metadata-only) probe side explodes
+    * across the salt range, so the join spreads over
+    * probedCells × salt partitions. Result rows are identical — the
+    * salt is an equality-preserving refinement of the key. Scale-
+    * adaptive: salt = ⌈2·cores / probedCells⌉ collapses to 1 (the
+    * unsalted plan, zero overhead) as soon as the probed-cell count
+    * covers the session's parallelism, which any production-sized
+    * index does.
+    */
+  private def saltedProbeJoin(
+      corpus: DataFrame,
+      probeSel: DataFrame,
+      idCol: String,
+      probedCellCount: Int,
+      spark: SparkSession): DataFrame = {
+    val cores = spark.sparkContext.defaultParallelism
+    val salt =
+      math.max(1, math.ceil(2.0 * cores / math.max(1, probedCellCount)).toInt)
+    if (salt <= 1) corpus.join(probeSel, "centroid_id")
+    else corpus
+      .withColumn("__salt", pmod(hash(col(idCol)), lit(salt)))
+      .join(probeSel.withColumn("__salt",
+          explode(sequence(lit(0), lit(salt - 1)))),
+        Seq("centroid_id", "__salt"))
+      .drop("__salt")
+  }
+
   def selfKnnGraph(
       spark: SparkSession,
       indexPath: String,
@@ -2094,9 +2126,14 @@ object IvfIndex {
       .select(col("query_id"), col(idCol), col("sim"))
 
     // pass 1: own cell, self excluded. Materialized once — it feeds the
-    // floor AND the final union (the queryTopK discipline).
+    // floor AND the final union (the queryTopK discipline). The query
+    // side sheds __qnorm BEFORE the join (guide §2.3): the ranking only
+    // needs the raw vector, and the normalized copy would double the
+    // width of every fan-out row for nothing (__qnorm exists for the
+    // centroid-distance bound below, a queries × nCells frame).
     val pass1 = rank(
-      queries.join(corpus, "centroid_id").filter(col("query_id") =!= col(idCol)))
+      queries.drop("__qnorm")
+        .join(corpus, "centroid_id").filter(col("query_id") =!= col(idCol)))
       .localCheckpoint()
     // k-th best via topk_by: pass-1 is own-cell × corpus sized, so the
     // map-side partial (k per query per task) is the difference between
@@ -2133,7 +2170,17 @@ object IvfIndex {
           .filter(col("centroid_id").isin(probedIds: _*)),
         spark, indexPath, idCol)
       .select(col(idCol), col(embCol), col("centroid_id"))
-    val pass2 = rank(prunedCorpus.join(probeSel, "centroid_id"))
+    // the probe join's key is the PROBED cell id set — on a clustered
+    // corpus that is a handful of values (2 of 16 at the measured 0.125
+    // probe fraction), which caps a shuffle join's parallelism at
+    // |probedIds| tasks no matter the cluster size (guide §2.5's
+    // low-cardinality-key hazard; measured: 2 tasks / 1.5 s wall on 32
+    // cores). Salt the corpus side by a deterministic id hash and
+    // explode the (lighter) probe side across the salt range; when the
+    // probed-cell count already covers the session's parallelism the
+    // salt collapses to 1 and the plan is the unsalted one.
+    val pass2 = rank(saltedProbeJoin(
+      prunedCorpus, probeSel, idCol, probedIds.size, spark))
 
     pass1.unionByName(pass2)
       .transform(SimilaritySearch.topKExplode(_, "query_id", idCol, "sim", k))
@@ -2213,8 +2260,12 @@ object IvfIndex {
       .withColumn("sim", cosine_sim(col("__qv"), col(embCol)))
       .select(col("query_id"), col(idCol), col("sim"),
         (col("__qlabel") === col("__clabel")).as("__same"))
+    // __qnorm shed before the fan-out join (guide §2.3, the
+    // [[selfKnnGraph]] rationale): ranking needs the raw vector and the
+    // labels, never the normalized copy
     val pass1 = rank(
-      queries.join(corpus, "centroid_id").filter(col("query_id") =!= col(idCol)))
+      queries.drop("__qnorm")
+        .join(corpus, "centroid_id").filter(col("query_id") =!= col(idCol)))
       .localCheckpoint()
     // per-side own-cell bests; a missing side probes fully FOR THAT
     // SIDE. The floor only needs each side's best SIMILARITY, which is
@@ -2289,7 +2340,10 @@ object IvfIndex {
         spark, indexPath, idCol)
       .select(col(idCol), col(embCol), col("centroid_id"))
       .join(labels.select(col(idCol), col(labelCol).as("__clabel")), Seq(idCol))
-    val pass2 = rank(prunedCorpus.join(probeSel, "centroid_id"))
+    // salted for parallelism — the [[saltedProbeJoin]] rationale (the
+    // probed-cell count caps the join otherwise)
+    val pass2 = rank(saltedProbeJoin(
+      prunedCorpus, probeSel, idCol, probedIds.size, spark))
 
     // per-(query, side) argmax by (sim desc, id asc) as a k=1 topk_by —
     // map-side partials keep the union's candidate volume off the wire
