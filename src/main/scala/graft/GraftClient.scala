@@ -365,14 +365,22 @@ final class GraftClient(
     * [[compactDeletes]] consumes this table and clears it last.
     */
   def deleteRows(annPath: String, rowIds: DataFrame): Unit = {
-    graft.query.Tombstones.append(spark, annPath, "row_id",
-      rowIds.select(col("row_id")))
+    // index/lex masks FIRST, the client pending table LAST: a crash in
+    // between then leaves only a retryable retained-payload state with
+    // serving already exact. The reverse order had a window where a
+    // pending id's payload could be purged while its vector still
+    // served — queryIndexedBatch's hits⋈payload inner join would then
+    // silently return fewer than k rows (r21, ADVICE item 3). (The
+    // payload purge itself tolerates the missing-client-row case via
+    // the index-table union in [[compactDeletes]].)
     graft.query.IvfIndex.delete(spark, s"$annPath/ivf", "row_id",
       rowIds.select(col("row_id")))
     val lex = new org.apache.hadoop.fs.Path(s"$annPath/lex")
     if (lex.getFileSystem(spark.sessionState.newHadoopConf()).exists(lex))
       graft.query.LexicalSearch.deleteFromIndex(spark, s"$annPath/lex",
         "row_id", rowIds.select(col("row_id")))
+    graft.query.Tombstones.append(spark, annPath, "row_id",
+      rowIds.select(col("row_id")))
   }
 
   /** `DELETE ... WHERE` over the payload attributes — the predicate
@@ -401,37 +409,59 @@ final class GraftClient(
     */
   def compactDeletes(annPath: String): Unit = {
     val ivfPath = s"$annPath/ivf"
-    // the payload purge keys off the CLIENT-LEVEL pending table
-    // ([[deleteRows]]) — NOT the ivf tombstone table, which an index
-    // re-cluster between delete and compaction legitimately retires
-    // (its generation swap physically drops the rows from the INDEX,
-    // but the payload purge is owed regardless)
-    graft.query.Tombstones.df(spark, annPath).foreach { t =>
+    // the payload purge keys off the UNION of every pending-delete
+    // table at this path: the CLIENT-LEVEL table ([[deleteRows]]) —
+    // which an index re-cluster between delete and compaction cannot
+    // retire — PLUS the ivf/lex index tables, so deletes issued before
+    // the client table existed, or directly against an index face
+    // (IvfIndex.delete, CDC maintenance), still get their payload
+    // physically removed (r21, ADVICE item 1: the unconditional
+    // index compaction below retires the only other record of those
+    // ids while their payload would have stayed retained forever).
+    val pendingTables = Seq(annPath, ivfPath, s"$annPath/lex")
+      .flatMap(p => graft.query.Tombstones.df(spark, p))
+    pendingTables.reduceOption(_ unionByName _).foreach { t =>
       val tombIds = t.select(
-        col(graft.query.Tombstones.IdColumn).as("row_id"))
+        col(graft.query.Tombstones.IdColumn).as("row_id")).distinct()
       val buckets = tombIds
         .select(pmod(hash(col("row_id")), lit(GraftClient.PayloadBuckets)).as("b"))
         .distinct().collect().map(_.getInt(0)).toSeq
       if (buckets.nonEmpty) {
-        val survivors = spark.read.parquet(s"$annPath/payload")
+        // survivors SPILL to a _tmp parquet table under annPath (the
+        // residual-build discipline, r21 — VERDICT ask 4) instead of
+        // localCheckpoint: a worst-case delete touches every bucket,
+        // and checkpoint blocks are executor-resident with truncated
+        // lineage — one lost executor would kill the purge, and the
+        // near-whole payload table would sit in executor memory. The
+        // underscore prefix keeps table readers from listing it; the
+        // finally removes it win or lose.
+        val tmpPurge = s"$annPath/_tmp_payload_purge"
+        spark.read.parquet(s"$annPath/payload")
           .filter(col("__rbucket").isin(buckets: _*))
           .join(tombIds, Seq("row_id"), "left_anti")
-          .localCheckpoint()
-        survivors
-          .transform(graft.util.PartitionedWrite.spread(
-            _, buckets.size, col("__rbucket"), col("row_id")))
-          .write.mode("overwrite").partitionBy("__rbucket")
-          .option("partitionOverwriteMode", "dynamic")
-          .parquet(s"$annPath/payload")
-        // dynamic overwrite cannot empty a partition — drop buckets
-        // whose every payload row was deleted
-        val kept = survivors.select(col("__rbucket").cast("long"))
-          .distinct().collect().map(_.getLong(0)).toSet
-        val fs = new org.apache.hadoop.fs.Path(s"$annPath/payload")
-          .getFileSystem(spark.sessionState.newHadoopConf())
-        buckets.filterNot(b => kept(b.toLong)).foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(
-            s"$annPath/payload/__rbucket=$b"), true)
+          .write.mode("overwrite").parquet(tmpPurge)
+        try {
+          val survivors = spark.read.parquet(tmpPurge)
+          survivors
+            .transform(graft.util.PartitionedWrite.spread(
+              _, buckets.size, col("__rbucket"), col("row_id")))
+            .write.mode("overwrite").partitionBy("__rbucket")
+            .option("partitionOverwriteMode", "dynamic")
+            .parquet(s"$annPath/payload")
+          // dynamic overwrite cannot empty a partition — drop buckets
+          // whose every payload row was deleted
+          val kept = survivors.select(col("__rbucket").cast("long"))
+            .distinct().collect().map(_.getLong(0)).toSet
+          val fs = new org.apache.hadoop.fs.Path(s"$annPath/payload")
+            .getFileSystem(spark.sessionState.newHadoopConf())
+          buckets.filterNot(b => kept(b.toLong)).foreach { b =>
+            fs.delete(new org.apache.hadoop.fs.Path(
+              s"$annPath/payload/__rbucket=$b"), true)
+            ()
+          }
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(tmpPurge)
+          p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
           ()
         }
       }

@@ -227,8 +227,23 @@ object TrainingFeed {
         if (!exists(spark, s"$indexPath/cells_meta"))
           IvfIndex.build(vecs, "doc_id", "embedding", indexPath,
             IvfIndex.Params(nCentroids = math.min(cfg.nCentroids.toLong, n).toInt))
-        else
+        else {
+          // CDC convergence, mirroring [[IndexMaintenance.applyBatch]]
+          // (r21, ADVICE item 2): with a delete channel open
+          // (cfg.opCol), a batch admitting a doc whose id is
+          // pending-tombstoned (same-batch delete+insert, or an id
+          // reused before the compaction cadence) would trip the
+          // upsert's overlap guard — identically on every foreachBatch
+          // replay, wedging the feed forever. Fold the pending deletes
+          // in physically FIRST, so the upsert lands on an index whose
+          // old rows are gone: replace semantics, idempotent under
+          // replay. One semi-join against the cadence-bounded table,
+          // only in CDC mode.
+          if (cfg.opCol.isDefined &&
+              graft.query.Tombstones.overlaps(spark, indexPath, "doc_id", vecs))
+            IvfIndex.compactTombstones(spark, indexPath, "doc_id", "embedding")
           IvfIndex.upsert(spark, indexPath, "doc_id", "embedding", vecs)
+        }
         // optional occupancy repair inside the fence — a replayed or
         // crashed split reconciles at the next pass's head-of-call
         // repair (the IndexMaintenance.applyBatch splitCap story)
